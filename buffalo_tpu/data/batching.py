@@ -1,0 +1,243 @@
+"""Fixed-shape device batching of CSR interaction data.
+
+TPU-native replacement for the reference's bounded-memory HDF5 chunk
+iterator (``buffalo/data/buffered_data.py:27-266``).  XLA compiles one
+program per input shape, so instead of "as many rows as fit in
+``batch_mb``" we build **degree-bucketed padded batches**: rows are
+grouped by ceil-power-of-two degree ``L``; a bucket's batch holds ``B``
+rows padded to ``(B, L)`` with ``B*L`` bounded by the ``batch_mb``
+entry budget.  The number of distinct ``(B, L)`` shapes — and hence
+XLA recompiles — is bounded by the number of power-of-two buckets
+(~20) for any dataset.
+
+Batches are host numpy; ``DeviceBatcher`` double-buffers them onto the
+device (``jax.device_put`` is async) and can pin the whole epoch
+on-device ("resident" mode) when it fits the HBM budget, which is the
+common case for MovieLens/KakaoBrunch-scale data and removes all
+host↔device traffic after the first epoch.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from buffalo_tpu.utils import log
+
+MIN_L = 8
+MIN_B = 8
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, int(math.ceil(math.log2(max(1, x)))))
+
+
+@dataclass
+class PaddedBatch:
+    """One fixed-shape batch of rows from a CSR orientation.
+
+    rows: int32[B] original row ids (padding rows carry id 0 with len 0)
+    lens: int32[B] true row lengths (0 for padding rows)
+    cols: int32[B, L] neighbor ids, padded with 0
+    vals: float32[B, L] values, padded with 0
+    """
+    rows: np.ndarray
+    lens: np.ndarray
+    cols: np.ndarray
+    vals: np.ndarray
+
+    @property
+    def shape(self):
+        return self.cols.shape
+
+    @property
+    def num_real_rows(self) -> int:
+        return int((self.lens > 0).sum())
+
+
+@dataclass
+class _BucketPlan:
+    L: int                    # padded row length
+    B: int                    # rows per batch
+    row_ids: np.ndarray       # all row ids in this bucket (int64)
+
+
+class BatchPlanner:
+    """Plan fixed-shape batches for one CSR orientation."""
+
+    def __init__(self, indptr: np.ndarray, batch_mb: int = 1024,
+                 entries_per_batch: Optional[int] = None,
+                 row_multiple: int = 1):
+        self.indptr = np.asarray(indptr, dtype=np.int64)
+        self.num_rows = len(self.indptr) - 1
+        degrees = np.diff(self.indptr)
+        # 16 bytes/entry mirrors the reference's budget math
+        # (buffered_data.py:47): batch_mb MB / 16 entries
+        if entries_per_batch is None:
+            entries_per_batch = max(int(batch_mb) * 1024 * 1024 // 16, 4096)
+        self.entries_per_batch = entries_per_batch
+        self.row_multiple = max(1, int(row_multiple))
+
+        buckets: Dict[int, List[int]] = {}
+        nonzero = np.nonzero(degrees)[0]
+        Ls = np.maximum(MIN_L, np.vectorize(_next_pow2)(degrees[nonzero])) \
+            if len(nonzero) else np.array([], dtype=np.int64)
+        for L in np.unique(Ls):
+            buckets[int(L)] = nonzero[Ls == L]
+        self.buckets: List[_BucketPlan] = []
+        for L, row_ids in sorted(buckets.items()):
+            B = max(MIN_B, _next_pow2(max(1, entries_per_batch // L)))
+            # don't overshoot tiny buckets: one batch is enough
+            B = min(B, max(MIN_B, _next_pow2(len(row_ids))))
+            B = max(B, self.row_multiple)
+            # round B down to a multiple of row_multiple (B is pow2 so any
+            # pow2 row_multiple divides it already)
+            self.buckets.append(_BucketPlan(L=L, B=B,
+                                            row_ids=np.asarray(row_ids)))
+        self.num_batches = sum(int(math.ceil(len(b.row_ids) / b.B))
+                               for b in self.buckets)
+
+    def shapes(self) -> List[tuple]:
+        return [(b.B, b.L) for b in self.buckets]
+
+    def iter_batches(self, key: np.ndarray, val: Optional[np.ndarray]
+                     ) -> Iterator[PaddedBatch]:
+        """Materialize padded batches from flat CSR key/val arrays."""
+        indptr = self.indptr
+        for bucket in self.buckets:
+            L, B = bucket.L, bucket.B
+            ids = bucket.row_ids
+            for start in range(0, len(ids), B):
+                rows = ids[start:start + B]
+                n = len(rows)
+                beg = indptr[rows]
+                lens = (indptr[rows + 1] - beg).astype(np.int32)
+                # vectorized ragged gather: clip flat indices to row end
+                offs = np.arange(L, dtype=np.int64)[None, :]
+                idx = beg[:, None] + np.minimum(offs, (lens[:, None] - 1))
+                cols = np.asarray(key, dtype=np.int32)[idx]
+                mask = offs < lens[:, None]
+                cols = np.where(mask, cols, 0).astype(np.int32)
+                if val is not None:
+                    vals = np.asarray(val, dtype=np.float32)[idx]
+                    vals = np.where(mask, vals, 0.0).astype(np.float32)
+                else:
+                    vals = np.where(mask, 1.0, 0.0).astype(np.float32)
+                out_rows = np.zeros(B, dtype=np.int32)
+                out_rows[:n] = rows
+                out_lens = np.zeros(B, dtype=np.int32)
+                out_lens[:n] = lens
+                if n < B:
+                    pad_cols = np.zeros((B, L), dtype=np.int32)
+                    pad_cols[:n] = cols
+                    pad_vals = np.zeros((B, L), dtype=np.float32)
+                    pad_vals[:n] = vals
+                    cols, vals = pad_cols, pad_vals
+                yield PaddedBatch(rows=out_rows, lens=out_lens,
+                                  cols=cols, vals=vals)
+
+
+class DeviceBatcher:
+    """Feeds padded batches to jitted steps, optionally device-resident.
+
+    The counterpart of ``BufferedDataMatrix.fetch_batch``
+    (``buffered_data.py:85-118``), but instead of reusing one pinned
+    host buffer we pipeline ``jax.device_put`` (async) one batch ahead
+    of compute, or — when the padded epoch fits ``resident_mb`` — keep
+    every batch in HBM across epochs.
+    """
+
+    def __init__(self, data, axis: str = "rowwise", batch_mb: int = 1024,
+                 resident_mb: int = 4096, row_multiple: int = 1,
+                 sharding=None):
+        self.logger = log.get_logger("DeviceBatcher")
+        self.data = data
+        self.axis = axis
+        group = data.get_group(axis)
+        self.key = np.asarray(group["key"])
+        self.val = np.asarray(group["val"]) if "val" in group else None
+        self.planner = BatchPlanner(np.asarray(group["indptr"]),
+                                    batch_mb=batch_mb,
+                                    row_multiple=row_multiple)
+        padded_entries = sum(b.B * b.L * math.ceil(len(b.row_ids) / b.B)
+                             for b in self.planner.buckets)
+        # 8 bytes per padded entry (int32 col + f32 val) on device
+        self.resident = (padded_entries * 8) <= resident_mb * 1024 * 1024
+        self.sharding = sharding
+        self._device_cache: Optional[List] = None
+
+    def _to_device(self, batch: PaddedBatch):
+        import jax
+        arrays = (batch.rows, batch.lens, batch.cols, batch.vals)
+        if self.sharding is not None:
+            shardings = tuple(self.sharding(a) for a in arrays)
+            return tuple(jax.device_put(a, s)
+                         for a, s in zip(arrays, shardings))
+        return tuple(jax.device_put(a) for a in arrays)
+
+    def __iter__(self):
+        """Yield (rows, lens, cols, vals) device tuples, prefetching one ahead."""
+        if self.resident:
+            if self._device_cache is None:
+                self._device_cache = [
+                    self._to_device(b)
+                    for b in self.planner.iter_batches(self.key, self.val)]
+                self.logger.debug(
+                    f"{self.axis}: {len(self._device_cache)} batches resident "
+                    f"on device, shapes={self.planner.shapes()}")
+            yield from self._device_cache
+            return
+        it = self.planner.iter_batches(self.key, self.val)
+        pending = None
+        for batch in it:
+            nxt = self._to_device(batch)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
+    @property
+    def num_batches(self) -> int:
+        return self.planner.num_batches
+
+
+class COOBatcher:
+    """Flat (user, item, value) chunks of fixed size for SGD-family algos.
+
+    Positives are drawn from the rowwise CSR expanded to COO; each chunk
+    is a fixed ``N`` so the sampled-update step compiles once.  The tail
+    chunk wraps around (samples from the epoch head) to keep shape —
+    epoch semantics of the reference's job-queue batching
+    (``algo.cc:308-362``) where sample count per epoch is ~nnz.
+    """
+
+    def __init__(self, data, chunk_size: int = 1 << 20, shuffle: bool = True,
+                 seed: int = 0):
+        group = data.get_group("rowwise")
+        indptr = np.asarray(group["indptr"], dtype=np.int64)
+        self.users = np.repeat(
+            np.arange(len(indptr) - 1, dtype=np.int32), np.diff(indptr))
+        self.items = np.asarray(group["key"], dtype=np.int32)
+        self.vals = (np.asarray(group["val"], dtype=np.float32)
+                     if "val" in group else np.ones(len(self.items), np.float32))
+        self.chunk_size = int(chunk_size)
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.nnz = len(self.items)
+
+    def __iter__(self):
+        order = (self.rng.permutation(self.nnz) if self.shuffle
+                 else np.arange(self.nnz))
+        N = self.chunk_size
+        for start in range(0, self.nnz, N):
+            idx = order[start:start + N]
+            if len(idx) < N:  # wrap tail to keep fixed shape
+                idx = np.concatenate([idx, order[:N - len(idx)]])
+            yield (self.users[idx], self.items[idx], self.vals[idx])
+
+    @property
+    def num_batches(self) -> int:
+        return math.ceil(self.nnz / self.chunk_size)

@@ -1,0 +1,156 @@
+"""MatrixMarket input → compiled dataset artifact.
+
+Counterpart of the reference ``buffalo/data/mm.py`` — same option tree
+(``MatrixMarketOptions``, ``mm.py:14-55``), same accepted inputs for
+``input.main`` (file path, scipy sparse matrix, or dense 2-D ndarray —
+``mm.py:62-80``) and for ``input.uid/iid`` (path, list, or 1-D array),
+same build flow: parse header, carve validation, build rowwise+colwise
+CSR, store id maps (``mm.py:110-234``).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import scipy.io
+import scipy.sparse
+
+from buffalo_tpu.data.base import Data, DataBuilder, DataOption
+from buffalo_tpu.data.fileio import parse_triples
+from buffalo_tpu.utils import Option
+
+
+class MatrixMarketOptions(DataOption):
+    def get_default_option(self) -> Option:
+        opt = {
+            "type": "matrix_market",
+            "input": {
+                "main": "",
+                "uid": "",  # if not set, row-id is used as userid
+                "iid": "",  # if not set, col-id is used as itemid
+            },
+            "data": {
+                "internal_data_type": "matrix",
+                "validation": {
+                    "name": "sample",
+                    "p": 0.01,
+                    "max_samples": 500,
+                },
+                "batch_mb": 1024,
+                "use_cache": False,
+                "tmp_dir": "/tmp/",
+                "path": "./mm.bfo",
+                "disk_based": False,
+                "random_seed": 0,
+            },
+        }
+        return Option(opt)
+
+    def is_valid_option(self, opt) -> bool:
+        assert super().is_valid_option(opt)
+        if not opt["type"] == "matrix_market":
+            raise RuntimeError(f"Invalid data type: {opt['type']}")
+        if opt["data"]["internal_data_type"] != "matrix":
+            raise RuntimeError("MatrixMarket only support internal data type(matrix)")
+        for field in ["uid", "iid"]:
+            id_path = opt["input"][field]
+            is_1d_dense = isinstance(id_path, np.ndarray) and id_path.ndim == 1
+            msg = (f"Not supported data type for "
+                   f"MatrixMarketOption.input.{field}: {type(id_path)}")
+            assert isinstance(id_path, (str, list)) or is_1d_dense, msg
+        main = opt["input"]["main"]
+        is_2d_dense = isinstance(main, np.ndarray) and main.ndim == 2
+        is_sparse = scipy.sparse.issparse(main)
+        msg = (f"Not supported data type for "
+               f"MatrixMarketOption.input.main field: {type(main)}")
+        assert isinstance(main, str) or is_2d_dense or is_sparse, msg
+        return True
+
+
+def _load_id_list(source) -> list | None:
+    if source is None:
+        return None
+    if isinstance(source, str):
+        if not source:
+            return None
+        with open(source) as fin:
+            return [line.strip() for line in fin]
+    if isinstance(source, np.ndarray):
+        return [str(x) for x in source.tolist()]
+    if isinstance(source, list):
+        return [str(x) for x in source]
+    raise RuntimeError(f"Unexpected type for id list: {type(source)}")
+
+
+class MatrixMarket(DataBuilder):
+    name = "MatrixMarket"
+
+    def __init__(self, opt, *args, **kwargs):
+        super().__init__(opt, *args, **kwargs)
+        self.name = "MatrixMarket"
+        self.data_type = "matrix"
+
+    def _parse_main(self):
+        """Return (rows0, cols0, vals, num_users, num_items) — 0-based."""
+        main = self.opt.input.main
+        if isinstance(main, np.ndarray) and main.ndim == 2:
+            main = scipy.sparse.csr_matrix(main)
+        if scipy.sparse.issparse(main):
+            coo = main.tocoo()
+            return (coo.row.astype(np.int64), coo.col.astype(np.int64),
+                    coo.data.astype(np.float32),
+                    int(main.shape[0]), int(main.shape[1]))
+        # path to a MatrixMarket file
+        if not os.path.isfile(main):
+            raise RuntimeError(f"Input file not found: {main}")
+        with open(main) as fin:
+            header = fin.readline()
+            if not header.startswith("%%MatrixMarket"):
+                raise RuntimeError(f"Not a MatrixMarket file: {main}")
+            line = fin.readline()
+            while line.startswith("%"):
+                line = fin.readline()
+            num_users, num_items, num_nnz = map(int, line.strip().split())
+            rows, cols, vals = parse_triples(fin)
+        if len(rows) != num_nnz:
+            raise RuntimeError(
+                f"MatrixMarket header declares {num_nnz} entries "
+                f"but {len(rows)} were parsed")
+        return rows - 1, cols - 1, vals, num_users, num_items
+
+    def create(self) -> None:
+        """Build the database; no-op when use_cache and a completed DB exists."""
+        path = self.opt.data.path
+        if self.opt.data.use_cache and os.path.isdir(path):
+            try:
+                self.open(path)
+                self.logger.info("Cached database loaded.")
+                return
+            except Exception:
+                self.close()
+        self.logger.info("Create database from matrix market input")
+        rows, cols, vals, num_users, num_items = self._parse_main()
+        userids = _load_id_list(self.opt.input.get("uid"))
+        itemids = _load_id_list(self.opt.input.get("iid"))
+        if userids is not None and len(userids) != num_users:
+            raise RuntimeError(
+                f"Mismatch between number of user ids({len(userids)}) "
+                f"and number of rows({num_users})")
+        if itemids is not None and len(itemids) != num_items:
+            raise RuntimeError(
+                f"Mismatch between number of item ids({len(itemids)}) "
+                f"and number of cols({num_items})")
+
+        out_dir = self._start_artifact(path)
+        rng = np.random.default_rng(self.opt.data.get("random_seed", 0))
+        try:
+            attrs = self._build_core(out_dir, rows, cols, vals,
+                                     num_users, num_items,
+                                     userids, itemids, rng)
+            self._finalize_artifact(out_dir, attrs)
+        except Exception:
+            import shutil
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
+        self.open(path)
+        self.logger.info(self.show_info())

@@ -1,0 +1,85 @@
+"""Test harness: force a virtual 8-device CPU platform before jax loads.
+
+Multi-chip sharding is validated on host-platform fake devices
+(``--xla_force_host_platform_device_count``), the analog of the
+reference's single-box OpenMP thread scaling tests.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_mm(tmp_path_factory):
+    """A small deterministic MatrixMarket dataset (20 users x 12 items)."""
+    root = tmp_path_factory.mktemp("tiny_mm")
+    rng = np.random.default_rng(7)
+    num_users, num_items = 20, 12
+    rows, cols, vals = [], [], []
+    for u in range(num_users):
+        deg = rng.integers(1, num_items)
+        items = rng.choice(num_items, size=deg, replace=False)
+        for i in items:
+            rows.append(u + 1)
+            cols.append(i + 1)
+            vals.append(float(rng.integers(1, 6)))
+    path = root / "main.mm"
+    with open(path, "w") as fout:
+        fout.write("%%MatrixMarket matrix coordinate real general\n")
+        fout.write(f"{num_users} {num_items} {len(rows)}\n")
+        for r, c, v in zip(rows, cols, vals):
+            fout.write(f"{r} {c} {v}\n")
+    return {"path": str(path), "num_users": num_users,
+            "num_items": num_items, "nnz": len(rows), "root": str(root)}
+
+
+@pytest.fixture(scope="session")
+def ml100k_like(tmp_path_factory):
+    """A synthetic dataset with planted block structure, ML-100k-shaped.
+
+    200 users x 120 items, 5 latent clusters: users in cluster c rate
+    items of cluster c highly.  Gives algorithms real signal so ranking
+    metrics have meaningful floors (analog of the reference's ML-100k
+    accuracy-threshold tests, tests/algo/base.py:83-97).
+    """
+    root = tmp_path_factory.mktemp("ml100k_like")
+    rng = np.random.default_rng(42)
+    num_users, num_items, k = 200, 120, 5
+    ucl = rng.integers(0, k, num_users)
+    icl = rng.integers(0, k, num_items)
+    rows, cols, vals = [], [], []
+    for u in range(num_users):
+        same = np.nonzero(icl == ucl[u])[0]
+        other = np.nonzero(icl != ucl[u])[0]
+        n_same = min(len(same), int(rng.integers(8, 16)))
+        n_other = min(len(other), int(rng.integers(2, 5)))
+        picks = list(rng.choice(same, n_same, replace=False)) + \
+            list(rng.choice(other, n_other, replace=False))
+        for i in picks:
+            rows.append(u + 1)
+            cols.append(int(i) + 1)
+            vals.append(float(rng.integers(3, 6)) if icl[i] == ucl[u]
+                        else float(rng.integers(1, 3)))
+    path = root / "main.mm"
+    with open(path, "w") as fout:
+        fout.write("%%MatrixMarket matrix coordinate real general\n")
+        fout.write(f"{num_users} {num_items} {len(rows)}\n")
+        for r, c, v in zip(rows, cols, vals):
+            fout.write(f"{r} {c} {v}\n")
+    uid = root / "uid"
+    iid = root / "iid"
+    with open(uid, "w") as fout:
+        fout.write("\n".join(f"u{i}" for i in range(num_users)))
+    with open(iid, "w") as fout:
+        fout.write("\n".join(f"i{i}" for i in range(num_items)))
+    return {"path": str(path), "uid": str(uid), "iid": str(iid),
+            "num_users": num_users, "num_items": num_items,
+            "nnz": len(rows), "root": str(root)}
