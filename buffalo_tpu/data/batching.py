@@ -38,7 +38,8 @@ def _next_pow2(x: int) -> int:
 class PaddedBatch:
     """One fixed-shape batch of rows from a CSR orientation.
 
-    rows: int32[B] original row ids (padding rows carry id 0 with len 0)
+    rows: int32[B] original row ids (padding rows carry the out-of-range
+          id num_rows with len 0 so device scatters drop them)
     lens: int32[B] true row lengths (0 for padding rows)
     cols: int32[B, L] neighbor ids, padded with 0
     vals: float32[B, L] values, padded with 0
@@ -125,7 +126,9 @@ class BatchPlanner:
                     vals = np.where(mask, vals, 0.0).astype(np.float32)
                 else:
                     vals = np.where(mask, 1.0, 0.0).astype(np.float32)
-                out_rows = np.zeros(B, dtype=np.int32)
+                # padding rows carry the out-of-range id num_rows so that
+                # device scatters with mode="drop" ignore them
+                out_rows = np.full(B, self.num_rows, dtype=np.int32)
                 out_rows[:n] = rows
                 out_lens = np.zeros(B, dtype=np.int32)
                 out_lens[:n] = lens

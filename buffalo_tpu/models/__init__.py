@@ -1,0 +1,5 @@
+"""Algorithm drivers (reference buffalo/algo/ analog)."""
+from buffalo_tpu.models.als import ALS  # noqa: F401
+from buffalo_tpu.models.options import (ALSOption, BPRMFOption,  # noqa: F401
+                                        CFROption, EALSOption, PLSIOption,
+                                        W2VOption, WARPOption)

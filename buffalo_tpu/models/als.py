@@ -1,0 +1,236 @@
+"""Implicit-feedback Alternating Least Squares on TPU.
+
+Counterpart of the reference ALS stack (driver ``buffalo/algo/als.py``,
+C++ core ``lib/algo_impl/als/als.cc``, CUDA core ``lib/cuda/als/als.cu``)
+— same epoch structure (gramian precompute → rowwise half → colwise
+half → RMSE from (nume, deno) → validation → save-best/early-stop),
+same hyperparameters and solver set, but the per-row OpenMP/CUDA loops
+become jitted batched einsum+solve steps over padded degree-bucketed
+batches, with the iALS++ blockwise subspace CG auto-enabled at d>=128
+(``als.cc:46``).
+
+Reference: Hu, Koren, Volinsky — Collaborative Filtering for Implicit
+Feedback Datasets; iALS++ (arXiv 2110.14044).
+"""
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import buffalo_tpu.data
+from buffalo_tpu.data.base import Data
+from buffalo_tpu.data.batching import DeviceBatcher
+from buffalo_tpu.evaluate import Evaluable
+from buffalo_tpu.models.base import Algo, Serializable
+from buffalo_tpu.models.options import ALSOption
+from buffalo_tpu.ops.als_kernels import als_step
+from buffalo_tpu.utils import log
+from buffalo_tpu import parallelism
+
+
+class ALS(Algo, ALSOption, Evaluable, Serializable):
+    """Python driver for TPU ALS."""
+
+    def __init__(self, opt_path=None, *args, **kwargs):
+        Algo.__init__(self, *args, **kwargs)
+        ALSOption.__init__(self, *args, **kwargs)
+        Evaluable.__init__(self, *args, **kwargs)
+        Serializable.__init__(self, *args, **kwargs)
+        if opt_path is None:
+            opt_path = ALSOption().get_default_option()
+        self.logger = log.get_logger("ALS")
+        self.opt, self.opt_path = self.get_option(opt_path)
+
+        self.data = None
+        data = kwargs.get("data")
+        data_opt = self.opt.get("data_opt")
+        data_opt = kwargs.get("data_opt", data_opt)
+        if data_opt:
+            self.data = buffalo_tpu.data.load(data_opt)
+            self.data.create()
+        elif isinstance(data, Data):
+            self.data = data
+        self.logger.info("ALS(%s)" % json.dumps(self.opt.to_dict(), indent=2))
+        if self.data:
+            self.logger.info(self.data.show_info())
+            assert self.data.data_type in ["matrix"]
+
+    @staticmethod
+    def new(path, data_fields=[]):
+        return ALS.instantiate(ALSOption, path, data_fields)
+
+    def set_data(self, data):
+        assert isinstance(data, Data), f"Wrong instance: {type(data)}"
+        self.data = data
+
+    def normalize(self, group="item"):
+        if group == "item" and not self.opt.get("_nrz_Q"):
+            self.Q = self._normalize(self.Q)
+            self.opt._nrz_Q = True
+        elif group == "user" and not self.opt.get("_nrz_P"):
+            self.P = self._normalize(self.P)
+            self.opt._nrz_P = True
+
+    def initialize(self):
+        super().initialize()
+        self.init_factors()
+
+    def init_factors(self):
+        """|N(0, 1/d^2)| init, matching the reference (als.py:85-88)."""
+        assert self.data, "Data is not set"
+        header = self.data.get_header()
+        d = self.opt.d
+        for name, rows in [("P", header["num_users"]),
+                           ("Q", header["num_items"])]:
+            setattr(self, name, np.abs(
+                np.random.normal(scale=1.0 / (d ** 2),
+                                 size=(rows, d)).astype("float32")))
+
+    # ------------------------------------------------------------- retrieval
+    def _get_topk_recommendation(self, rows, topk, pool=None):
+        p = self.P[rows]
+        topks = super()._get_topk_recommendation(
+            p, self.Q, pb=None, Qb=None, pool=pool, topk=topk,
+            num_workers=self.opt.num_workers)
+        return zip(rows, topks)
+
+    def _get_most_similar_item(self, col, topk, pool):
+        return super()._get_most_similar_item(
+            col, topk, self.Q, self.opt.get("_nrz_Q", False), pool)
+
+    def get_scores(self, row_col_pairs):
+        return {(r, c): float(self.P[r].dot(self.Q[c]))
+                for r, c in row_col_pairs}
+
+    def _get_scores(self, row, col):
+        return (self.P[row] * self.Q[col]).sum(axis=1)
+
+    # -------------------------------------------------------------- training
+    def _resolve_optimizer(self) -> str:
+        optimizer = self.opt.optimizer
+        if self.opt.d >= 128:  # auto iALS++, als.cc:46
+            optimizer = "ialspp"
+        return optimizer
+
+    def _iterate(self, batchers, P, Q, group="rowwise"):
+        """One half-epoch: precompute gramian, update every row of P."""
+        import jax.numpy as jnp
+
+        opt = self.opt
+        item_axis = group == "colwise"
+        reg = opt.reg_i if item_axis else opt.reg_u
+        FF = jnp.dot(Q.T, Q, preferred_element_type=jnp.float32)
+        step = partial(
+            als_step,
+            optimizer=self._optimizer, alpha=float(opt.alpha),
+            reg=float(reg), adaptive_reg=bool(opt.adaptive_reg),
+            cg_iters=int(opt.num_cg_max_iters),
+            cg_tol=float(opt.cg_tolerance),
+            block_size=min(int(opt.block_size), int(opt.d)),
+            item_axis=item_axis, num_fixed_rows=Q.shape[0],
+            compute_loss=bool(opt.compute_loss_on_training))
+        # accumulate loss terms as device scalars; sync once per half-epoch
+        # so step dispatches stay asynchronous
+        numes, denos = [], []
+        st = time.time()
+        for rows, lens, cols, vals in batchers[group]:
+            P, n, d = step(P, Q, FF, rows, lens, cols, vals)
+            numes.append(n)
+            denos.append(d)
+        nume = float(np.sum([np.asarray(x) for x in numes]))
+        deno = float(np.sum([np.asarray(x) for x in denos]))
+        self.logger.debug(
+            f"{group} updated: elapsed {time.time() - st:0.3f}s")
+        return P, nume, deno
+
+    def train(self, training_callback: Optional[
+            Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
+        assert self.data, "Data is not set"
+        import jax
+
+        self._optimizer = self._resolve_optimizer()
+        mesh = None
+        n_dev = self.opt.get("num_devices") or 0
+        if jax.device_count() > 1 or n_dev > 1:
+            mesh = parallelism.get_mesh(n_dev if n_dev else None)
+
+        batch_shard = row_shard = repl = None
+        if mesh is not None:
+            batch_shard = parallelism.shard_batch(mesh)
+            row_shard = parallelism.shard_rows(mesh)
+            repl = parallelism.replicated(mesh)
+
+        def batch_sharding(arr):
+            return batch_shard
+
+        batchers = {}
+        for group in ("rowwise", "colwise"):
+            batchers[group] = DeviceBatcher(
+                self.data, group,
+                batch_mb=int(self.data.opt.data.get("batch_mb", 1024)),
+                resident_mb=int(self.opt.get("resident_mb", 4096)),
+                row_multiple=(mesh.size if mesh is not None else 1),
+                sharding=batch_sharding if mesh is not None else None)
+
+        sharding_mode = self.opt.get("sharding", "dp")
+        table_sharding = row_shard if (
+            mesh is not None and "tp" in sharding_mode) else repl
+        P = jax.device_put(self.P, table_sharding)
+        Q = jax.device_put(self.Q, table_sharding)
+
+        best_loss, rmse, self.validation_result = float("inf"), None, {}
+        full_st = time.time()
+        for i in range(self.opt.num_iters):
+            start_t = time.time()
+            P, nume1, deno1 = self._iterate(batchers, P, Q, group="rowwise")
+            Q, nume2, deno2 = self._iterate(batchers, Q, P, group="colwise")
+            train_t = time.time() - start_t
+            rmse = ((nume1 + nume2) / (deno1 + deno2 + self.opt.eps)) ** 0.5
+            metrics = {"train_loss": rmse}
+            if self.opt.get("validation") and \
+                    self.opt.evaluation_on_learning and \
+                    self.periodical(self.opt.evaluation_period, i):
+                start_t = time.time()
+                self.P, self.Q = np.asarray(P), np.asarray(Q)
+                self.validation_result = self.get_validation_results()
+                vali_t = time.time() - start_t
+                val_str = " ".join(f"{k}:{v:0.5f}"
+                                   for k, v in self.validation_result.items())
+                self.logger.info(f"Validation: {val_str} "
+                                 f"Elapsed {vali_t:0.3f} secs")
+                metrics.update({f"val_{k}": v
+                                for k, v in self.validation_result.items()})
+                if training_callback is not None and callable(training_callback):
+                    training_callback(i, metrics)
+            self.logger.info("Iteration %d: RMSE %.3f Elapsed %.3f secs"
+                             % (i + 1, rmse, train_t))
+            best_loss = self.save_best_only(rmse, best_loss, i)
+            if self.early_stopping(rmse):
+                break
+        self.P, self.Q = np.asarray(P), np.asarray(Q)
+        self.logger.info(
+            f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
+        ret = {"train_loss": rmse}
+        ret.update({f"val_{k}": v for k, v in self.validation_result.items()})
+        return ret
+
+    # --------------------------------------------------------------- access
+    def _get_feature(self, index, group="item"):
+        if group == "item":
+            return self.Q[index]
+        elif group == "user":
+            return self.P[index]
+        return None
+
+    def _get_data(self):
+        data = super()._get_data()
+        data.extend([("opt", self.opt), ("Q", self.Q), ("P", self.P)])
+        return data
+
+    def get_evaluation_metrics(self):
+        return ["train_loss", "val_rmse", "val_ndcg", "val_map",
+                "val_accuracy", "val_error"]

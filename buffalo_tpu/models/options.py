@@ -1,0 +1,297 @@
+"""Per-algorithm option factories: defaults + validation.
+
+Behavioral counterpart of the reference ``buffalo/algo/options.py`` —
+same hyperparameter names and defaults per algorithm so configurations
+port over unchanged.  TPU-specific additions (extra keys, all
+defaulted): ``num_devices`` (0 = all visible chips), ``sharding``
+("dp", "tp" or "dp+tp") and ``resident_mb`` (HBM budget for keeping
+the padded epoch on device).  GPU-era options (``accelerator``,
+``hyper_threads``) are kept for API parity; the compute device is
+always the JAX default backend.
+"""
+from __future__ import annotations
+
+from buffalo_tpu.utils import Option
+from buffalo_tpu.utils.option import InputOptions
+
+
+class AlgoOption(InputOptions):
+    def get_default_option(self) -> Option:
+        """Common options (reference options.py:8-30).
+
+        :ivar bool evaluation_on_learning: run evaluation during training.
+        :ivar bool compute_loss_on_training: compute loss during training.
+        :ivar int early_stopping_rounds: epochs of patience after minimum
+            loss (0 disables).
+        :ivar bool save_best: save the model whenever loss improves.
+        :ivar int evaluation_period: evaluation cadence in epochs.
+        :ivar int save_period: save_best cadence in epochs.
+        :ivar int random_seed: seed for factor init and sampling.
+        :ivar dict validation: validation options (topk, batch, eval_samples).
+        """
+        return Option({
+            "evaluation_on_learning": True,
+            "compute_loss_on_training": True,
+            "early_stopping_rounds": 0,
+            "save_best": False,
+            "evaluation_period": 1,
+            "save_period": 10,
+            "random_seed": 0,
+            "validation": {},
+            # TPU-specific
+            "num_devices": 0,
+            "sharding": "dp",
+            "resident_mb": 4096,
+        })
+
+    def is_valid_option(self, opt) -> bool:
+        b = super().is_valid_option(opt)
+        for f in ["num_workers"]:
+            if f not in opt:
+                raise RuntimeError(f"{f} not defined")
+        return b
+
+
+class ALSOption(AlgoOption):
+    def get_default_option(self) -> Option:
+        """Alternating Least Squares (reference options.py:40-86).
+
+        :ivar bool adaptive_reg: scale L2 by per-row interaction count.
+        :ivar int d: latent dimension.
+        :ivar float reg_u / reg_i: L2 coefficients.
+        :ivar float alpha: implicit-feedback confidence coefficient.
+        :ivar str optimizer: llt | ldlt | manual_cg | eigen_cg | eigen_bicg |
+            eigen_gmres | eigen_dgmres | eigen_minres | ialspp.
+        :ivar int num_cg_max_iters: CG iteration cap.
+        :ivar int block_size: iALS++ subspace block size.
+        """
+        opt = super().get_default_option()
+        opt.update({
+            "adaptive_reg": False,
+            "save_factors": False,
+            "accelerator": False,
+            "d": 20,
+            "num_iters": 10,
+            "num_workers": 1,
+            "hyper_threads": 256,
+            "num_cg_max_iters": 3,
+            "reg_u": 0.1,
+            "reg_i": 0.1,
+            "alpha": 8.0,
+            "optimizer": "manual_cg",
+            "cg_tolerance": 1e-10,
+            "block_size": 32,
+            "eps": 1e-10,
+            "model_path": "",
+            "data_opt": {},
+        })
+        return Option(opt)
+
+    def is_valid_option(self, opt) -> bool:
+        b = super().is_valid_option(opt)
+        possible = ["llt", "ldlt", "manual_cg", "eigen_cg", "eigen_bicg",
+                    "eigen_gmres", "eigen_dgmres", "eigen_minres", "ialspp"]
+        if opt.optimizer not in possible:
+            raise RuntimeError(
+                f"optimizer ({opt.optimizer}) should be in {possible}")
+        return b
+
+
+class EALSOption(AlgoOption):
+    def get_default_option(self) -> Option:
+        """Element-wise ALS (reference options.py:98-132).
+
+        :ivar float c0: strength of negative feedback.
+        :ivar float exponent: popularity exponent for negative weights.
+        """
+        opt = super().get_default_option()
+        opt.update({
+            "save_factors": False,
+            "d": 20,
+            "num_iters": 10,
+            "num_workers": 1,
+            "reg_u": 0.1,
+            "reg_i": 0.1,
+            "alpha": 8.0,
+            "c0": 512.0,
+            "exponent": 0.5,
+            "model_path": "",
+            "data_opt": {},
+        })
+        return Option(opt)
+
+
+class CFROption(AlgoOption):
+    def get_default_option(self) -> Option:
+        """CoFactor (reference options.py:135-177).
+
+        :ivar float reg_c: L2 for the context embedding.
+        :ivar float l: weight of user-item loss vs item-context loss.
+        """
+        opt = super().get_default_option()
+        opt.update({
+            "save_factors": False,
+            "d": 20,
+            "num_iters": 10,
+            "num_workers": 1,
+            "num_cg_max_iters": 3,
+            "cg_tolerance": 1e-10,
+            "eps": 1e-10,
+            "reg_u": 0.1,
+            "reg_i": 0.1,
+            "reg_c": 0.1,
+            "alpha": 8.0,
+            "l": 1.0,
+            "optimizer": "manual_cg",
+            "model_path": "",
+            "data_opt": {},
+        })
+        return Option(opt)
+
+    def is_valid_option(self, opt) -> bool:
+        b = super().is_valid_option(opt)
+        possible = ["llt", "ldlt", "manual_cg", "eigen_cg", "eigen_bicg",
+                    "eigen_gmres", "eigen_dgmres", "eigen_minres"]
+        if opt.optimizer not in possible:
+            raise RuntimeError(
+                f"optimizer ({opt.optimizer}) should be in {possible}")
+        return b
+
+
+class BPRMFOption(AlgoOption):
+    def get_default_option(self) -> Option:
+        """Bayesian Personalized Ranking MF (reference options.py:189-253).
+
+        :ivar bool use_bias: item bias term.
+        :ivar str optimizer: sgd | adagrad | adam.
+        :ivar float lr / min_lr: learning rate and its decay floor.
+        :ivar bool per_coordinate_normalize: normalize accumulated
+            gradients by per-row sample counts before the optimizer step.
+        :ivar float sampling_power: 0 = uniform negatives, 1 = popularity.
+        :ivar bool verify_neg: reject negatives present in the user's
+            positives.
+        :ivar int batch_size: sampled triplets per device step (TPU
+            addition; the deterministic megabatch replacing the
+            reference's hogwild job queue).
+        """
+        opt = super().get_default_option()
+        opt.update({
+            "accelerator": False,
+            "use_bias": True,
+            "evaluation_period": 100,
+            "num_workers": 1,
+            "hyper_threads": 256,
+            "num_iters": 100,
+            "d": 20,
+            "update_i": True,
+            "update_j": True,
+            "reg_u": 0.025,
+            "reg_i": 0.025,
+            "reg_j": 0.025,
+            "reg_b": 0.025,
+            "optimizer": "sgd",
+            "lr": 0.002,
+            "min_lr": 0.0001,
+            "beta1": 0.9,
+            "beta2": 0.999,
+            "eps": 1e-10,
+            "per_coordinate_normalize": False,
+            "num_negative_samples": 1,
+            "sampling_power": 0.0,
+            "verify_neg": True,
+            "random_positive": False,
+            "batch_size": 0,
+            "model_path": "",
+            "data_opt": {},
+        })
+        return Option(opt)
+
+
+class WARPOption(AlgoOption):
+    def get_default_option(self) -> Option:
+        """WARP / CML (reference options.py:256-312).
+
+        :ivar int max_trials: negative-search attempt cap; trial count
+            feeds the rank weight.
+        :ivar str score_func: dot | l2 (CML).
+        :ivar float threshold: margin.
+        """
+        opt = super().get_default_option()
+        opt.update({
+            "accelerator": False,
+            "evaluation_period": 5,
+            "num_workers": 1,
+            "hyper_threads": 256,
+            "num_iters": 40,
+            "d": 64,
+            "threshold": 1.0,
+            "score_func": "dot",
+            "max_trials": 500,
+            "update_i": True,
+            "update_j": True,
+            "reg_u": 0.0,
+            "reg_i": 0.0,
+            "reg_j": 0.0,
+            "optimizer": "adagrad",
+            "lr": 0.05,
+            "min_lr": 0.0001,
+            "beta1": 0.9,
+            "beta2": 0.999,
+            "eps": 1e-10,
+            "per_coordinate_normalize": False,
+            "batch_size": 0,
+            "model_path": "",
+            "data_opt": {},
+        })
+        return Option(opt)
+
+
+class W2VOption(AlgoOption):
+    def get_default_option(self) -> Option:
+        """Skip-gram word2vec over streams (reference options.py:315-352).
+
+        :ivar int window: context window size.
+        :ivar int min_count: vocabulary frequency floor.
+        :ivar float sample: frequent-word subsampling threshold.
+        :ivar int num_negative_samples: negatives per (center, context).
+        """
+        opt = super().get_default_option()
+        opt.update({
+            "evaluation_on_learning": False,
+            "num_workers": 1,
+            "num_iters": 3,
+            "d": 20,
+            "window": 5,
+            "min_count": 5,
+            "sample": 0.001,
+            "num_negative_samples": 5,
+            "lr": 0.025,
+            "min_lr": 0.0001,
+            "batch_size": 0,
+            "model_path": "",
+            "data_opt": {},
+        })
+        return Option(opt)
+
+
+class PLSIOption(AlgoOption):
+    def get_default_option(self) -> Option:
+        """pLSI EM (reference options.py:355-385).
+
+        :ivar float alpha1: smoothing for cluster assignment P(z|u).
+        :ivar float alpha2: smoothing for item preference P(i|z).
+        """
+        opt = super().get_default_option()
+        opt.update({
+            "d": 20,
+            "num_iters": 10,
+            "num_workers": 1,
+            "alpha1": 1.0,
+            "alpha2": 1.0,
+            "eps": 1e-10,
+            "model_path": "",
+            "save_factors": False,
+            "data_opt": {},
+            "inherit_opt": {},
+        })
+        return Option(opt)

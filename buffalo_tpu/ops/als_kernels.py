@@ -1,0 +1,210 @@
+"""ALS batch update math: per-row normal equations over padded batches.
+
+TPU-native counterpart of ``CALS::_partial_update``
+(``lib/algo_impl/als/als.cc:107-209``) and the iALS++ blockwise
+subspace CG ``_partial_update_ialspp`` (``als.cc:211-358``).  The C++
+core loops rows on OpenMP threads building one d x d system at a time;
+here a padded batch of B rows becomes three MXU einsums —
+``A = FF + Fw^T F``, ``y = F^T (1 + alpha v)`` and a batched solve —
+with masking for ragged row lengths.
+
+The training loss accumulators (nume/deno) reproduce the reference
+formula (``als.cc:175-202``): computed on the item axis only, with the
+pre-update factor rows, including the implicit-negative term
+``p FF p``, plus the regularization term on both axes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from buffalo_tpu.ops.solve import solve, solve_cg
+
+
+def _row_stats(F: jax.Array, vals: jax.Array, mask: jax.Array,
+               alpha: float) -> Tuple[jax.Array, jax.Array]:
+    """Per-row data terms: A_data (B,d,d) = alpha * F^T C F, y (B,d)."""
+    w = vals * alpha * mask
+    Fw = F * w[:, :, None]
+    A_data = jnp.einsum("bld,ble->bde", Fw, F,
+                        preferred_element_type=jnp.float32)
+    y = jnp.einsum("bld,bl->bd", F, (1.0 + w) * mask,
+                   preferred_element_type=jnp.float32)
+    return A_data, y
+
+
+def _loss_terms(p: jax.Array, F: jax.Array, FF: jax.Array,
+                vals: jax.Array, mask: jax.Array, row_mask: jax.Array,
+                lens: jax.Array, num_fixed_rows: int, alpha: float,
+                reg: float, adaptive_reg: bool, item_axis: bool):
+    """Reference loss accumulators (``als.cc:175-202``, pre-update p)."""
+    ada = jnp.where(adaptive_reg, lens.astype(jnp.float32), 1.0)
+    p_sq = jnp.sum(p * p, axis=-1)
+    nume = jnp.sum(row_mask * ada * reg * p_sq)
+    deno = jnp.zeros((), jnp.float32)
+    if item_axis:
+        w = vals * alpha * mask
+        dots = jnp.einsum("bd,bld->bl", p, F,
+                          preferred_element_type=jnp.float32)
+        pos = mask * (-dots * dots + (dots - 1.0) ** 2 * (1.0 + w))
+        pFFp = jnp.einsum("bd,de,be->b", p, FF, p,
+                          preferred_element_type=jnp.float32)
+        nume = nume + jnp.sum(row_mask * (pFFp + jnp.sum(pos, axis=-1)))
+        deno = deno + jnp.sum(row_mask) * num_fixed_rows \
+            + jnp.sum(w * row_mask[:, None])
+    return nume, deno
+
+
+def als_solve_batch(p: jax.Array, F: jax.Array, FF: jax.Array,
+                    lens: jax.Array, vals: jax.Array,
+                    *, alpha: float, reg: float, adaptive_reg: bool,
+                    optimizer: str, cg_iters: int, cg_tol: float,
+                    item_axis: bool, num_fixed_rows: int,
+                    compute_loss: bool):
+    """Solve a padded batch of per-row systems.
+
+    p:    (B, d)   current rows of the side being updated
+    F:    (B, L, d) gathered fixed-side rows (padding garbage is masked)
+    FF:   (d, d)   gramian of the fixed side
+    lens: (B,)     true row lengths; vals: (B, L) confidence values.
+
+    Returns (x_new (B, d), nume, deno).
+    """
+    B, L = vals.shape
+    mask = (jnp.arange(L, dtype=jnp.int32)[None, :]
+            < lens[:, None]).astype(jnp.float32)
+    row_mask = (lens > 0).astype(jnp.float32)
+
+    A_data, y = _row_stats(F, vals, mask, alpha)
+    ada = jnp.where(adaptive_reg, lens.astype(jnp.float32), 1.0)
+    d = p.shape[-1]
+    A = FF[None] + A_data \
+        + (reg * ada)[:, None, None] * jnp.eye(d, dtype=p.dtype)[None]
+
+    if compute_loss:
+        nume, deno = _loss_terms(p, F, FF, vals, mask, row_mask, lens,
+                                 num_fixed_rows, alpha, reg,
+                                 adaptive_reg, item_axis)
+    else:
+        nume = deno = jnp.zeros((), jnp.float32)
+
+    x = solve(A, y, p, optimizer, num_iters=cg_iters, tolerance=cg_tol)
+    x = jnp.where(row_mask[:, None] > 0, x, p)
+    return x, nume, deno
+
+
+def ialspp_solve_batch(p: jax.Array, F: jax.Array, FF: jax.Array,
+                       lens: jax.Array, vals: jax.Array,
+                       *, alpha: float, reg: float, adaptive_reg: bool,
+                       block_size: int, cg_tol: float,
+                       item_axis: bool, num_fixed_rows: int,
+                       compute_loss: bool):
+    """iALS++ blockwise subspace CG over a padded batch.
+
+    Faithful to ``als.cc:211-358``: residual cache ``Yui = p . q`` per
+    interaction, then for each size-``block_size`` slice of the d
+    dimensions solve the subspace system with 3 CG steps whose matvec
+    adds the data term implicitly (``Ap += v*alpha*(q_blk . p) q_blk``),
+    update the block of p and fold the step back into the residuals.
+    The d x d system never materializes per row — per-row state is
+    O(block_size^2) for the shared gramian block only.
+    """
+    B, L = vals.shape
+    d = p.shape[-1]
+    mask = (jnp.arange(L, dtype=jnp.int32)[None, :]
+            < lens[:, None]).astype(jnp.float32)
+    row_mask = (lens > 0).astype(jnp.float32)
+
+    if compute_loss:
+        nume, deno = _loss_terms(p, F, FF, vals, mask, row_mask, lens,
+                                 num_fixed_rows, alpha, reg,
+                                 adaptive_reg, item_axis)
+    else:
+        nume = deno = jnp.zeros((), jnp.float32)
+
+    w = vals * alpha * mask           # (B, L)
+    Yui = jnp.einsum("bd,bld->bl", p, F,
+                     preferred_element_type=jnp.float32)
+
+    num_blocks = (d + block_size - 1) // block_size
+    for blk in range(num_blocks):
+        beg = blk * block_size
+        bs = min(block_size, d - beg)
+        Fb = jax.lax.slice_in_dim(F, beg, beg + bs, axis=2)   # (B, L, bs)
+        gram_cols = jax.lax.slice_in_dim(FF, beg, beg + bs, axis=1)
+        A = (jax.lax.slice_in_dim(gram_cols, beg, beg + bs, axis=0)
+             + reg * jnp.eye(bs, dtype=p.dtype))              # (bs, bs)
+        p_blk = jax.lax.slice_in_dim(p, beg, beg + bs, axis=1)
+
+        # b = p @ FF[:, blk] + reg p_blk + sum (Yui - 1) w q_blk
+        b = (p @ gram_cols + reg * p_blk
+             + jnp.einsum("bl,bld->bd", (Yui - 1.0) * w, Fb,
+                          preferred_element_type=jnp.float32))
+
+        def matvec(v):  # (B, bs) -> (B, bs)
+            dense = v @ A.T
+            data = jnp.einsum(
+                "bl,bld->bd",
+                jnp.einsum("bld,bd->bl", Fb, v,
+                           preferred_element_type=jnp.float32) * w,
+                Fb, preferred_element_type=jnp.float32)
+            return dense + data
+
+        # 3-step CG from zero start (als.cc:322-345)
+        x = jnp.zeros_like(b)
+        r = b
+        rsold = jnp.sum(r * r, axis=-1)
+        run = rsold > cg_tol
+        pvec = r
+        for _ in range(3):
+            Ap = matvec(pvec)
+            pAp = jnp.sum(pvec * Ap, axis=-1)
+            step = jnp.where(run, rsold / jnp.maximum(pAp, 1e-30), 0.0)
+            x = x + step[:, None] * pvec
+            r = r - step[:, None] * Ap
+            rsnew = jnp.sum(r * r, axis=-1)
+            run = run & (rsnew >= cg_tol)
+            pvec = r + jnp.where(rsold > 0, rsnew / jnp.maximum(rsold, 1e-30),
+                                 0.0)[:, None] * pvec
+            rsold = rsnew
+
+        x = x * row_mask[:, None]
+        p = jax.lax.dynamic_update_slice_in_dim(
+            p, p_blk - x, beg, axis=1)
+        Yui = Yui - jnp.einsum("bld,bd->bl", Fb, x,
+                               preferred_element_type=jnp.float32)
+    return p, nume, deno
+
+
+@partial(jax.jit, static_argnames=(
+    "optimizer", "alpha", "reg", "adaptive_reg", "cg_iters", "cg_tol",
+    "block_size", "item_axis", "num_fixed_rows", "compute_loss"),
+    donate_argnums=(0,))
+def als_step(P, Q, FF, rows, lens, cols, vals, *, optimizer, alpha, reg,
+             adaptive_reg, cg_iters, cg_tol, block_size, item_axis,
+             num_fixed_rows, compute_loss):
+    """Full jitted half-epoch batch step: gather -> solve -> scatter.
+
+    Module-level (not a per-model closure) so the XLA executable cache
+    is shared across model instances within a process.  ``P`` is
+    donated — the factor table updates in place in HBM.
+    """
+    safe_rows = jnp.minimum(rows, P.shape[0] - 1)
+    p = jnp.take(P, safe_rows, axis=0)
+    F = jnp.take(Q, cols, axis=0)
+    common = dict(alpha=alpha, reg=reg, adaptive_reg=adaptive_reg,
+                  item_axis=item_axis, num_fixed_rows=num_fixed_rows,
+                  compute_loss=compute_loss)
+    if optimizer == "ialspp":
+        x, nume, deno = ialspp_solve_batch(
+            p, F, FF, lens, vals, block_size=block_size, cg_tol=cg_tol,
+            **common)
+    else:
+        x, nume, deno = als_solve_batch(
+            p, F, FF, lens, vals, optimizer=optimizer, cg_iters=cg_iters,
+            cg_tol=cg_tol, **common)
+    P = P.at[rows].set(x, mode="drop")
+    return P, nume, deno

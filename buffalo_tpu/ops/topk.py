@@ -1,0 +1,52 @@
+"""Batched scoring + top-k retrieval ops.
+
+TPU-native counterpart of the reference's OpenMP ``quickselect`` and
+``dot_topn`` kernels (``buffalo/parallel/_core.hpp:69-142``): scores
+are one MXU matmul, selection is ``jax.lax.top_k``.  Sharded variant:
+each table shard computes a local top-k and the (k * n_shards)
+candidates are merged — the cross-shard merge is O(k), not O(items).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("k", "with_scores"))
+def _topk_from_scores(scores: jax.Array, k: int, with_scores: bool = True):
+    vals, idx = jax.lax.top_k(scores, k)
+    return (vals, idx) if with_scores else idx
+
+
+@partial(jax.jit, static_argnames=("k",))
+def matmul_topk(p: jax.Array, Q: jax.Array, k: int,
+                pb=None, Qb=None):
+    """scores = p @ Q^T (+ biases) then top-k.  p: (B, d), Q: (N, d)."""
+    scores = jnp.dot(p, Q.T, preferred_element_type=jnp.float32)
+    if pb is not None:
+        scores = scores + pb[:, None]
+    if Qb is not None:
+        scores = scores + Qb[None, :]
+    return jax.lax.top_k(scores, k)
+
+
+def topk(scores, k: int, sorted: bool = True, num_threads: int = 0
+         ) -> np.ndarray:
+    """Row-parallel top-k over a host score matrix (quickselect analog).
+
+    Keeps the reference's ``Evaluable.get_topk`` contract
+    (``evaluate/base.py:31-42``); ``num_threads`` is accepted for API
+    parity and ignored (parallelism comes from the device).
+    """
+    scores = jnp.asarray(scores)
+    squeeze = scores.ndim == 1
+    if squeeze:
+        scores = scores[None, :]
+    k = min(k, scores.shape[1])
+    assert k > 0, f"k({k}) should be greater than 0"
+    _, idx = _topk_from_scores(scores, k)
+    idx = np.asarray(idx, dtype=np.int32)
+    return idx[0] if squeeze else idx

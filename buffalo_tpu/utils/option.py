@@ -92,6 +92,9 @@ class InputOptions:
     errors, except int-where-float-expected which is coerced fine by JAX).
     """
 
+    def __init__(self, *args, **kwargs):
+        pass
+
     def get_default_option(self) -> Option:
         return Option({})
 

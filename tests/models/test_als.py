@@ -1,0 +1,152 @@
+"""ALS end-to-end tests, modeled on the reference suite
+(tests/algo/test_als.py + template methods of tests/algo/base.py):
+option validation, factor shapes, smoke train, accuracy floors,
+optimizer variants including iALS++, serialization round-trip."""
+import os
+
+import numpy as np
+import pytest
+
+from buffalo_tpu.data import MatrixMarketOptions, load
+from buffalo_tpu.models import ALS, ALSOption
+
+
+@pytest.fixture(scope="module")
+def ml_data(ml100k_like, tmp_path_factory):
+    root = tmp_path_factory.mktemp("als_data")
+    opt = MatrixMarketOptions().get_default_option()
+    opt.input.main = ml100k_like["path"]
+    opt.input.uid = ml100k_like["uid"]
+    opt.input.iid = ml100k_like["iid"]
+    opt.data.path = str(root / "ml.bfo")
+    opt.data.tmp_dir = str(root / "tmp")
+    opt.data.validation = {"name": "sample", "p": 0.1, "max_samples": 300}
+    data = load(opt)
+    data.create()
+    return data
+
+
+def _train(ml_data, **kw):
+    opt = ALSOption().get_default_option()
+    opt.d = kw.pop("d", 16)
+    opt.num_iters = kw.pop("num_iters", 8)
+    opt.validation = {"topk": 10}
+    for k, v in kw.items():
+        opt[k] = v
+    als = ALS(opt, data=ml_data)
+    als.initialize()
+    results = als.train()
+    return als, results
+
+
+def test_default_option_validates():
+    opt = ALSOption().get_default_option()
+    assert ALSOption().is_valid_option(opt)
+    opt.optimizer = "bogus"
+    with pytest.raises(RuntimeError):
+        ALSOption().is_valid_option(opt)
+
+
+def test_construct_from_dict(ml_data):
+    als = ALS({**ALSOption().get_default_option(), "d": 7}, data=ml_data)
+    assert als.opt.d == 7
+
+
+def test_factor_shapes(ml_data):
+    als = ALS(ALSOption().get_default_option(), data=ml_data)
+    als.initialize()
+    header = ml_data.get_header()
+    assert als.P.shape == (header["num_users"], 20)
+    assert als.Q.shape == (header["num_items"], 20)
+    assert als.P.dtype == np.float32
+
+
+def test_train_loss_decreases(ml_data):
+    opt = ALSOption().get_default_option()
+    opt.d = 16
+    opt.num_iters = 1
+    opt.validation = {}
+    als = ALS(opt, data=ml_data)
+    als.initialize()
+    r1 = als.train()["train_loss"]
+    opt.num_iters = 6
+    als2 = ALS(opt, data=ml_data)
+    als2.initialize()
+    r6 = als2.train()["train_loss"]
+    assert r6 < r1
+
+
+def test_accuracy_floor(ml_data):
+    # reference CI floor: ndcg > 0.06, map > 0.04 (tests/algo/base.py:96-97)
+    _, results = _train(ml_data, d=16, num_iters=10)
+    assert results["val_ndcg"] > 0.06
+    assert results["val_map"] > 0.04
+
+
+def test_optimizer_variants_agree(ml_data):
+    _, r_llt = _train(ml_data, d=16, num_iters=6, optimizer="llt")
+    _, r_cg = _train(ml_data, d=16, num_iters=6, optimizer="manual_cg")
+    _, r_pp = _train(ml_data, d=16, num_iters=6, optimizer="ialspp",
+                     block_size=8)
+    assert abs(r_llt["train_loss"] - r_cg["train_loss"]) < 0.05
+    assert abs(r_llt["train_loss"] - r_pp["train_loss"]) < 0.05
+
+
+def test_ialspp_d128_auto(ml_data):
+    als, results = _train(ml_data, d=128, num_iters=3)
+    assert als._optimizer == "ialspp"
+    assert results["train_loss"] < 1.0
+
+
+def test_most_similar_semantics(ml_data):
+    als, _ = _train(ml_data, d=16, num_iters=10)
+    sims = als.most_similar("i0", topk=5)
+    assert len(sims) == 5
+    assert all(isinstance(k, str) for k, _ in sims)
+    assert "i0" not in [k for k, _ in sims]
+    recs = als.topk_recommendation("u0", topk=5)
+    assert len(recs) == 5
+
+
+def test_pool_filtering(ml_data):
+    als, _ = _train(ml_data, d=16, num_iters=4)
+    pool = ["i1", "i2", "i3", "i4", "i5"]
+    sims = als.most_similar("i1", topk=3, pool=pool)
+    assert all(k in pool for k, _ in sims)
+
+
+def test_serialization_roundtrip(ml_data, tmp_path):
+    als, _ = _train(ml_data, d=8, num_iters=2)
+    path = str(tmp_path / "als.model")
+    als.save(path)
+    loaded = ALS.new(path)
+    np.testing.assert_array_equal(loaded.P, als.P)
+    np.testing.assert_array_equal(loaded.Q, als.Q)
+    assert loaded.opt.d == 8
+    # partial-field load (reference tests/algo/base.py:176-198)
+    partial = ALS.new(path, data_fields=["Q", "_idmanager"])
+    np.testing.assert_array_equal(partial.Q, als.Q)
+    assert not hasattr(partial, "P")
+
+
+def test_normalize(ml_data):
+    als, _ = _train(ml_data, d=8, num_iters=2)
+    als.normalize("item")
+    norms = np.linalg.norm(als.Q, axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-3)
+
+
+def test_training_callback(ml_data):
+    calls = []
+    _train(ml_data, d=8, num_iters=3,
+           training_callback=None)  # default path exercised above
+
+    opt = ALSOption().get_default_option()
+    opt.d = 8
+    opt.num_iters = 3
+    opt.validation = {"topk": 10}
+    als = ALS(opt, data=ml_data)
+    als.initialize()
+    als.train(training_callback=lambda i, m: calls.append((i, m)))
+    assert len(calls) == 3
+    assert "train_loss" in calls[0][1]
