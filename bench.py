@@ -1,0 +1,141 @@
+"""Headline benchmark: ALS epoch time at ML-20M scale on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference C++ core trains ALS on ML-20M (138k x 27k,
+20M nnz) at d=40 in 11.32 s/epoch on the 6-core Xeon box with T=8
+(BASELINE.md, benchmark/README.md:97).  The dataset itself cannot be
+downloaded here (zero egress), so an equivalently-shaped synthetic
+dataset is used: same user/item counts, same nnz, power-law item
+popularity — epoch time depends on shape/nnz, not values.
+
+Run `python bench.py --smoke` for a small CPU-friendly sanity run.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+ML20M_USERS = 138_493
+ML20M_ITEMS = 26_744
+ML20M_NNZ = 20_000_000
+BASELINE_EPOCH_S = 11.32  # reference ALS ML-20M d=40, T=8 (README.md:97)
+D = 40
+
+
+def synth_ml20m(num_users, num_items, nnz, seed=0):
+    """Synthetic CSR with power-law item popularity, ML-20M shaped."""
+    rng = np.random.default_rng(seed)
+    # item popularity ~ zipf(1.0), user degree ~ lognormal
+    pop = 1.0 / np.arange(1, num_items + 1) ** 0.9
+    cum = np.cumsum(pop / pop.sum())
+    deg = rng.lognormal(mean=0.0, sigma=1.1, size=num_users)
+    deg = np.maximum(1, (deg / deg.sum() * nnz)).astype(np.int64)
+    total = int(deg.sum())
+    items = np.searchsorted(cum, rng.random(total)).astype(np.int32)
+    items = np.minimum(items, num_items - 1)
+    vals = (1.0 + rng.integers(0, 5, size=total)).astype(np.float32)
+
+    indptr = np.zeros(num_users + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    rows = np.repeat(np.arange(num_users, dtype=np.int32), deg)
+    # colwise orientation
+    order = np.argsort(items, kind="stable")
+    ckey = rows[order]
+    cval = vals[order]
+    cindptr = np.zeros(num_items + 1, dtype=np.int64)
+    np.cumsum(np.bincount(items, minlength=num_items), out=cindptr[1:])
+    return {
+        "rowwise": {"indptr": indptr, "key": items, "val": vals},
+        "colwise": {"indptr": cindptr, "key": ckey, "val": cval},
+    }, total
+
+
+class _ArrayData:
+    def __init__(self, groups):
+        self.groups = groups
+
+    def get_group(self, g):
+        return self.groups[g]
+
+
+def run_epoch(P, Q, batchers, step_fn):
+    import jax.numpy as jnp
+
+    total = None
+    for group in ("rowwise", "colwise"):
+        A = P if group == "rowwise" else Q
+        Bf = Q if group == "rowwise" else P
+        FF = jnp.dot(Bf.T, Bf, preferred_element_type=jnp.float32)
+        for rows, lens, cols, vals in batchers[group]:
+            A, nume, deno = step_fn(A, Bf, FF, rows, lens, cols, vals,
+                                    item_axis=(group == "colwise"),
+                                    num_fixed_rows=Bf.shape[0])
+            total = nume if total is None else total + nume
+        if group == "rowwise":
+            P = A
+        else:
+            Q = A
+    # force a value readback: block_until_ready is unreliable on the
+    # tunneled platform, and `total` depends on every step
+    float(total)
+    return P, Q
+
+
+def main():
+    smoke = "--smoke" in sys.argv
+    if smoke:
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        num_users, num_items, nnz = 5000, 2000, 200_000
+    else:
+        num_users, num_items, nnz = ML20M_USERS, ML20M_ITEMS, ML20M_NNZ
+
+    import jax
+
+    from buffalo_tpu.data.batching import DeviceBatcher
+    from buffalo_tpu.ops.als_kernels import als_step
+
+    groups, total = synth_ml20m(num_users, num_items, nnz)
+    data = _ArrayData(groups)
+    batchers = {g: DeviceBatcher(data, g, batch_mb=1024, resident_mb=8192)
+                for g in ("rowwise", "colwise")}
+
+    rng = np.random.default_rng(7)
+    P = jax.device_put(np.abs(rng.normal(
+        scale=1.0 / D ** 2, size=(num_users, D))).astype(np.float32))
+    Q = jax.device_put(np.abs(rng.normal(
+        scale=1.0 / D ** 2, size=(num_items, D))).astype(np.float32))
+
+    def step_fn(A, Bf, FF, rows, lens, cols, vals, item_axis, num_fixed_rows):
+        return als_step(A, Bf, FF, rows, lens, cols, vals,
+                        optimizer="manual_cg", alpha=8.0, reg=0.1,
+                        adaptive_reg=False, cg_iters=3, cg_tol=1e-10,
+                        block_size=32, item_axis=item_axis,
+                        num_fixed_rows=num_fixed_rows,
+                        compute_loss=True)
+
+    # warmup (compiles + resident upload)
+    P, Q = run_epoch(P, Q, batchers, step_fn)
+    times = []
+    for _ in range(3):
+        st = time.perf_counter()
+        P, Q = run_epoch(P, Q, batchers, step_fn)
+        times.append(time.perf_counter() - st)
+    epoch_s = float(np.median(times))
+    print(json.dumps({
+        "metric": "als_ml20m_d40_epoch_time" + ("_smoke" if smoke else ""),
+        "value": round(epoch_s, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_EPOCH_S / epoch_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
