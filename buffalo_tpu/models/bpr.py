@@ -1,0 +1,322 @@
+"""Bayesian Personalized Ranking matrix factorization on TPU.
+
+Counterpart of the reference BPR stack (driver ``buffalo/algo/bpr.py``,
+C++ core ``lib/algo_impl/bpr/bpr.cc``, CUDA ``lib/cuda/bpr/bpr.cu``):
+same model (MF + item bias trained on sampled (u, i+, j-) triplets with
+log-sigmoid loss), same sampling options (uniform or popularity^power
+cumulative-table negatives with seen-set rejection), same optimizers
+(sgd with linear lr decay / adagrad / adam with per-epoch deferred
+gradients and optional per-coordinate normalization), same loss-sample
+harness (sqrt(U) fixed triplets, ``bpr.py:135-161``) — but the
+producer-consumer hogwild thread pool becomes deterministic jitted
+megabatch steps with scatter-add gradient aggregation.
+
+Reference: Rendle et al., BPR: Bayesian Personalized Ranking from
+Implicit Feedback (UAI 2009).
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import buffalo_tpu.data
+from buffalo_tpu.data.base import Data
+from buffalo_tpu.data.batching import COOBatcher
+from buffalo_tpu.evaluate import Evaluable
+from buffalo_tpu.models.base import Algo, Serializable
+from buffalo_tpu.models.options import BPRMFOption
+from buffalo_tpu.ops import sgd_kernels as K
+from buffalo_tpu.utils import log
+
+
+class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
+    """Python driver for TPU BPR-MF."""
+
+    def __init__(self, opt_path=None, *args, **kwargs):
+        Algo.__init__(self, *args, **kwargs)
+        BPRMFOption.__init__(self, *args, **kwargs)
+        Evaluable.__init__(self, *args, **kwargs)
+        Serializable.__init__(self, *args, **kwargs)
+        if opt_path is None:
+            opt_path = BPRMFOption().get_default_option()
+        self.logger = log.get_logger("BPRMF")
+        self.opt, self.opt_path = self.get_option(opt_path)
+
+        self.data = None
+        data = kwargs.get("data")
+        data_opt = self.opt.get("data_opt")
+        data_opt = kwargs.get("data_opt", data_opt)
+        if data_opt:
+            self.data = buffalo_tpu.data.load(data_opt)
+            self.data.create()
+        elif isinstance(data, Data):
+            self.data = data
+        self.logger.info("BPRMF(%s)" % json.dumps(self.opt.to_dict(), indent=2))
+        if self.data:
+            self.logger.info(self.data.show_info())
+            assert self.data.data_type in ["matrix"]
+
+    @staticmethod
+    def new(path, data_fields=[]):
+        return BPRMF.instantiate(BPRMFOption, path, data_fields)
+
+    def set_data(self, data):
+        assert isinstance(data, Data), f"Wrong instance: {type(data)}"
+        self.data = data
+
+    def normalize(self, group="item"):
+        if group == "item" and not self.opt.get("_nrz_Q"):
+            self.Q = self._normalize(self.Q)
+            self.Qb = np.zeros_like(self.Qb)
+            self.opt._nrz_Q = True
+        elif group == "user" and not self.opt.get("_nrz_P"):
+            self.P = self._normalize(self.P)
+            self.opt._nrz_P = True
+
+    def initialize(self):
+        super().initialize()
+        self.init_factors()
+        self.prepare_sampling()
+
+    def init_factors(self):
+        assert self.data, "Data is not set"
+        header = self.data.get_header()
+        d = self.opt.d
+        self.num_nnz = header["num_nnz"]
+        for name, rows in [("P", header["num_users"]),
+                           ("Q", header["num_items"])]:
+            setattr(self, name, np.abs(np.random.normal(
+                scale=1.0 / (d ** 2), size=(rows, d)).astype("float32")))
+        self.Qb = np.abs(np.random.normal(
+            scale=1.0 / (d ** 2),
+            size=(header["num_items"],)).astype("float32"))
+        if not self.opt.use_bias:
+            self.Qb *= 0
+
+    def prepare_sampling(self):
+        """Popularity^power cumulative table (bpr.py:99-112)."""
+        header = self.data.get_header()
+        self._cum_table = None
+        if self.opt.sampling_power > 0.0:
+            group = self.data.get_group("colwise")
+            counts = np.diff(np.asarray(group["indptr"])).astype(np.float64)
+            counts = counts ** float(self.opt.sampling_power)
+            self._cum_table = np.cumsum(counts).astype(np.float32)
+
+    # ------------------------------------------------------------- retrieval
+    def _get_topk_recommendation(self, rows, topk, pool=None):
+        p = self.P[rows]
+        Qb = self.Qb if self.opt.use_bias else None
+        topks = super()._get_topk_recommendation(
+            p, self.Q, pb=None, Qb=Qb, pool=pool, topk=topk,
+            num_workers=self.opt.num_workers)
+        return zip(rows, topks)
+
+    def _get_most_similar_item(self, col, topk, pool):
+        return super()._get_most_similar_item(
+            col, topk, self.Q, self.opt.get("_nrz_Q", False), pool)
+
+    def get_scores(self, row_col_pairs):
+        return {(r, c): float(self.P[r].dot(self.Q[c]) + self.Qb[c])
+                for r, c in row_col_pairs}
+
+    def _get_scores(self, row, col):
+        return (self.P[row] * self.Q[col]).sum(axis=1) + self.Qb[col]
+
+    # -------------------------------------------------------------- training
+    def sampling_loss_samples(self):
+        """sqrt(U) fixed (u, i+, j-) triplets for loss (bpr.py:135-161)."""
+        users, positives, negatives = [], [], []
+        if self.opt.compute_loss_on_training:
+            header = self.data.get_header()
+            num_loss_samples = int(header["num_users"] ** 0.5)
+            _users = np.random.choice(range(self.P.shape[0]),
+                                      size=num_loss_samples, replace=False)
+            for u in _users:
+                keys, *_ = self.data.get(u)
+                if len(keys) == 0:
+                    continue
+                seen = set(map(int, keys))
+                negs = [n for n in np.random.choice(
+                    range(self.Q.shape[0]), size=len(seen) + 1,
+                    replace=False) if n not in seen]
+                if not negs:
+                    continue
+                users.append(int(u))
+                positives.append(int(keys[0]))
+                negatives.append(int(negs[0]))
+            self.logger.info(f"Generated {len(users)} loss samples.")
+        self._sub_samples = [np.array(users, dtype=np.int32),
+                             np.array(positives, dtype=np.int32),
+                             np.array(negatives, dtype=np.int32)]
+
+    def compute_loss(self) -> float:
+        users, positives, negatives = self._sub_samples
+        if len(users) == 0:
+            return 0.0
+        return float(K.bpr_loss(self._P, self._Q, self._Qb,
+                                users, positives, negatives,
+                                use_bias=bool(self.opt.use_bias)))
+
+    def _static_opts(self) -> dict:
+        opt = self.opt
+        return dict(num_items=int(self.data.get_header()["num_items"]),
+                    num_negatives=int(opt.num_negative_samples),
+                    use_bias=bool(opt.use_bias),
+                    update_i=bool(opt.update_i),
+                    update_j=bool(opt.update_j),
+                    verify_neg=bool(opt.verify_neg),
+                    use_cum_table=self._cum_table is not None)
+
+    def train(self, training_callback: Optional[
+            Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
+        assert self.data, "Data is not set"
+        import jax
+        import jax.numpy as jnp
+
+        opt = self.opt
+        optimizer = opt.optimizer
+        header = self.data.get_header()
+
+        batch_size = int(opt.get("batch_size") or 0)
+        if batch_size <= 0:
+            batch_size = min(self.num_nnz, 1 << 19)
+        coo = COOBatcher(self.data, chunk_size=batch_size, shuffle=True,
+                         seed=int(opt.random_seed))
+
+        group = self.data.get_group("rowwise")
+        indptr = jax.device_put(np.asarray(group["indptr"], dtype=np.int64))
+        keys = jax.device_put(np.asarray(group["key"], dtype=np.int32))
+        cum_table = (jax.device_put(self._cum_table)
+                     if self._cum_table is not None
+                     else jnp.zeros((1,), jnp.float32))
+
+        self._P = jax.device_put(self.P)
+        self._Q = jax.device_put(self.Q)
+        self._Qb = jax.device_put(self.Qb)
+        statics = self._static_opts()
+
+        deferred = optimizer != "sgd"
+        if deferred:
+            gradP = jnp.zeros_like(self._P)
+            gradQ = jnp.zeros_like(self._Q)
+            gradQb = jnp.zeros_like(self._Qb)
+            countP = jnp.zeros(self._P.shape[0], jnp.float32)
+            countQ = jnp.zeros(self._Q.shape[0], jnp.float32)
+            mP = jnp.zeros_like(self._P)
+            vP = jnp.zeros_like(self._P)
+            mQ = jnp.zeros_like(self._Q)
+            vQ = jnp.zeros_like(self._Q)
+            mQb = jnp.zeros_like(self._Qb)
+            vQb = jnp.zeros_like(self._Qb)
+
+        self.sampling_loss_samples()
+
+        rng = jax.random.PRNGKey(int(opt.random_seed))
+        total_samples = float(self.num_nnz) * opt.num_iters
+        processed = 0.0
+        best_loss, loss, self.validation_result = float("inf"), None, {}
+        full_st = time.time()
+        for i in range(opt.num_iters):
+            start_t = time.time()
+            for users, positives, _vals in coo:
+                rng, sub = jax.random.split(rng)
+                if deferred:
+                    gradP, gradQ, gradQb, countP, countQ = \
+                        K.bpr_accumulate_step(
+                            self._P, self._Q, self._Qb, gradP, gradQ,
+                            gradQb, countP, countQ, users, positives,
+                            indptr, keys, cum_table, sub,
+                            per_coordinate_normalize=bool(
+                                opt.per_coordinate_normalize),
+                            **statics)
+                else:
+                    # linear lr decay by progress (algo.cc:283-287)
+                    progress = processed / total_samples
+                    lr = max(opt.lr - (opt.lr - opt.min_lr) * progress,
+                             opt.min_lr)
+                    self._P, self._Q, self._Qb = K.bpr_sgd_step(
+                        self._P, self._Q, self._Qb, users, positives,
+                        indptr, keys, cum_table, sub,
+                        jnp.float32(lr),
+                        reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
+                        reg_j=float(opt.reg_j), reg_b=float(opt.reg_b),
+                        **statics)
+                processed += len(users)
+            if deferred:
+                pcn = bool(opt.per_coordinate_normalize)
+                self._P, gradP, mP, vP = K.apply_deferred_update(
+                    self._P, gradP, mP, vP, countP, i, optimizer=optimizer,
+                    lr=float(opt.lr), beta1=float(opt.beta1),
+                    beta2=float(opt.beta2), reg=float(opt.reg_u),
+                    per_coordinate_normalize=pcn)
+                self._Q, gradQ, mQ, vQ = K.apply_deferred_update(
+                    self._Q, gradQ, mQ, vQ, countQ, i, optimizer=optimizer,
+                    lr=float(opt.lr), beta1=float(opt.beta1),
+                    beta2=float(opt.beta2), reg=float(opt.reg_i),
+                    per_coordinate_normalize=pcn)
+                if opt.use_bias:
+                    self._Qb, gradQb, mQb, vQb = K.apply_deferred_update(
+                        self._Qb, gradQb, mQb, vQb, countQ, i,
+                        optimizer=optimizer, lr=float(opt.lr),
+                        beta1=float(opt.beta1), beta2=float(opt.beta2),
+                        reg=float(opt.reg_b),
+                        per_coordinate_normalize=pcn)
+                if pcn:
+                    countP = jnp.zeros_like(countP)
+                    countQ = jnp.zeros_like(countQ)
+            train_t = time.time() - start_t
+
+            loss = self.compute_loss()
+            metrics = {"train_loss": loss}
+            if opt.get("validation") and opt.evaluation_on_learning and \
+                    self.periodical(opt.evaluation_period, i):
+                start_t = time.time()
+                self.P = np.asarray(self._P)
+                self.Q = np.asarray(self._Q)
+                self.Qb = np.asarray(self._Qb)
+                self.validation_result = self.get_validation_results()
+                vali_t = time.time() - start_t
+                val_str = " ".join(f"{k}:{v:0.5f}"
+                                   for k, v in self.validation_result.items())
+                self.logger.info(f"Validation: {val_str} "
+                                 f"Elapsed {vali_t:0.3f} secs")
+                metrics.update({f"val_{k}": v
+                                for k, v in self.validation_result.items()})
+                if training_callback is not None and callable(training_callback):
+                    training_callback(i, metrics)
+            self.logger.info("Iteration %d: Loss %.3f Elapsed %.3f secs"
+                             % (i + 1, loss, train_t))
+            best_loss = self.save_best_only(loss, best_loss, i)
+            if self.early_stopping(loss):
+                break
+        self.P = np.asarray(self._P)
+        self.Q = np.asarray(self._Q)
+        self.Qb = np.asarray(self._Qb)
+        del self._P, self._Q, self._Qb
+        self.logger.info(
+            f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
+        ret = {"train_loss": loss}
+        ret.update({f"val_{k}": v for k, v in self.validation_result.items()})
+        return ret
+
+    # --------------------------------------------------------------- access
+    def _get_feature(self, index, group="item"):
+        if group == "item":
+            return self.Q[index]
+        elif group == "user":
+            return self.P[index]
+        return None
+
+    def _get_data(self):
+        data = super()._get_data()
+        data.extend([("opt", self.opt), ("P", self.P), ("Q", self.Q),
+                     ("Qb", self.Qb)])
+        return data
+
+    def get_evaluation_metrics(self):
+        return ["train_loss", "val_ndcg", "val_map", "val_accuracy",
+                "val_auc"]

@@ -1,0 +1,271 @@
+"""WARP (Weighted Approximate-Rank Pairwise) MF / CML on TPU.
+
+Counterpart of the reference WARP stack (driver
+``buffalo/algo/warp.py``, C++ core ``lib/algo_impl/warp/warp.cc``):
+rank-weighted pairwise updates with adaptive negative search, ``dot``
+or ``l2`` (collaborative metric learning) scores, deferred
+adagrad/adam with optional per-coordinate normalization, per-epoch
+unit-ball projection, and violation-rate training loss.
+
+Reference: Weston et al., WSABIE (IJCAI 2011); Hsieh et al.,
+Collaborative Metric Learning (WWW 2017).
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import buffalo_tpu.data
+from buffalo_tpu.data.base import Data
+from buffalo_tpu.data.batching import COOBatcher
+from buffalo_tpu.evaluate import Evaluable
+from buffalo_tpu.models.base import Algo, Serializable
+from buffalo_tpu.models.options import WARPOption
+from buffalo_tpu.ops import sgd_kernels as K
+from buffalo_tpu.ops import warp_kernels as W
+from buffalo_tpu.utils import log
+
+
+class WARP(Algo, WARPOption, Evaluable, Serializable):
+    """Python driver for TPU WARP."""
+
+    def __init__(self, opt_path=None, *args, **kwargs):
+        Algo.__init__(self, *args, **kwargs)
+        WARPOption.__init__(self, *args, **kwargs)
+        Evaluable.__init__(self, *args, **kwargs)
+        Serializable.__init__(self, *args, **kwargs)
+        if opt_path is None:
+            opt_path = WARPOption().get_default_option()
+        self.logger = log.get_logger("WARP")
+        self.opt, self.opt_path = self.get_option(opt_path)
+
+        self.data = None
+        data = kwargs.get("data")
+        data_opt = self.opt.get("data_opt")
+        data_opt = kwargs.get("data_opt", data_opt)
+        if data_opt:
+            self.data = buffalo_tpu.data.load(data_opt)
+            self.data.create()
+        elif isinstance(data, Data):
+            self.data = data
+        self.logger.info("WARP(%s)" % json.dumps(self.opt.to_dict(), indent=2))
+        if self.data:
+            self.logger.info(self.data.show_info())
+            assert self.data.data_type in ["matrix"]
+
+    @staticmethod
+    def new(path, data_fields=[]):
+        return WARP.instantiate(WARPOption, path, data_fields)
+
+    def set_data(self, data):
+        assert isinstance(data, Data), f"Wrong instance: {type(data)}"
+        self.data = data
+
+    def normalize(self, group="item"):
+        if group == "item" and not self.opt.get("_nrz_Q"):
+            self.Q = self._normalize(self.Q)
+            self.opt._nrz_Q = True
+        elif group == "user" and not self.opt.get("_nrz_P"):
+            self.P = self._normalize(self.P)
+            self.opt._nrz_P = True
+
+    def initialize(self):
+        super().initialize()
+        self.init_factors()
+
+    def init_factors(self):
+        assert self.data, "Data is not set"
+        header = self.data.get_header()
+        d = self.opt.d
+        self.num_nnz = header["num_nnz"]
+        for name, rows in [("P", header["num_users"]),
+                           ("Q", header["num_items"])]:
+            setattr(self, name, np.abs(np.random.normal(
+                scale=1.0 / (d ** 2), size=(rows, d)).astype("float32")))
+
+    # ------------------------------------------------------------- retrieval
+    def _get_topk_recommendation(self, rows, topk, pool=None):
+        """dot: plain MIPS; l2: argmax of -(||p-q||^2) (warp.py:94-107)."""
+        p = self.P[rows]
+        if self.opt.score_func == "l2":
+            Q = self.Q if pool is None else self.Q[pool]
+            # -(p^2 + q^2 - 2 p.q); p^2 constant per row
+            scores = 2.0 * p @ Q.T - (Q * Q).sum(axis=1)[None, :]
+            topks = np.asarray(self.get_topk(
+                scores, k=topk, num_threads=self.opt.num_workers))
+            if pool is not None:
+                topks = np.asarray(pool)[topks]
+        else:
+            topks = super()._get_topk_recommendation(
+                p, self.Q, pb=None, Qb=None, pool=pool, topk=topk,
+                num_workers=self.opt.num_workers)
+        return zip(rows, topks)
+
+    def _get_most_similar_item(self, col, topk, pool):
+        return super()._get_most_similar_item(
+            col, topk, self.Q, self.opt.get("_nrz_Q", False), pool)
+
+    def get_scores(self, row_col_pairs):
+        return {(r, c): float(self.P[r].dot(self.Q[c]))
+                for r, c in row_col_pairs}
+
+    def _get_scores(self, row, col):
+        return (self.P[row] * self.Q[col]).sum(axis=1)
+
+    # -------------------------------------------------------------- training
+    def sampling_loss_samples(self):
+        """sqrt(U) fixed triplets, as BPR (bpr.py:135-161)."""
+        users, positives, negatives = [], [], []
+        if self.opt.compute_loss_on_training:
+            header = self.data.get_header()
+            num_loss_samples = int(header["num_users"] ** 0.5)
+            _users = np.random.choice(range(self.P.shape[0]),
+                                      size=num_loss_samples, replace=False)
+            for u in _users:
+                keys, *_ = self.data.get(u)
+                if len(keys) == 0:
+                    continue
+                seen = set(map(int, keys))
+                negs = [n for n in np.random.choice(
+                    range(self.Q.shape[0]), size=len(seen) + 1,
+                    replace=False) if n not in seen]
+                if not negs:
+                    continue
+                users.append(int(u))
+                positives.append(int(keys[0]))
+                negatives.append(int(negs[0]))
+        self._sub_samples = [np.array(users, dtype=np.int32),
+                             np.array(positives, dtype=np.int32),
+                             np.array(negatives, dtype=np.int32)]
+
+    def compute_loss(self) -> float:
+        users, positives, negatives = self._sub_samples
+        if len(users) == 0:
+            return 0.0
+        return float(W.warp_loss(self._P, self._Q, users, positives,
+                                 negatives,
+                                 score_func=str(self.opt.score_func),
+                                 threshold=float(self.opt.threshold)))
+
+    def train(self, training_callback: Optional[
+            Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
+        assert self.data, "Data is not set"
+        import jax
+        import jax.numpy as jnp
+
+        opt = self.opt
+        header = self.data.get_header()
+        num_items = int(header["num_items"])
+
+        batch_size = int(opt.get("batch_size") or 0)
+        if batch_size <= 0:
+            batch_size = min(self.num_nnz, 1 << 18)
+        coo = COOBatcher(self.data, chunk_size=batch_size, shuffle=True,
+                         seed=int(opt.random_seed))
+
+        group = self.data.get_group("rowwise")
+        indptr = jax.device_put(np.asarray(group["indptr"], dtype=np.int64))
+        keys = jax.device_put(np.asarray(group["key"], dtype=np.int32))
+
+        self._P = jax.device_put(self.P)
+        self._Q = jax.device_put(self.Q)
+        gradP = jnp.zeros_like(self._P)
+        gradQ = jnp.zeros_like(self._Q)
+        countP = jnp.zeros(self._P.shape[0], jnp.float32)
+        countQ = jnp.zeros(self._Q.shape[0], jnp.float32)
+        mP = jnp.zeros_like(self._P)
+        vP = jnp.zeros_like(self._P)
+        mQ = jnp.zeros_like(self._Q)
+        vQ = jnp.zeros_like(self._Q)
+
+        num_candidates = int(min(max(int(opt.max_trials), 2), 64))
+        statics = dict(num_items=num_items, num_candidates=num_candidates,
+                       score_func=str(opt.score_func),
+                       threshold=float(opt.threshold),
+                       reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
+                       reg_j=float(opt.reg_j),
+                       update_i=bool(opt.update_i),
+                       update_j=bool(opt.update_j),
+                       per_coordinate_normalize=bool(
+                           opt.per_coordinate_normalize))
+
+        self.sampling_loss_samples()
+        rng = jax.random.PRNGKey(int(opt.random_seed))
+        pcn = bool(opt.per_coordinate_normalize)
+        best_loss, loss, self.validation_result = float("inf"), None, {}
+        full_st = time.time()
+        for i in range(opt.num_iters):
+            start_t = time.time()
+            for users, positives, _vals in coo:
+                rng, sub = jax.random.split(rng)
+                gradP, gradQ, countP, countQ = W.warp_accumulate_step(
+                    self._P, self._Q, gradP, gradQ, countP, countQ,
+                    users, positives, indptr, keys, sub, **statics)
+            self._P, gradP, mP, vP = K.apply_deferred_update(
+                self._P, gradP, mP, vP, countP, i,
+                optimizer=str(opt.optimizer), lr=float(opt.lr),
+                beta1=float(opt.beta1), beta2=float(opt.beta2),
+                reg=float(opt.reg_u), per_coordinate_normalize=pcn)
+            self._Q, gradQ, mQ, vQ = K.apply_deferred_update(
+                self._Q, gradQ, mQ, vQ, countQ, i,
+                optimizer=str(opt.optimizer), lr=float(opt.lr),
+                beta1=float(opt.beta1), beta2=float(opt.beta2),
+                reg=float(opt.reg_i), per_coordinate_normalize=pcn)
+            # post-step unit-ball projection (warp.cc:192-201)
+            self._P = W.project_unit_ball(self._P)
+            self._Q = W.project_unit_ball(self._Q)
+            if pcn:
+                countP = jnp.zeros_like(countP)
+                countQ = jnp.zeros_like(countQ)
+            train_t = time.time() - start_t
+
+            loss = self.compute_loss()
+            metrics = {"train_loss": loss}
+            if opt.get("validation") and opt.evaluation_on_learning and \
+                    self.periodical(opt.evaluation_period, i):
+                start_t = time.time()
+                self.P = np.asarray(self._P)
+                self.Q = np.asarray(self._Q)
+                self.validation_result = self.get_validation_results()
+                vali_t = time.time() - start_t
+                val_str = " ".join(f"{k}:{v:0.5f}"
+                                   for k, v in self.validation_result.items())
+                self.logger.info(f"Validation: {val_str} "
+                                 f"Elapsed {vali_t:0.3f} secs")
+                metrics.update({f"val_{k}": v
+                                for k, v in self.validation_result.items()})
+                if training_callback is not None and callable(training_callback):
+                    training_callback(i, metrics)
+            self.logger.info("Iteration %d: Loss %.3f Elapsed %.3f secs"
+                             % (i + 1, loss, train_t))
+            best_loss = self.save_best_only(loss, best_loss, i)
+            if self.early_stopping(loss):
+                break
+        self.P = np.asarray(self._P)
+        self.Q = np.asarray(self._Q)
+        del self._P, self._Q
+        self.logger.info(
+            f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
+        ret = {"train_loss": loss}
+        ret.update({f"val_{k}": v for k, v in self.validation_result.items()})
+        return ret
+
+    # --------------------------------------------------------------- access
+    def _get_feature(self, index, group="item"):
+        if group == "item":
+            return self.Q[index]
+        elif group == "user":
+            return self.P[index]
+        return None
+
+    def _get_data(self):
+        data = super()._get_data()
+        data.extend([("opt", self.opt), ("P", self.P), ("Q", self.Q)])
+        return data
+
+    def get_evaluation_metrics(self):
+        return ["train_loss", "val_ndcg", "val_map", "val_accuracy",
+                "val_auc"]

@@ -1,0 +1,99 @@
+"""BPR-MF tests (reference tests/algo/test_bpr.py analog)."""
+import numpy as np
+import pytest
+
+from buffalo_tpu.data import MatrixMarketOptions, load
+from buffalo_tpu.models import BPRMF
+from buffalo_tpu.models.options import BPRMFOption
+
+
+@pytest.fixture(scope="module")
+def ml_data(ml100k_like, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bpr_data")
+    opt = MatrixMarketOptions().get_default_option()
+    opt.input.main = ml100k_like["path"]
+    opt.input.uid = ml100k_like["uid"]
+    opt.input.iid = ml100k_like["iid"]
+    opt.data.path = str(root / "ml.bfo")
+    opt.data.tmp_dir = str(root / "tmp")
+    opt.data.validation = {"name": "sample", "p": 0.1, "max_samples": 300}
+    data = load(opt)
+    data.create()
+    return data
+
+
+def _train(ml_data, **kw):
+    opt = BPRMFOption().get_default_option()
+    opt.d = 16
+    opt.num_iters = kw.pop("num_iters", 30)
+    opt.validation = {"topk": 10}
+    opt.evaluation_period = opt.num_iters
+    for k, v in kw.items():
+        opt[k] = v
+    m = BPRMF(opt, data=ml_data)
+    m.initialize()
+    return m, m.train()
+
+
+def test_default_option():
+    opt = BPRMFOption().get_default_option()
+    assert BPRMFOption().is_valid_option(opt)
+    assert opt.optimizer == "sgd"
+    assert opt.use_bias
+
+
+def test_factor_shapes(ml_data):
+    m = BPRMF(BPRMFOption().get_default_option(), data=ml_data)
+    m.initialize()
+    header = ml_data.get_header()
+    assert m.P.shape == (header["num_users"], 20)
+    assert m.Q.shape == (header["num_items"], 20)
+    assert m.Qb.shape == (header["num_items"],)
+
+
+def test_accuracy_floor_adagrad(ml_data):
+    _, r = _train(ml_data, optimizer="adagrad", lr=0.05, num_iters=40)
+    assert r["val_ndcg"] > 0.06
+    assert r["val_map"] > 0.04
+
+
+def test_adam_trains(ml_data):
+    _, r = _train(ml_data, optimizer="adam", lr=0.02, num_iters=20)
+    assert r["train_loss"] < np.log(2.0)  # better than random pairs
+
+
+def test_sgd_loss_decreases(ml_data):
+    # small megabatches approximate the reference's per-sample updates
+    m, r = _train(ml_data, optimizer="sgd", lr=0.1, num_iters=30,
+                  batch_size=256)
+    assert r["train_loss"] < np.log(2.0)
+
+
+def test_sampling_power_table(ml_data):
+    m = BPRMF({**BPRMFOption().get_default_option(),
+               "sampling_power": 1.0}, data=ml_data)
+    m.initialize()
+    assert m._cum_table is not None
+    counts = np.diff(np.asarray(ml_data.get_group("colwise")["indptr"]))
+    np.testing.assert_allclose(m._cum_table, np.cumsum(counts), rtol=1e-5)
+
+
+def test_no_bias(ml_data):
+    m, r = _train(ml_data, use_bias=False, optimizer="adagrad",
+                  num_iters=5)
+    assert np.all(m.Qb == 0)
+
+
+def test_serialization(ml_data, tmp_path):
+    m, _ = _train(ml_data, optimizer="adagrad", num_iters=3)
+    path = str(tmp_path / "bpr.model")
+    m.save(path)
+    loaded = BPRMF.new(path)
+    np.testing.assert_array_equal(loaded.P, m.P)
+    np.testing.assert_array_equal(loaded.Qb, m.Qb)
+
+
+def test_topk_includes_bias(ml_data):
+    m, _ = _train(ml_data, optimizer="adagrad", num_iters=5)
+    recs = m.topk_recommendation("u0", topk=5)
+    assert len(recs) == 5

@@ -1,0 +1,95 @@
+"""WARP tests (reference tests/algo/test_warp.py analog)."""
+import numpy as np
+import pytest
+
+from buffalo_tpu.data import MatrixMarketOptions, load
+from buffalo_tpu.models import WARP
+from buffalo_tpu.models.options import WARPOption
+
+
+@pytest.fixture(scope="module")
+def ml_data(ml100k_like, tmp_path_factory):
+    root = tmp_path_factory.mktemp("warp_data")
+    opt = MatrixMarketOptions().get_default_option()
+    opt.input.main = ml100k_like["path"]
+    opt.input.uid = ml100k_like["uid"]
+    opt.input.iid = ml100k_like["iid"]
+    opt.data.path = str(root / "ml.bfo")
+    opt.data.tmp_dir = str(root / "tmp")
+    opt.data.validation = {"name": "sample", "p": 0.1, "max_samples": 300}
+    data = load(opt)
+    data.create()
+    return data
+
+
+def _train(ml_data, **kw):
+    opt = WARPOption().get_default_option()
+    opt.d = 16
+    opt.num_iters = kw.pop("num_iters", 25)
+    opt.validation = {"topk": 10}
+    opt.evaluation_period = opt.num_iters
+    for k, v in kw.items():
+        opt[k] = v
+    m = WARP(opt, data=ml_data)
+    m.initialize()
+    return m, m.train()
+
+
+def test_default_option():
+    opt = WARPOption().get_default_option()
+    assert WARPOption().is_valid_option(opt)
+    assert opt.score_func == "dot"
+    assert opt.max_trials == 500
+
+
+def test_accuracy_floor_dot(ml_data):
+    _, r = _train(ml_data, num_iters=30)
+    assert r["val_ndcg"] > 0.06
+    assert r["val_map"] > 0.04
+
+
+def test_l2_cml_variant(ml_data):
+    m, r = _train(ml_data, score_func="l2", num_iters=25)
+    assert r["val_ndcg"] > 0.06
+    # CML factors live in the unit ball
+    assert np.max(np.linalg.norm(m.P, axis=1)) <= 1.0 + 1e-4
+    assert np.max(np.linalg.norm(m.Q, axis=1)) <= 1.0 + 1e-4
+
+
+def test_violation_loss_decreases(ml_data):
+    losses = []
+    opt = WARPOption().get_default_option()
+    opt.d = 16
+    opt.num_iters = 20
+    opt.validation = {}
+    m = WARP(opt, data=ml_data)
+    m.initialize()
+    m.train(training_callback=None)
+    # loss is the violation rate: must be below the random-start level
+    users, positives, negatives = m._sub_samples
+    from buffalo_tpu.ops.warp_kernels import warp_loss
+    final = float(warp_loss(m.P, m.Q, users, positives, negatives,
+                            score_func="dot", threshold=1.0))
+    assert final < 1.0
+
+
+def test_unit_ball_after_train(ml_data):
+    m, _ = _train(ml_data, num_iters=5)
+    assert np.max(np.linalg.norm(m.P, axis=1)) <= 1.0 + 1e-4
+
+
+def test_serialization(ml_data, tmp_path):
+    m, _ = _train(ml_data, num_iters=3)
+    path = str(tmp_path / "warp.model")
+    m.save(path)
+    loaded = WARP.new(path)
+    np.testing.assert_array_equal(loaded.Q, m.Q)
+
+
+def test_l2_topk_path(ml_data):
+    m, _ = _train(ml_data, score_func="l2", num_iters=5)
+    recs = m.topk_recommendation("u1", topk=5)
+    assert len(recs) == 5
+    pool = ["i1", "i2", "i3", "i4", "i5", "i6"]
+    recs2 = m.topk_recommendation("u1", topk=3, pool=pool)
+    assert all(r in pool for r in recs2)
