@@ -1,0 +1,276 @@
+"""CoFactor (CFR) on TPU.
+
+Counterpart of the reference CFR stack (driver ``buffalo/algo/cfr.py``,
+C++ core ``lib/algo_impl/cfr/cfr.cc``): joint factorization of the
+user-item implicit matrix and the item-context SPPMI matrix with
+shared item embeddings and item/context biases; three-phase epochs
+(user / item / context) with the loss scaled by
+``l * (alpha * vsum + U * I) + sppmi_nnz`` (cfr.py:181-187).
+
+The item phase needs the colwise and SPPMI groups for the same item
+rows; the reference synchronizes chunk ranges
+(``fetch_batch_range``, cfr.py:128-160) — here the colwise padded
+batches drive, and each batch's SPPMI slice is padded alongside
+(``data.batching.pad_rows``).
+
+Reference: Liang et al., Factorization Meets the Item Embedding
+(RecSys 2016).
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import buffalo_tpu.data
+from buffalo_tpu.data.base import Data
+from buffalo_tpu.data.batching import BatchPlanner, pad_rows
+from buffalo_tpu.evaluate import Evaluable
+from buffalo_tpu.models.base import Algo, Serializable
+from buffalo_tpu.models.options import CFROption
+from buffalo_tpu.ops import cfr_kernels as K
+from buffalo_tpu.utils import log
+
+
+class CFR(Algo, CFROption, Evaluable, Serializable):
+    """Python driver for TPU CoFactor."""
+
+    def __init__(self, opt_path=None, *args, **kwargs):
+        Algo.__init__(self, *args, **kwargs)
+        CFROption.__init__(self, *args, **kwargs)
+        Evaluable.__init__(self, *args, **kwargs)
+        Serializable.__init__(self, *args, **kwargs)
+        if opt_path is None:
+            opt_path = CFROption().get_default_option()
+        self.logger = log.get_logger("CFR")
+        self.opt, self.opt_path = self.get_option(opt_path)
+
+        self.data = None
+        data = kwargs.get("data")
+        data_opt = self.opt.get("data_opt")
+        data_opt = kwargs.get("data_opt", data_opt)
+        if data_opt:
+            self.data = buffalo_tpu.data.load(data_opt)
+            self.data.create()
+        elif isinstance(data, Data):
+            self.data = data
+        self.is_initialized = False
+        self.logger.info("CFR(%s)" % json.dumps(self.opt.to_dict(), indent=2))
+        if self.data:
+            self.logger.info(self.data.show_info())
+            assert self.data.data_type in ["stream"]
+            assert self.data.has_group("sppmi"), \
+                "CFR requires SPPMI data (set data.sppmi options)"
+            assert self.data.has_group("colwise"), \
+                "CFR requires matrix internal data type"
+
+    @staticmethod
+    def new(path, data_fields=[]):
+        return CFR.instantiate(CFROption, path, data_fields)
+
+    def set_data(self, data):
+        assert isinstance(data, Data), f"Wrong instance: {type(data)}"
+        self.data = data
+
+    def normalize(self, group="item"):
+        assert group in ["user", "item", "context"], \
+            f"group ({group}) is not properly provided"
+        if group == "user" and not self.opt.get("_nrz_U"):
+            self.U = self._normalize(self.U)
+            self.opt._nrz_U = True
+        elif group == "item" and not self.opt.get("_nrz_I"):
+            self.I = self._normalize(self.I)
+            self.opt._nrz_I = True
+        elif group == "context" and not self.opt.get("_nrz_C"):
+            self.C = self._normalize(self.C)
+            self.opt._nrz_C = True
+
+    def initialize(self):
+        super().initialize()
+        assert self.data, "Data is not set"
+        header = self.data.get_header()
+        num_users, num_items, d = (header["num_users"],
+                                   header["num_items"], self.opt.d)
+        for attr, shape in [("U", (num_users, d)), ("I", (num_items, d)),
+                            ("C", (num_items, d))]:
+            setattr(self, attr, np.random.normal(
+                scale=1.0 / (d ** 2), size=shape).astype(np.float32))
+        self.Ib = np.zeros(num_items, dtype=np.float32)
+        self.Cb = np.zeros(num_items, dtype=np.float32)
+        self.P = self.U
+        self.Q = self.I
+        self.is_initialized = True
+
+    # ------------------------------------------------------------- retrieval
+    def _get_topk_recommendation(self, rows, topk, pool=None):
+        u = self.U[rows]
+        topks = super()._get_topk_recommendation(
+            u, self.I, pb=None, Qb=None, pool=pool, topk=topk,
+            num_workers=self.opt.num_workers)
+        return zip(rows, topks)
+
+    def _get_most_similar_item(self, col, topk, pool):
+        return super()._get_most_similar_item(
+            col, topk, self.I, self.opt.get("_nrz_I", False), pool)
+
+    def get_scores(self, row_col_pairs):
+        return {(r, c): float(self.U[r].dot(self.I[c]))
+                for r, c in row_col_pairs}
+
+    def _get_scores(self, row, col):
+        return (self.U[row] * self.I[col]).sum(axis=1)
+
+    # -------------------------------------------------------------- training
+    def compute_scale(self) -> float:
+        ret = self.data.get_scale_info(with_sppmi=True)
+        alpha, l = self.opt.alpha, self.opt.l
+        return float(l * (alpha * ret["vsum"]
+                          + ret["num_users"] * ret["num_items"])
+                     + ret["sppmi_nnz"])
+
+    def _build_batches(self):
+        """Padded batches: rowwise for users, colwise+sppmi (row-
+        synchronized) for items, sppmi for contexts."""
+        batch_mb = int(self.data.opt.data.get("batch_mb", 1024))
+        out = {}
+        rw = self.data.get_group("rowwise")
+        planner = BatchPlanner(np.asarray(rw["indptr"]), batch_mb=batch_mb)
+        out["user"] = list(planner.iter_batches(rw["key"], rw.get("val")))
+
+        cw = self.data.get_group("colwise")
+        sp = self.data.get_group("sppmi")
+        sp_indptr = np.asarray(sp["indptr"])
+        planner = BatchPlanner(np.asarray(cw["indptr"]), batch_mb=batch_mb)
+        item_batches = []
+        for b in planner.iter_batches(cw["key"], cw.get("val")):
+            lens_c, cols_c, vals_c = pad_rows(
+                sp_indptr, sp["key"], sp["val"], b.rows)
+            item_batches.append((b, lens_c, cols_c, vals_c))
+        out["item"] = item_batches
+        # items with sppmi entries but NO colwise entries still need an
+        # item update; the reference loops all rows per range so covers
+        # them — collect the leftovers into extra batches
+        cw_deg = np.diff(np.asarray(cw["indptr"]))
+        sp_deg = np.diff(sp_indptr)
+        leftover = np.nonzero((cw_deg == 0) & (sp_deg > 0))[0]
+        if len(leftover):
+            for beg in range(0, len(leftover), 1024):
+                rows = leftover[beg:beg + 1024]
+                B = max(8, 1 << int(np.ceil(np.log2(len(rows)))))
+                rpad = np.full(B, len(cw_deg), dtype=np.int32)
+                rpad[:len(rows)] = rows
+                lens_c, cols_c, vals_c = pad_rows(
+                    sp_indptr, sp["key"], sp["val"], rpad)
+                from buffalo_tpu.data.batching import PaddedBatch
+                empty = PaddedBatch(
+                    rows=rpad, lens=np.zeros(B, np.int32),
+                    cols=np.zeros((B, 8), np.int32),
+                    vals=np.zeros((B, 8), np.float32))
+                item_batches.append((empty, lens_c, cols_c, vals_c))
+
+        planner = BatchPlanner(sp_indptr, batch_mb=batch_mb)
+        out["context"] = list(planner.iter_batches(sp["key"], sp["val"]))
+        return out
+
+    def train(self, training_callback: Optional[
+            Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
+        assert self.is_initialized, "embedding matrix is not initialized"
+        import jax
+        import jax.numpy as jnp
+
+        opt = self.opt
+        batches = self._build_batches()
+        U = jax.device_put(self.U)
+        I = jax.device_put(self.I)
+        C = jax.device_put(self.C)
+        Ib = jax.device_put(self.Ib)
+        Cb = jax.device_put(self.Cb)
+
+        com = dict(optimizer=str(opt.optimizer),
+                   cg_iters=int(opt.num_cg_max_iters),
+                   cg_tol=float(opt.cg_tolerance),
+                   compute_loss=bool(opt.compute_loss_on_training))
+        scale = self.compute_scale()
+        best_loss, loss, self.validation_result = float("inf"), None, {}
+        full_st = time.time()
+        for i in range(opt.num_iters):
+            start_t = time.time()
+            losses = []
+            # user phase
+            FF = jnp.dot(I.T, I, preferred_element_type=jnp.float32)
+            for b in batches["user"]:
+                U, l_ = K.cfr_user_step(
+                    U, I, FF, b.rows, b.lens, b.cols, b.vals,
+                    alpha=float(opt.alpha), l=float(opt.l),
+                    reg_u=float(opt.reg_u), **com)
+                losses.append(l_)
+            # item phase
+            FF = jnp.dot(U.T, U, preferred_element_type=jnp.float32)
+            for b, lens_c, cols_c, vals_c in batches["item"]:
+                I, Ib, l_ = K.cfr_item_step(
+                    I, U, C, Ib, Cb, FF, b.rows, b.lens, b.cols, b.vals,
+                    lens_c, cols_c, vals_c,
+                    alpha=float(opt.alpha), l=float(opt.l),
+                    reg_i=float(opt.reg_i), **com)
+                losses.append(l_)
+            # context phase
+            for b in batches["context"]:
+                C, Cb, l_ = K.cfr_context_step(
+                    C, I, Ib, Cb, b.rows, b.lens, b.cols, b.vals,
+                    reg_c=float(opt.reg_c), **com)
+                losses.append(l_)
+            loss = float(np.sum([np.asarray(x) for x in losses])) / scale
+            train_t = time.time() - start_t
+            metrics = {"train_loss": loss}
+            if opt.get("validation") and opt.evaluation_on_learning and \
+                    self.periodical(opt.evaluation_period, i):
+                start_t = time.time()
+                self.U, self.I, self.C = (np.asarray(U), np.asarray(I),
+                                          np.asarray(C))
+                self.Ib, self.Cb = np.asarray(Ib), np.asarray(Cb)
+                self.validation_result = self.get_validation_results()
+                vali_t = time.time() - start_t
+                val_str = " ".join(f"{k}:{v:0.5f}"
+                                   for k, v in self.validation_result.items())
+                self.logger.info(f"Validation: {val_str} "
+                                 f"Elapsed {vali_t:0.3f} secs")
+                metrics.update({f"vali_{k}": v
+                                for k, v in self.validation_result.items()})
+                if training_callback is not None and callable(training_callback):
+                    training_callback(i, metrics)
+            self.logger.info("Iteration %d: Loss %.3f Elapsed %.3f secs"
+                             % (i + 1, loss, train_t))
+            best_loss = self.save_best_only(loss, best_loss, i)
+            if self.early_stopping(loss):
+                break
+        self.U, self.I, self.C = np.asarray(U), np.asarray(I), np.asarray(C)
+        self.Ib, self.Cb = np.asarray(Ib), np.asarray(Cb)
+        self.P = self.U
+        self.Q = self.I
+        self.logger.info(
+            f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
+        ret = {"train_loss": loss}
+        ret.update({f"vali_{k}": v for k, v in self.validation_result.items()})
+        return ret
+
+    # --------------------------------------------------------------- access
+    def _get_feature(self, index, group="item"):
+        if group == "item":
+            return self.I[index]
+        elif group == "user":
+            return self.U[index]
+        elif group == "context":
+            return self.C[index]
+        return None
+
+    def _get_data(self):
+        data = super()._get_data()
+        data.extend([("opt", self.opt), ("I", self.I), ("U", self.U),
+                     ("C", self.C), ("Ib", self.Ib), ("Cb", self.Cb)])
+        return data
+
+    def get_evaluation_metrics(self):
+        return ["train_loss", "vali_rmse", "vali_ndcg", "vali_map",
+                "vali_accuracy", "vali_error"]

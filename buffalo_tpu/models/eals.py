@@ -1,0 +1,228 @@
+"""Element-wise ALS (eALS) on TPU.
+
+Counterpart of the reference eALS stack (driver
+``buffalo/algo/eals.py``, C++ core ``lib/algo_impl/eals/eals.cc``):
+coordinate-descent implicit MF with popularity-weighted whole-data
+negative feedback ``C_i = c0 * pop_i^exponent / sum(pop^exponent)``
+(eals.py:104-110), residual caches in both orientations, RMSE +
+total-loss reporting.  Like the reference, the full CSR lives in
+memory (here: HBM) rather than being chunk-streamed.
+
+Reference: He et al., Fast Matrix Factorization for Online
+Recommendation with Implicit Feedback (SIGIR 2016).
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import buffalo_tpu.data
+from buffalo_tpu.data.base import Data
+from buffalo_tpu.evaluate import Evaluable
+from buffalo_tpu.models.base import Algo, Serializable
+from buffalo_tpu.models.options import EALSOption
+from buffalo_tpu.ops import eals_kernels as K
+from buffalo_tpu.utils import log
+
+
+class EALS(Algo, EALSOption, Evaluable, Serializable):
+    """Python driver for TPU eALS."""
+
+    def __init__(self, opt_path=None, *args, **kwargs):
+        Algo.__init__(self, *args, **kwargs)
+        EALSOption.__init__(self, *args, **kwargs)
+        Evaluable.__init__(self, *args, **kwargs)
+        Serializable.__init__(self, *args, **kwargs)
+        if opt_path is None:
+            opt_path = EALSOption().get_default_option()
+        self.logger = log.get_logger("EALS")
+        self.opt, self.opt_path = self.get_option(opt_path)
+
+        self.data = None
+        data = kwargs.get("data")
+        data_opt = self.opt.get("data_opt")
+        data_opt = kwargs.get("data_opt", data_opt)
+        if data_opt:
+            self.data = buffalo_tpu.data.load(data_opt)
+            self.data.create()
+        elif isinstance(data, Data):
+            self.data = data
+        self.logger.info("EALS(%s)" % json.dumps(self.opt.to_dict(), indent=2))
+        if self.data:
+            self.logger.info(self.data.show_info())
+            assert self.data.data_type in ["matrix"]
+
+    @staticmethod
+    def new(path, data_fields=[]):
+        return EALS.instantiate(EALSOption, path, data_fields)
+
+    def set_data(self, data):
+        assert isinstance(data, Data), f"Wrong instance: {type(data)}"
+        self.data = data
+
+    def normalize(self, group="item"):
+        if group == "item" and not self.opt.get("_nrz_Q"):
+            self.Q = self._normalize(self.Q)
+            self.opt._nrz_Q = True
+        elif group == "user" and not self.opt.get("_nrz_P"):
+            self.P = self._normalize(self.P)
+            self.opt._nrz_P = True
+
+    def initialize(self):
+        super().initialize()
+        self.init_factors()
+
+    def init_factors(self):
+        assert self.data, "Data is not set"
+        header = self.data.get_header()
+        d = self.opt.d
+        for name, rows in [("P", header["num_users"]),
+                           ("Q", header["num_items"])]:
+            setattr(self, name, np.abs(np.random.normal(
+                scale=1.0 / (d ** 2), size=(rows, d)).astype("float32")))
+
+    def _get_negative_weights(self) -> np.ndarray:
+        """C_i = c0 * (pop_i/max_pop)^exponent / sum (eals.py:104-110)."""
+        indptr = np.asarray(self.data.get_group("colwise")["indptr"])
+        pop = np.diff(indptr).astype(np.float32)
+        pop /= max(pop.max(), 1.0)
+        pe = pop ** float(self.opt.get("exponent", 0.0))
+        return (float(self.opt.get("c0", 1.0)) * pe / pe.sum()
+                ).astype(np.float32)
+
+    # ------------------------------------------------------------- retrieval
+    def _get_topk_recommendation(self, rows, topk, pool=None):
+        p = self.P[rows]
+        topks = super()._get_topk_recommendation(
+            p, self.Q, pb=None, Qb=None, pool=pool, topk=topk,
+            num_workers=self.opt.num_workers)
+        return zip(rows, topks)
+
+    def _get_most_similar_item(self, col, topk, pool):
+        return super()._get_most_similar_item(
+            col, topk, self.Q, self.opt.get("_nrz_Q", False), pool)
+
+    def get_scores(self, row_col_pairs):
+        return {(r, c): float(self.P[r].dot(self.Q[c]))
+                for r, c in row_col_pairs}
+
+    def _get_scores(self, row, col):
+        return (self.P[row] * self.Q[col]).sum(axis=1)
+
+    # -------------------------------------------------------------- training
+    def train(self, training_callback: Optional[
+            Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
+        assert self.data, "Data is not set"
+        import jax
+        import jax.numpy as jnp
+
+        opt = self.opt
+        header = self.data.get_header()
+        num_users = int(header["num_users"])
+        num_items = int(header["num_items"])
+
+        rw = self.data.get_group("rowwise")
+        cw = self.data.get_group("colwise")
+        rw_indptr = np.asarray(rw["indptr"])
+        cw_indptr = np.asarray(cw["indptr"])
+        u_rows = np.repeat(np.arange(num_users, dtype=np.int32),
+                           np.diff(rw_indptr))
+        u_keys = np.asarray(rw["key"], dtype=np.int32)
+        u_vals = np.asarray(rw["val"], dtype=np.float32)
+        i_rows = np.repeat(np.arange(num_items, dtype=np.int32),
+                           np.diff(cw_indptr))
+        i_keys = np.asarray(cw["key"], dtype=np.int32)
+        i_vals = np.asarray(cw["val"], dtype=np.float32)
+        # rowwise position -> colwise position permutation (the
+        # cross-index maps ind_u2i_/ind_i2u_ of eals.cc:83-100)
+        u2i = np.lexsort((u_rows, u_keys))  # order of rowwise idx in colwise
+        i2u = np.empty_like(u2i)
+        i2u[u2i] = np.arange(len(u2i))
+
+        C = jax.device_put(self._get_negative_weights())
+        P = jax.device_put(self.P)
+        Q = jax.device_put(self.Q)
+        du = (jax.device_put(u_rows), jax.device_put(u_keys),
+              jax.device_put(u_vals))
+        di = (jax.device_put(i_rows), jax.device_put(i_keys),
+              jax.device_put(i_vals))
+        u2i_d = jax.device_put(u2i)
+        ones_u = jnp.ones(num_users, jnp.float32)
+
+        vhat_u = K.compute_vhat(P, Q, du[0], du[1])
+
+        best_loss, loss, self.validation_result = float("inf"), None, {}
+        full_st = time.time()
+        for i in range(opt.num_iters):
+            start_t = time.time()
+            # user side: Sq = (C^0.5 Q)^T (C^0.5 Q)
+            CQ = Q * jnp.sqrt(C)[:, None]
+            Sq = jnp.dot(CQ.T, CQ, preferred_element_type=jnp.float32)
+            P, vhat_u = K.eals_half_epoch(
+                P, Q, vhat_u, du[0], du[1], du[2],
+                jnp.take(C, du[1]), ones_u, Sq,
+                num_rows=num_users, alpha=float(opt.alpha),
+                reg=float(opt.reg_u))
+            # item side: permute residuals to colwise order
+            vhat_i = jnp.take(vhat_u, u2i_d)
+            Sp = jnp.dot(P.T, P, preferred_element_type=jnp.float32)
+            Q, vhat_i = K.eals_half_epoch(
+                Q, P, vhat_i, di[0], di[1], di[2],
+                jnp.take(C, di[0]), C, Sp,
+                num_rows=num_items, alpha=float(opt.alpha),
+                reg=float(opt.reg_i))
+            vhat_u = jnp.zeros_like(vhat_u).at[u2i_d].set(vhat_i)
+
+            rmse, total_loss = K.eals_loss(
+                P, Q, vhat_u, du[0], du[1], du[2], C,
+                float(opt.reg_u), float(opt.reg_i),
+                alpha=float(opt.alpha))
+            loss = float(rmse)
+            train_t = time.time() - start_t
+            metrics = {"train_loss": loss}
+            if opt.get("validation") and opt.evaluation_on_learning and \
+                    self.periodical(opt.evaluation_period, i):
+                start_t = time.time()
+                self.P, self.Q = np.asarray(P), np.asarray(Q)
+                self.validation_result = self.get_validation_results()
+                vali_t = time.time() - start_t
+                val_str = " ".join(f"{k}:{v:0.5f}"
+                                   for k, v in self.validation_result.items())
+                self.logger.info(f"Validation: {val_str} "
+                                 f"Elapsed {vali_t:0.3f} secs")
+                metrics.update({f"val_{k}": v
+                                for k, v in self.validation_result.items()})
+                if training_callback is not None and callable(training_callback):
+                    training_callback(i, metrics)
+            self.logger.info(
+                "Iteration %d: RMSE %.3f TotalLoss %.3f Elapsed %.3f secs"
+                % (i + 1, loss, float(total_loss) / len(u_vals), train_t))
+            best_loss = self.save_best_only(loss, best_loss, i)
+            if self.early_stopping(loss):
+                break
+        self.P, self.Q = np.asarray(P), np.asarray(Q)
+        self.logger.info(
+            f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
+        ret = {"train_loss": loss}
+        ret.update({f"val_{k}": v for k, v in self.validation_result.items()})
+        return ret
+
+    # --------------------------------------------------------------- access
+    def _get_feature(self, index, group="item"):
+        if group == "item":
+            return self.Q[index]
+        elif group == "user":
+            return self.P[index]
+        return None
+
+    def _get_data(self):
+        data = super()._get_data()
+        data.extend([("opt", self.opt), ("Q", self.Q), ("P", self.P)])
+        return data
+
+    def get_evaluation_metrics(self):
+        return ["train_loss", "val_rmse", "val_ndcg", "val_map",
+                "val_accuracy", "val_error"]

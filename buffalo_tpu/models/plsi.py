@@ -1,0 +1,226 @@
+"""Probabilistic Latent Semantic Indexing (EM) on TPU.
+
+Counterpart of the reference pLSI stack (driver
+``buffalo/algo/plsi.py``, C++ core ``lib/algo_impl/plsi/plsi.cc``):
+EM over user-item co-occurrence with double-buffered tables, smoothing
+parameters alpha1/alpha2, warm-start ``inherit`` from a previous model
+by string-id matching (plsi.py:62-89), and loss
+``-sum v log P(i|u) / sum v``.
+
+Reference: Hofmann, Probabilistic Latent Semantic Indexing (SIGIR 99).
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import buffalo_tpu.data
+from buffalo_tpu.data.base import Data
+from buffalo_tpu.data.batching import DeviceBatcher
+from buffalo_tpu.evaluate import Evaluable
+from buffalo_tpu.models.base import Algo, Serializable
+from buffalo_tpu.models.options import PLSIOption
+from buffalo_tpu.ops.plsi_kernels import plsi_accumulate, plsi_normalize_swap
+from buffalo_tpu.utils import log
+
+
+class PLSI(Algo, PLSIOption, Evaluable, Serializable):
+    """Python driver for TPU pLSI."""
+
+    def __init__(self, opt_path=None, *args, **kwargs):
+        Algo.__init__(self, *args, **kwargs)
+        PLSIOption.__init__(self, *args, **kwargs)
+        Evaluable.__init__(self, *args, **kwargs)
+        Serializable.__init__(self, *args, **kwargs)
+        if opt_path is None:
+            opt_path = PLSIOption().get_default_option()
+        self.logger = log.get_logger("PLSI")
+        self.opt, self.opt_path = self.get_option(opt_path)
+
+        self.data = None
+        data = kwargs.get("data")
+        data_opt = self.opt.get("data_opt")
+        data_opt = kwargs.get("data_opt", data_opt)
+        if data_opt:
+            self.data = buffalo_tpu.data.load(data_opt)
+            self.data.create()
+        elif isinstance(data, Data):
+            self.data = data
+        self.logger.info("PLSI(%s)" % json.dumps(self.opt.to_dict(), indent=2))
+        if self.data:
+            self.logger.info(self.data.show_info())
+            assert self.data.data_type in ["matrix", "stream"]
+
+    @staticmethod
+    def new(path, data_fields=[]):
+        return PLSI.instantiate(PLSIOption, path, data_fields)
+
+    def set_data(self, data):
+        assert isinstance(data, Data), f"Wrong instance: {type(data)}"
+        self.data = data
+
+    def normalize(self, group="item"):
+        if group == "item":
+            self.Q /= (np.sum(self.Q, axis=0, keepdims=True) + self.opt.eps)
+        elif group == "user":
+            self.P /= (np.sum(self.P, axis=1, keepdims=True) + self.opt.eps)
+
+    def initialize(self):
+        super().initialize()
+        self.init_factors()
+        self.inherit()
+
+    def init_factors(self):
+        """|N(0, 1/d)| init with stochastic-matrix normalization
+        (plsi.cc:44-70): P rows sum to 1, Q columns sum to 1."""
+        assert self.data, "Did not set data"
+        header = self.data.get_header()
+        self.num_users = header["num_users"]
+        self.num_items = header["num_items"]
+        self.num_nnz = header["num_nnz"]
+        d = self.opt.d
+        P = np.abs(np.random.normal(scale=1.0 / d,
+                                    size=(self.num_users, d))
+                   ).astype("float32")
+        self.P = P / P.sum(axis=1, keepdims=True)
+        Q = np.abs(np.random.normal(scale=1.0 / d,
+                                    size=(self.num_items, d))
+                   ).astype("float32")
+        self.Q = Q / Q.sum(axis=0, keepdims=True)
+
+    def inherit(self):
+        """Warm-start from a previous model by string-id matching
+        (plsi.py:62-89) — id-stable resume across retrains."""
+        if not self.opt.get("inherit_opt"):
+            return
+        inherit_opt = self.opt.inherit_opt
+        prev_model = PLSI.new(inherit_opt.model_path)
+
+        def _inherit(which):
+            if which == "user":
+                self.build_userid_map()
+                curr_idmap = self._idmanager.userid_map
+                prev_idmap = prev_model._idmanager.userid_map
+                curr_obj, prev_obj = self.P, prev_model.P
+            else:
+                self.build_itemid_map()
+                curr_idmap = self._idmanager.itemid_map
+                prev_idmap = prev_model._idmanager.itemid_map
+                curr_obj, prev_obj = self.Q, prev_model.Q
+            assert curr_obj.shape[1] == prev_obj.shape[1], (
+                f"Dimension mismatch. Current dimension: "
+                f"{curr_obj.shape[1]} / Previous dimension: "
+                f"{prev_obj.shape[1]}")
+            for key, curr_idx in curr_idmap.items():
+                if key in prev_idmap:
+                    curr_obj[curr_idx] = prev_obj[prev_idmap[key]]
+
+        if inherit_opt.get("inherit_user", False):
+            self.logger.info("Inherit from previous user matrix")
+            _inherit("user")
+        if inherit_opt.get("inherit_item", False):
+            self.logger.info("Inherit from previous item matrix")
+            _inherit("item")
+
+    # ------------------------------------------------------------- retrieval
+    def _get_topk_recommendation(self, rows, topk, pool=None):
+        p = self.P[rows]
+        topks = super()._get_topk_recommendation(
+            p, self.Q, pb=None, Qb=None, pool=pool, topk=topk,
+            num_workers=self.opt.num_workers)
+        return zip(rows, topks)
+
+    def _get_most_similar_item(self, col, topk, pool):
+        return super()._get_most_similar_item(col, topk, self.Q, True, pool)
+
+    def get_scores(self, row_col_pairs):
+        return {(r, c): float(self.P[r].dot(self.Q[c]))
+                for r, c in row_col_pairs}
+
+    def _get_scores(self, row, col):
+        return (self.P[row] * self.Q[col]).sum(axis=1)
+
+    # -------------------------------------------------------------- training
+    def train(self, training_callback: Optional[
+            Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
+        assert self.data, "Data is not set"
+        import jax
+        import jax.numpy as jnp
+
+        opt = self.opt
+        batcher = DeviceBatcher(
+            self.data, "rowwise",
+            batch_mb=int(self.data.opt.data.get("batch_mb", 1024)),
+            resident_mb=int(opt.get("resident_mb", 4096)))
+
+        P = jax.device_put(self.P)
+        Q = jax.device_put(self.Q)
+        group = self.data.get_group("rowwise")
+        loss_deno = float(np.sum(group["val"], dtype=np.float64))
+
+        self.logger.info(
+            f"Train pLSI, K: {opt.d}, alpha1: {opt.alpha1}, "
+            f"alpha2: {opt.alpha2}")
+        best_loss, loss, self.validation_result = 1e10, None, {}
+        full_st = time.time()
+        for i in range(opt.num_iters):
+            start_t = time.time()
+            Pn = jnp.zeros_like(P)
+            Qn = jnp.zeros_like(Q)
+            losses = []
+            for rows, lens, cols, vals in batcher:
+                Pn, Qn, batch_loss = plsi_accumulate(
+                    Pn, Qn, P, Q, rows, lens, cols, vals)
+                losses.append(batch_loss)
+            P, Q = plsi_normalize_swap(Pn, Qn,
+                                       alpha1=float(opt.alpha1),
+                                       alpha2=float(opt.alpha2))
+            loss_nume = float(np.sum([np.asarray(x) for x in losses]))
+            train_t = time.time() - start_t
+            loss = loss_nume / (loss_deno + opt.eps)
+            metrics = {"train_loss": loss}
+            if opt.get("validation") and opt.evaluation_on_learning and \
+                    self.periodical(opt.evaluation_period, i):
+                start_t = time.time()
+                self.P, self.Q = np.asarray(P), np.asarray(Q)
+                self.validation_result = self.get_validation_results()
+                vali_t = time.time() - start_t
+                val_str = " ".join(f"{k}:{v:0.5f}"
+                                   for k, v in self.validation_result.items())
+                self.logger.info(f"Validation: {val_str} "
+                                 f"Elapsed {vali_t:0.3f} secs")
+                metrics.update({f"val_{k}": v
+                                for k, v in self.validation_result.items()})
+                if training_callback is not None and callable(training_callback):
+                    training_callback(i, metrics)
+            self.logger.info("Iteration %d: Loss %.3f Elapsed %.3f secs"
+                             % (i + 1, loss, train_t))
+            best_loss = self.save_best_only(loss, best_loss, i)
+            if self.early_stopping(loss):
+                break
+        self.P, self.Q = np.asarray(P), np.asarray(Q)
+        self.logger.info(
+            f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
+        ret = {"train_loss": loss}
+        ret.update({f"val_{k}": v for k, v in self.validation_result.items()})
+        return ret
+
+    # --------------------------------------------------------------- access
+    def _get_feature(self, index, group="item"):
+        if group == "item":
+            return self.Q[index]
+        elif group == "user":
+            return self.P[index]
+        return None
+
+    def _get_data(self):
+        data = super()._get_data()
+        data.extend([("opt", self.opt), ("Q", self.Q), ("P", self.P)])
+        return data
+
+    def get_evaluation_metrics(self):
+        return ["train_loss", "val_rmse", "val_ndcg", "val_map",
+                "val_accuracy", "val_error"]

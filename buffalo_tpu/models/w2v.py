@@ -1,0 +1,279 @@
+"""Skip-gram word2vec over item streams on TPU.
+
+Counterpart of the reference W2V stack (driver ``buffalo/algo/w2v.py``,
+C++ core ``lib/algo_impl/w2v/w2v.cc``): vocabulary build with
+``min_count`` filtering, frequent-word subsampling via the uint32
+scale table (w2v.py:91-133), cumulative unigram^0.75 negative table
+(w2v.py:140-157), per-position shrunken windows (w2v.cc:239-241),
+linear lr decay by processed words, and ``most_similar`` over the
+input embedding L0 with vocab index remapping.  The per-sentence
+hogwild workers become: vectorized host-side pair generation per epoch
+(subsample + reduced windows in numpy) feeding fixed-size device pair
+chunks (ops/w2v_kernels).
+
+Reference: Mikolov et al., Distributed Representations of Words and
+Phrases and their Compositionality (NIPS 2013).
+"""
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import buffalo_tpu.data
+from buffalo_tpu.data.base import Data
+from buffalo_tpu.evaluate import Evaluable
+from buffalo_tpu.models.base import Algo, Serializable
+from buffalo_tpu.models.options import W2VOption
+from buffalo_tpu.ops.w2v_kernels import w2v_step
+from buffalo_tpu.utils import Option, log
+
+
+class W2V(Algo, W2VOption, Evaluable, Serializable):
+    """Python driver for TPU W2V."""
+
+    def __init__(self, opt_path=None, *args, **kwargs):
+        Algo.__init__(self, *args, **kwargs)
+        W2VOption.__init__(self, *args, **kwargs)
+        Evaluable.__init__(self, *args, **kwargs)
+        Serializable.__init__(self, *args, **kwargs)
+        if opt_path is None:
+            opt_path = W2VOption().get_default_option()
+        self.logger = log.get_logger("W2V")
+        self.opt, self.opt_path = self.get_option(opt_path)
+
+        self.data = None
+        data = kwargs.get("data")
+        data_opt = self.opt.get("data_opt")
+        data_opt = kwargs.get("data_opt", data_opt)
+        if data_opt:
+            self.data = buffalo_tpu.data.load(data_opt)
+            assert self.data.data_type == "stream"
+            self.data.create()
+        elif isinstance(data, Data):
+            self.data = data
+        self.logger.info("W2V(%s)" % json.dumps(self.opt.to_dict(), indent=2))
+        if self.data:
+            self.logger.info(self.data.show_info())
+            assert self.data.data_type in ["stream"]
+        self._vocab = Option({"size": 0, "index": None, "inv_index": None,
+                              "scale": None, "dist": None,
+                              "total_word_count": 0})
+
+    @staticmethod
+    def new(path, data_fields=[]):
+        return W2V.instantiate(W2VOption, path, data_fields)
+
+    def set_data(self, data):
+        assert isinstance(data, Data), f"Wrong instance: {type(data)}"
+        self.data = data
+
+    def normalize(self, group="item"):
+        if group == "item" and not self.opt.get("_nrz_L0"):
+            self.L0 = self._normalize(self.L0)
+            self.opt._nrz_L0 = True
+
+    def get_index(self, key, group="item"):
+        """Item index -> dense vocab index (w2v.py:66-76)."""
+        is_many = isinstance(key, list)
+        indexes = super().get_index(key, group)
+        if not is_many:
+            indexes = [indexes]
+        indexes = [None if i is None or self._vocab.index[i] < 1
+                   else self._vocab.index[i] - 1 for i in indexes]
+        if not is_many:
+            return indexes[0]
+        return indexes
+
+    def _get_feature(self, index, group="item"):
+        if group == "item" and index is not None:
+            return self.L0[index]
+        return None
+
+    def initialize(self):
+        super().initialize()
+        assert self.data, "Data is not set"
+        self.build_vocab()
+        self.init_factors(self._vocab.size)
+
+    def build_vocab(self):
+        """min_count filter, subsample scale table, unigram^0.75 dist
+        (w2v.py:91-133,140-157)."""
+        header = self.data.get_header()
+        group = self.data.get_group("rowwise")
+        keys = np.asarray(group["key"])
+        uni = np.bincount(keys, minlength=header["num_items"]).astype(np.int64)
+        total_word_count = int(len(keys))
+
+        use_mask = uni >= self.opt.min_count
+        total_vocab = int(use_mask.sum())
+        use = np.zeros(header["num_items"], dtype=np.int32)
+        use[use_mask] = np.arange(1, total_vocab + 1)
+
+        threshold_count = float(uni[use_mask].sum())
+        if self.opt.sample > 0.0:
+            threshold_count *= self.opt.sample
+        scale = np.zeros(total_vocab, dtype=np.uint32)
+        cnt = uni[use_mask].astype(np.float64)
+        p = (np.sqrt(cnt / threshold_count) + 1.0) * (threshold_count / cnt)
+        p = np.minimum(p, 1.0)
+        scale[:] = (p * 0xFFFFFFFF).astype(np.uint64).astype(np.uint32)
+        self.logger.info(
+            f"Downsampled {int((p < 1.0).sum())} most-common words.")
+
+        dist0 = cnt ** 0.75
+        dist0 /= dist0.sum()
+        dist = (np.cumsum(dist0) * 0x7FFFFFFF).astype(np.int32)
+
+        self._vocab.size = total_vocab
+        self._vocab.scale = scale
+        self._vocab.index = use
+        self._vocab.inv_index = np.nonzero(use_mask)[0].astype(np.int32)
+        self._vocab.dist = dist
+        self._vocab.total_word_count = total_word_count
+        self.logger.info(f"Vocab({total_vocab}) TotalWords({total_word_count})")
+
+    def init_factors(self, vocab_size):
+        d = self.opt.d
+        self.L0 = np.abs(np.random.normal(
+            scale=1.0 / (d ** 2), size=(vocab_size, d)).astype("float32"))
+        self.L1 = np.zeros((vocab_size, d), dtype=np.float32)
+
+    # ------------------------------------------------------------- retrieval
+    def _get_topk_recommendation(self, rows, topk, pool=None):
+        raise NotImplementedError
+
+    def _get_most_similar_item(self, col, topk, pool):
+        if not isinstance(col, np.ndarray):
+            col = self._vocab.index[col] - 1
+            if col < 0:
+                return [], []
+        topks, scores = super()._get_most_similar_item(
+            col, topk, self.L0, self.opt.get("_nrz_L0", False), pool)
+        topks = self._vocab.inv_index[topks]
+        return topks, scores
+
+    def get_scores(self, row_col_pairs):
+        return []
+
+    def _get_scores(self, row, col):
+        return np.zeros(len(row), dtype=np.float32)
+
+    # -------------------------------------------------------------- training
+    def _generate_pairs(self, rng: np.random.Generator):
+        """Vectorized per-epoch pair generation: subsample + shrunken
+        windows (w2v.cc:227-246).  Returns (inputs, targets)."""
+        group = self.data.get_group("rowwise")
+        indptr = np.asarray(group["indptr"])
+        keys = np.asarray(group["key"])
+        vocab_idx = self._vocab.index[keys] - 1     # -1 = out of vocab
+        sent_ids = np.repeat(np.arange(len(indptr) - 1), np.diff(indptr))
+
+        in_vocab = vocab_idx >= 0
+        words = vocab_idx[in_vocab]
+        sents = sent_ids[in_vocab]
+        # subsample: keep while scale > rand32 (w2v.cc:233-235)
+        r = rng.integers(0, 1 << 32, size=len(words), dtype=np.uint64)
+        keep = self._vocab.scale[words].astype(np.uint64) > r
+        words = words[keep].astype(np.int32)
+        sents = sents[keep]
+        n = len(words)
+        if n < 2:
+            return (np.zeros(0, np.int32), np.zeros(0, np.int32), 0)
+
+        window = int(self.opt.window)
+        # per-center shrunken half-width: window - b, b ~ U[0, window)
+        h = window - rng.integers(0, window, size=n)
+        inputs, targets = [], []
+        for off in range(1, window + 1):
+            same = sents[:-off] == sents[off:]
+            # center i, context i+off (context within center's window)
+            m = same & (off <= h[:-off])
+            targets.append(words[:-off][m])
+            inputs.append(words[off:][m])
+            # center i+off, context i
+            m2 = same & (off <= h[off:])
+            targets.append(words[off:][m2])
+            inputs.append(words[:-off][m2])
+        return (np.concatenate(inputs), np.concatenate(targets), n)
+
+    def train(self, training_callback: Optional[
+            Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
+        assert self.data, "Data is not set"
+        import jax
+        import jax.numpy as jnp
+
+        opt = self.opt
+        V = int(self._vocab.size)
+        if V == 0:
+            self.logger.warning("Empty vocabulary; nothing to train.")
+            return {}
+        L0 = jax.device_put(self.L0)
+        L1 = jax.device_put(self.L1)
+        dist = jax.device_put(self._vocab.dist)
+
+        chunk = int(opt.get("batch_size") or 0)
+        if chunk <= 0:
+            # keep >=16 sequential steps per epoch so the megabatch
+            # approximation stays close to the reference's sequential
+            # updates (fewer, bigger batches can diverge at high lr)
+            est_pairs = self._vocab.total_word_count * int(opt.window)
+            chunk = 1 << max(12, min(18, int(np.log2(max(est_pairs
+                                                         // 16, 1)))))
+        rng_np = np.random.default_rng(int(opt.random_seed))
+        rng = jax.random.PRNGKey(int(opt.random_seed))
+
+        total_words = float(self._vocab.total_word_count) * opt.num_iters
+        processed_words = 0.0
+        statics = dict(num_negatives=int(opt.num_negative_samples),
+                       vocab_size=V,
+                       compute_loss=bool(opt.compute_loss_on_training))
+        loss = None
+        full_st = time.time()
+        for i in range(opt.num_iters):
+            start_t = time.time()
+            inputs, targets, n_words = self._generate_pairs(rng_np)
+            n_pairs = len(inputs)
+            losses, counts = [], []
+            for beg in range(0, n_pairs, chunk):
+                bi = inputs[beg:beg + chunk]
+                bt = targets[beg:beg + chunk]
+                if len(bi) < chunk:  # pad tail with dropped sentinel
+                    pad = chunk - len(bi)
+                    bi = np.concatenate(
+                        [bi, np.full(pad, V, dtype=np.int32)])
+                    bt = np.concatenate(
+                        [bt, np.full(pad, V, dtype=np.int32)])
+                progress = min(processed_words / max(total_words, 1.0), 1.0)
+                lr = max(opt.lr - (opt.lr - opt.min_lr) * progress,
+                         opt.min_lr)
+                rng, sub = jax.random.split(rng)
+                L0, L1, l, c = w2v_step(L0, L1, bi, bt, dist, sub,
+                                        jnp.float32(lr), **statics)
+                losses.append(l)
+                counts.append(c)
+                processed_words += (min(chunk, n_pairs - beg) / max(
+                    n_pairs, 1)) * n_words
+            loss_sum = float(np.sum([np.asarray(x) for x in losses]))
+            pair_cnt = float(np.sum([np.asarray(x) for x in counts]))
+            loss = loss_sum / max(pair_cnt, 1.0)
+            self.logger.info(
+                "Iteration %d: Loss %.5f (%d pairs) Elapsed %.3f secs"
+                % (i + 1, loss, n_pairs, time.time() - start_t))
+        self.L0 = np.asarray(L0)
+        self.L1 = np.asarray(L1)
+        self.logger.info(
+            f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
+        return {"train_loss": loss} if loss is not None else {}
+
+    # --------------------------------------------------------------- access
+    def _get_data(self):
+        data = super()._get_data()
+        data.extend([("opt", self.opt), ("L0", self.L0),
+                     ("_vocab", self._vocab)])
+        return data
+
+    def get_evaluation_metrics(self):
+        return []

@@ -1,0 +1,166 @@
+"""CoFactor (CFR) joint-factorization batch kernels.
+
+Counterpart of ``lib/algo_impl/cfr/cfr.cc``: the three-phase epoch —
+user update (weighted implicit ALS scaled by ``l``, cfr.cc:92-150),
+item update coupling the user-side implicit term with the SPPMI-side
+explicit term and item/context biases plus a closed-form bias update
+(cfr.cc:152-253), and context update over SPPMI only (cfr.cc:255-314).
+Per-row OpenMP solves become padded-batch einsums + batched solves,
+as in ops/als_kernels.
+
+Reference: Liang et al., Factorization Meets the Item Embedding
+(RecSys 2016).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from buffalo_tpu.ops.solve import solve
+
+
+def _mask(lens, L):
+    return (jnp.arange(L, dtype=jnp.int32)[None, :]
+            < lens[:, None]).astype(jnp.float32)
+
+
+def _implicit_terms(F, vals, mask, alpha):
+    """A_data = sum alpha v f f^T, y = sum (1 + alpha v) f (masked)."""
+    w = vals * alpha * mask
+    Fw = F * w[:, :, None]
+    A = jnp.einsum("bld,ble->bde", Fw, F,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("bld,bl->bd", F, (1.0 + w) * mask,
+                   preferred_element_type=jnp.float32)
+    return A, y, w
+
+
+@partial(jax.jit, static_argnames=("alpha", "l", "reg_u", "optimizer",
+                                   "cg_iters", "cg_tol", "compute_loss"),
+         donate_argnums=(0,))
+def cfr_user_step(U, I, FF, rows, lens, cols, vals, *, alpha, l, reg_u,
+                  optimizer, cg_iters, cg_tol, compute_loss):
+    """User phase: A = l (FF + sum a v i i^T) + reg_u, y = l sum (1+av) i."""
+    B, L = vals.shape
+    mask = _mask(lens, L)
+    row_mask = (lens > 0).astype(jnp.float32)
+    safe_rows = jnp.minimum(rows, U.shape[0] - 1)
+    u = jnp.take(U, safe_rows, axis=0)
+    F = jnp.take(I, cols, axis=0)
+
+    A, y, _ = _implicit_terms(F, vals, mask, alpha)
+    d = U.shape[1]
+    A = l * (FF[None] + A) + reg_u * jnp.eye(d, dtype=U.dtype)[None]
+    y = l * y
+    x = solve(A, y, u, optimizer, num_iters=cg_iters, tolerance=cg_tol)
+    x = jnp.where(row_mask[:, None] > 0, x, u)
+    U = U.at[rows].set(x, mode="drop")
+    loss = (reg_u * jnp.sum(row_mask * jnp.sum(x * x, axis=-1))
+            if compute_loss else jnp.zeros((), jnp.float32))
+    return U, loss
+
+
+@partial(jax.jit, static_argnames=("alpha", "l", "reg_i", "optimizer",
+                                   "cg_iters", "cg_tol", "compute_loss"),
+         donate_argnums=(0, 3))
+def cfr_item_step(I, U, C, Ib, Cb, FF, rows,
+                  lens_u, cols_u, vals_u, lens_c, cols_c, vals_c,
+                  *, alpha, l, reg_i, optimizer, cg_iters, cg_tol,
+                  compute_loss):
+    """Item phase: implicit user term + explicit SPPMI term + biases."""
+    B, Lu = vals_u.shape
+    _, Lc = vals_c.shape
+    mask_u = _mask(lens_u, Lu)
+    mask_c = _mask(lens_c, Lc)
+    row_mask = ((lens_u + lens_c) > 0).astype(jnp.float32)
+    safe_rows = jnp.minimum(rows, I.shape[0] - 1)
+    i_vec = jnp.take(I, safe_rows, axis=0)
+
+    Fu = jnp.take(U, cols_u, axis=0)            # (B, Lu, d)
+    A, y, w = _implicit_terms(Fu, vals_u, mask_u, alpha)
+    A = l * (FF[None] + A)
+    y = l * y
+
+    if compute_loss:
+        dots = jnp.einsum("bd,bld->bl", i_vec, Fu,
+                          preferred_element_type=jnp.float32)
+        iFFi = jnp.einsum("bd,de,be->b", i_vec, FF, i_vec,
+                          preferred_element_type=jnp.float32)
+        pos = mask_u * (-dots * dots + (1.0 + w) * (dots - 1.0) ** 2)
+        loss_u = l * jnp.sum(row_mask * (iFFi + jnp.sum(pos, axis=-1)))
+    else:
+        loss_u = jnp.zeros((), jnp.float32)
+
+    # SPPMI explicit side: coeff = v - Ib_x - Cb_c
+    Fc = jnp.take(C, cols_c, axis=0)            # (B, Lc, d)
+    ib = jnp.take(Ib, safe_rows)
+    cb = jnp.take(Cb, cols_c)                   # (B, Lc)
+    coeff = (vals_c - ib[:, None] - cb) * mask_c
+    A = A + jnp.einsum("bld,ble,bl->bde", Fc, Fc, mask_c,
+                       preferred_element_type=jnp.float32)
+    y = y + jnp.einsum("bld,bl->bd", Fc, coeff,
+                       preferred_element_type=jnp.float32)
+
+    if compute_loss:
+        pred = jnp.einsum("bd,bld->bl", i_vec, Fc,
+                          preferred_element_type=jnp.float32)
+        err = (vals_c - pred - ib[:, None] - cb) * mask_c
+        loss_c = jnp.sum(row_mask * jnp.sum(err * err, axis=-1))
+        loss_reg = reg_i * jnp.sum(row_mask * jnp.sum(i_vec * i_vec,
+                                                      axis=-1))
+    else:
+        loss_c = loss_reg = jnp.zeros((), jnp.float32)
+
+    d = I.shape[1]
+    A = A + reg_i * jnp.eye(d, dtype=I.dtype)[None]
+    x = solve(A, y, i_vec, optimizer, num_iters=cg_iters, tolerance=cg_tol)
+    x = jnp.where(row_mask[:, None] > 0, x, i_vec)
+    I = I.at[rows].set(x, mode="drop")
+
+    # closed-form bias: Ib_x = mean_c (v - i_new . c - Cb_c) (cfr.cc:243-251)
+    pred_new = jnp.einsum("bd,bld->bl", x, Fc,
+                          preferred_element_type=jnp.float32)
+    b = jnp.sum((vals_c - pred_new - cb) * mask_c, axis=-1)
+    new_ib = b / (lens_c.astype(jnp.float32) + 1e-10)
+    has_c = lens_c > 0
+    new_ib = jnp.where(has_c, new_ib, ib)
+    Ib = Ib.at[rows].set(jnp.where(row_mask > 0, new_ib, ib), mode="drop")
+    return I, Ib, loss_u + loss_c + loss_reg
+
+
+@partial(jax.jit, static_argnames=("reg_c", "optimizer", "cg_iters",
+                                   "cg_tol", "compute_loss"),
+         donate_argnums=(0, 3))
+def cfr_context_step(C, I, Ib, Cb, rows, lens, cols, vals, *, reg_c,
+                     optimizer, cg_iters, cg_tol, compute_loss):
+    """Context phase over SPPMI rows (cfr.cc:255-314)."""
+    B, L = vals.shape
+    mask = _mask(lens, L)
+    row_mask = (lens > 0).astype(jnp.float32)
+    safe_rows = jnp.minimum(rows, C.shape[0] - 1)
+    c_vec = jnp.take(C, safe_rows, axis=0)
+
+    Fi = jnp.take(I, cols, axis=0)
+    cb = jnp.take(Cb, safe_rows)
+    ib = jnp.take(Ib, cols)                     # (B, L)
+    coeff = (vals - cb[:, None] - ib) * mask
+    A = jnp.einsum("bld,ble,bl->bde", Fi, Fi, mask,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("bld,bl->bd", Fi, coeff,
+                   preferred_element_type=jnp.float32)
+    d = C.shape[1]
+    A = A + reg_c * jnp.eye(d, dtype=C.dtype)[None]
+    loss = (reg_c * jnp.sum(row_mask * jnp.sum(c_vec * c_vec, axis=-1))
+            if compute_loss else jnp.zeros((), jnp.float32))
+    x = solve(A, y, c_vec, optimizer, num_iters=cg_iters, tolerance=cg_tol)
+    x = jnp.where(row_mask[:, None] > 0, x, c_vec)
+    C = C.at[rows].set(x, mode="drop")
+
+    pred_new = jnp.einsum("bd,bld->bl", x, Fi,
+                          preferred_element_type=jnp.float32)
+    b = jnp.sum((vals - pred_new - ib) * mask, axis=-1)
+    new_cb = b / (lens.astype(jnp.float32) + 1e-10)
+    Cb = Cb.at[rows].set(jnp.where(row_mask > 0, new_cb, cb), mode="drop")
+    return C, Cb, loss

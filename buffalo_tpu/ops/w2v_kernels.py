@@ -1,0 +1,99 @@
+"""Skip-gram negative-sampling (word2vec) megabatch kernels.
+
+Counterpart of ``lib/algo_impl/w2v/w2v.cc``: per (input=context,
+target=center) pair, draw ``num_negatives`` negatives from the
+cumulative unigram^0.75 table (w2v.cc:248-256), compute the SGNS
+gradients and update the input table ``L0`` and context table ``L1``
+(w2v.cc:274-320).  The hogwild per-pair updates become scatter-adds
+over a fixed-size pair chunk.
+
+Note: the gradient here is the standard SGNS ``g = label - sigmoid(f)``
+with the reference's +-MAX_EXP clamps.  (The reference's mid-range
+table lookup returns ``1 - sigmoid`` which contradicts its own clamp
+branches, w2v.cc:286-300 — we match the clamps / the original
+word2vec.c semantics, not the inconsistency.)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+MAX_EXP = 6.0
+EPS = 1e-10
+
+
+def _g(label, f):
+    """label - sigmoid(f) with hard clamps at +-MAX_EXP."""
+    mid = label - jax.nn.sigmoid(f)
+    return jnp.where(f > MAX_EXP, label - 1.0,
+                     jnp.where(f < -MAX_EXP, label, mid))
+
+
+@partial(jax.jit, static_argnames=("num_negatives", "vocab_size",
+                                   "compute_loss"),
+         donate_argnums=(0, 1))
+def w2v_step(L0, L1, inputs, targets, dist, rng_key, lr,
+             *, num_negatives, vocab_size, compute_loss):
+    """One pair-chunk update.  Returns (L0, L1, loss_sum, pair_count).
+
+    inputs/targets: int32[B] vocab indices; padding carries
+    ``vocab_size`` (dropped).  dist: cumulative unigram^0.75 table.
+    """
+    B = inputs.shape[0]
+    d = L0.shape[1]
+    valid = (inputs < vocab_size).astype(jnp.float32)
+
+    k1, k2 = jax.random.split(rng_key)
+    hi = dist[-1]
+    r = jax.random.randint(k1, (B, num_negatives), 0, hi, dtype=jnp.int32)
+    negs = jnp.searchsorted(dist, r, side="left").astype(jnp.int32)
+    # redraw-once if a negative equals the target (w2v.cc:252-255)
+    r2 = jax.random.randint(k2, (B, num_negatives), 0, hi, dtype=jnp.int32)
+    negs2 = jnp.searchsorted(dist, r2, side="left").astype(jnp.int32)
+    negs = jnp.where(negs == targets[:, None], negs2, negs)
+
+    safe_in = jnp.minimum(inputs, vocab_size - 1)
+    safe_tg = jnp.minimum(targets, vocab_size - 1)
+    l0 = jnp.take(L0, safe_in, axis=0)              # (B, d)
+    lt = jnp.take(L1, safe_tg, axis=0)              # (B, d)
+    ln = jnp.take(L1, negs, axis=0)                 # (B, K, d)
+
+    f_pos = jnp.sum(l0 * lt, axis=-1)
+    f_neg = jnp.einsum("bd,bkd->bk", l0, ln,
+                       preferred_element_type=jnp.float32)
+    g_pos = _g(1.0, f_pos) * valid                  # (B,)
+    g_neg = _g(0.0, f_neg) * valid[:, None]         # (B, K)
+
+    if compute_loss:
+        loss = -jnp.sum(valid * jnp.log(jax.nn.sigmoid(f_pos) + EPS)) \
+            - jnp.sum(valid[:, None]
+                      * jnp.log(1.0 - jax.nn.sigmoid(f_neg) + EPS))
+    else:
+        loss = jnp.zeros((), jnp.float32)
+
+    # Sum-accumulated scatter updates with a per-row step-norm cap.
+    # In the sequential hogwild reference a frequent word's updates
+    # interleave with sigmoid saturation; a megabatch stacks them
+    # uncapped, which diverges geometrically once lr * count > 1.
+    # Capping each row's step norm keeps the update self-limiting
+    # while preserving full-magnitude steps for rare words.
+    def _clipped_apply(T, dT, cap):
+        norms = jnp.sqrt(jnp.sum(dT * dT, axis=-1, keepdims=True))
+        return T + dT * jnp.minimum(1.0, cap / jnp.maximum(norms, 1e-20))
+
+    step_cap = 0.1
+    dL1 = jnp.zeros_like(L1)
+    dL1 = dL1.at[targets].add(lr * g_pos[:, None] * l0, mode="drop")
+    dL1 = dL1.at[negs.reshape(-1)].add(
+        (lr * g_neg[..., None] * l0[:, None, :]).reshape(-1, d),
+        mode="drop")
+    L1 = _clipped_apply(L1, dL1, step_cap)
+
+    work = g_pos[:, None] * lt + jnp.einsum(
+        "bk,bkd->bd", g_neg, ln, preferred_element_type=jnp.float32)
+    dL0 = jnp.zeros_like(L0)
+    dL0 = dL0.at[inputs].add(lr * work, mode="drop")
+    L0 = _clipped_apply(L0, dL0, step_cap)
+    return L0, L1, loss, jnp.sum(valid)

@@ -1,0 +1,171 @@
+"""W2V and CFR tests over stream data (reference tests/algo/test_{w2v,cfr}.py
+analog — semantic neighbor checks instead of text8 analogies)."""
+import numpy as np
+import pytest
+
+from buffalo_tpu.data import StreamOptions, load
+from buffalo_tpu.models import CFR, W2V
+from buffalo_tpu.models.options import CFROption, W2VOption
+
+
+@pytest.fixture(scope="module")
+def clustered_stream(tmp_path_factory):
+    """Sentences drawn from 5 word clusters: same-cluster words co-occur."""
+    root = tmp_path_factory.mktemp("stream_data")
+    rng = np.random.default_rng(3)
+    V, k = 60, 5
+    cl = rng.integers(0, k, V)
+    lines = []
+    for _ in range(300):
+        c = rng.integers(0, k)
+        members = np.nonzero(cl == c)[0]
+        sent = rng.choice(members, size=10, replace=True)
+        lines.append(" ".join(f"w{int(x)}" for x in sent))
+    path = root / "main.txt"
+    path.write_text("\n".join(lines) + "\n")
+    return {"path": str(path), "clusters": cl, "root": str(root)}
+
+
+@pytest.fixture(scope="module")
+def stream_data(clustered_stream, tmp_path_factory):
+    root = tmp_path_factory.mktemp("w2v_db")
+    opt = StreamOptions().get_default_option()
+    opt.input.main = clustered_stream["path"]
+    opt.data.path = str(root / "s.bfo")
+    opt.data.tmp_dir = str(root / "tmp")
+    opt.data.validation = {}
+    data = load(opt)
+    data.create()
+    return data
+
+
+@pytest.fixture(scope="module")
+def cfr_data(clustered_stream, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cfr_db")
+    opt = StreamOptions().get_default_option()
+    opt.input.main = clustered_stream["path"]
+    opt.data.path = str(root / "c.bfo")
+    opt.data.tmp_dir = str(root / "tmp")
+    opt.data.internal_data_type = "matrix"
+    opt.data.validation = {"name": "sample", "p": 0.1, "max_samples": 100}
+    opt.data.sppmi = {"windows": 3, "k": 1}
+    data = load(opt)
+    data.create()
+    return data
+
+
+def test_w2v_vocab_build(stream_data):
+    m = W2V({**W2VOption().get_default_option(), "min_count": 2},
+            data=stream_data)
+    m.initialize()
+    assert m._vocab.size > 0
+    assert m._vocab.dist[-1] <= 0x7FFFFFFF
+    assert abs(int(m._vocab.dist[-1]) - 0x7FFFFFFF) < 3
+    assert m.L0.shape == (m._vocab.size, 20)
+
+
+def test_w2v_semantic_neighbors(stream_data, clustered_stream):
+    opt = W2VOption().get_default_option()
+    opt.d = 16
+    opt.num_iters = 40
+    opt.min_count = 2
+    opt.window = 4
+    opt.lr = 0.05
+    m = W2V(opt, data=stream_data)
+    m.initialize()
+    r = m.train()
+    assert r["train_loss"] < 4.0
+    cl = clustered_stream["clusters"]
+    hits = total = 0
+    for w in ["w0", "w1", "w2"]:
+        sims = m.most_similar(w, topk=5)
+        if not sims:
+            continue
+        for key, _score in sims:
+            total += 1
+            if cl[int(key[1:])] == cl[int(w[1:])]:
+                hits += 1
+    assert total > 0
+    assert hits / total > 0.5
+
+
+def test_w2v_serialization(stream_data, tmp_path):
+    opt = W2VOption().get_default_option()
+    opt.d = 8
+    opt.num_iters = 2
+    opt.min_count = 2
+    m = W2V(opt, data=stream_data)
+    m.initialize()
+    m.train()
+    m.save(str(tmp_path / "w2v.model"))
+    loaded = W2V.new(str(tmp_path / "w2v.model"))
+    np.testing.assert_array_equal(loaded.L0, m.L0)
+    assert loaded._vocab.size == m._vocab.size
+
+
+def test_w2v_get_feature(stream_data):
+    opt = W2VOption().get_default_option()
+    opt.min_count = 2
+    m = W2V(opt, data=stream_data)
+    m.initialize()
+    f = m.get_feature("w0")
+    assert f is not None and f.shape == (20,)
+    assert m.get_feature("not-a-word") is None
+
+
+def test_cfr_trains_and_retrieves(cfr_data, clustered_stream):
+    opt = CFROption().get_default_option()
+    opt.d = 16
+    opt.num_iters = 8
+    opt.validation = {"topk": 10}
+    opt.evaluation_period = 8
+    m = CFR(opt, data=cfr_data)
+    m.initialize()
+    r = m.train()
+    assert np.isfinite(r["train_loss"])
+    assert r["vali_ndcg"] > 0.06
+    cl = clustered_stream["clusters"]
+    sims = m.most_similar("w0", topk=5)
+    same = sum(1 for key, _ in sims if cl[int(key[1:])] == cl[0])
+    assert same >= 2
+
+
+def test_cfr_loss_decreases(cfr_data):
+    opt = CFROption().get_default_option()
+    opt.d = 16
+    opt.validation = {}
+    opt.num_iters = 1
+    m1 = CFR(opt, data=cfr_data)
+    m1.initialize()
+    r1 = m1.train()["train_loss"]
+    opt.num_iters = 8
+    m8 = CFR(opt, data=cfr_data)
+    m8.initialize()
+    r8 = m8.train()["train_loss"]
+    assert r8 < r1
+
+
+def test_cfr_serialization(cfr_data, tmp_path):
+    opt = CFROption().get_default_option()
+    opt.d = 8
+    opt.num_iters = 2
+    opt.validation = {}
+    m = CFR(opt, data=cfr_data)
+    m.initialize()
+    m.train()
+    m.save(str(tmp_path / "cfr.model"))
+    loaded = CFR.new(str(tmp_path / "cfr.model"))
+    np.testing.assert_array_equal(loaded.I, m.I)
+    np.testing.assert_array_equal(loaded.C, m.C)
+
+
+def test_cfr_normalize_groups(cfr_data):
+    opt = CFROption().get_default_option()
+    opt.d = 8
+    opt.num_iters = 1
+    opt.validation = {}
+    m = CFR(opt, data=cfr_data)
+    m.initialize()
+    m.train()
+    m.normalize("context")
+    np.testing.assert_allclose(np.linalg.norm(m.C, axis=1), 1.0, rtol=1e-3)
