@@ -16,11 +16,22 @@ __version__ = "0.1.0"
 
 from buffalo_tpu.data import (MatrixMarket, MatrixMarketOptions,  # noqa: F401
                               Stream, StreamOptions)
+from buffalo_tpu.models import (ALS, BPRMF, CFR, EALS, PLSI, W2V,  # noqa: F401
+                                WARP)
+from buffalo_tpu.models.options import (ALSOption, BPRMFOption,  # noqa: F401
+                                        CFROption, EALSOption, PLSIOption,
+                                        W2VOption, WARPOption)
+from buffalo_tpu.parallel import (ParALS, ParBPRMF, ParCFR,  # noqa: F401
+                                  ParEALS, ParW2V)
 from buffalo_tpu.utils import Option  # noqa: F401
 from buffalo_tpu.utils import log  # noqa: F401
 from buffalo_tpu.utils.log import get_log_level, set_log_level  # noqa: F401
 
 __all__ = [
+    "ALS", "BPRMF", "CFR", "EALS", "PLSI", "W2V", "WARP",
+    "ALSOption", "BPRMFOption", "CFROption", "EALSOption", "PLSIOption",
+    "W2VOption", "WARPOption",
     "MatrixMarket", "MatrixMarketOptions", "Stream", "StreamOptions",
+    "ParALS", "ParBPRMF", "ParCFR", "ParEALS", "ParW2V",
     "Option", "set_log_level", "get_log_level",
 ]

@@ -33,6 +33,40 @@ def matmul_topk(p: jax.Array, Q: jax.Array, k: int,
     return jax.lax.top_k(scores, k)
 
 
+def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
+    """Bulk MIPS retrieval: top-k of ``p @ Q^T (+ Qb)`` per query row.
+
+    The device analog of ``parallel::dot_topn`` (``_core.hpp:88-142``):
+    queries are processed in fixed chunks (one matmul + top_k each);
+    a ``pool`` restricts the candidate set (indices are mapped back);
+    results are ``-1``-padded when the pool is smaller than ``topk``,
+    matching the reference's padding semantics.
+
+    Returns (keys int32[B, topk], scores float32[B, topk]).
+    """
+    p = np.ascontiguousarray(np.asarray(p, dtype=np.float32))
+    Q = np.asarray(Q, dtype=np.float32)
+    if pool is not None and len(pool):
+        Q = Q[pool]
+        if Qb is not None:
+            Qb = np.asarray(Qb)[pool]
+    n_items = Q.shape[0]
+    k_eff = min(topk, n_items)
+    B = p.shape[0]
+    out_keys = np.full((B, topk), -1, dtype=np.int32)
+    out_scores = np.zeros((B, topk), dtype=np.float32)
+    for beg in range(0, B, chunk):
+        pc = p[beg:beg + chunk]
+        vals, idx = matmul_topk(pc, Q, k_eff,
+                                Qb=None if Qb is None else np.asarray(Qb))
+        out_keys[beg:beg + chunk, :k_eff] = np.asarray(idx)
+        out_scores[beg:beg + chunk, :k_eff] = np.asarray(vals)
+    if pool is not None and len(pool):
+        mapped = np.asarray(pool)[np.maximum(out_keys, 0)]
+        out_keys = np.where(out_keys >= 0, mapped, -1).astype(np.int32)
+    return out_keys, out_scores
+
+
 def topk(scores, k: int, sorted: bool = True, num_threads: int = 0
          ) -> np.ndarray:
     """Row-parallel top-k over a host score matrix (quickselect analog).

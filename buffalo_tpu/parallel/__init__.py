@@ -1,0 +1,2 @@
+from buffalo_tpu.parallel.base import (ParALS, ParBPRMF, ParCFR,  # noqa: F401
+                                       ParEALS, ParW2V, Parallel)

@@ -1,0 +1,173 @@
+"""Batch retrieval ("Parallels") layer.
+
+Counterpart of the reference ``buffalo/parallel/base.py`` +
+``_core.hpp``: bulk ``most_similar`` / ``topk_recommendation`` over
+many queries at once.  The OpenMP ``dot_topn`` scan kernel
+(``_core.hpp:88-142``) becomes one device matmul + ``lax.top_k`` per
+query chunk (ops/topk.batch_topn); pool filtering gathers the pool
+rows first, bias-aware scoring covers BPR.  Same surface: ``ParALS``,
+``ParBPRMF``, ``ParW2V``, ``ParCFR``; ``-1`` key padding when a pool
+is smaller than topk; ANN (hnsw) hooks intentionally left open as in
+the current reference.
+"""
+from __future__ import annotations
+
+import abc
+
+import numpy as np
+
+from buffalo_tpu.models.als import ALS
+from buffalo_tpu.models.bpr import BPRMF
+from buffalo_tpu.models.cfr import CFR
+from buffalo_tpu.models.eals import EALS
+from buffalo_tpu.models.w2v import W2V
+from buffalo_tpu.ops.topk import batch_topn
+
+
+class Parallel(abc.ABC):
+    def __init__(self, algo, *argv, **kwargs):
+        super().__init__()
+        if not isinstance(algo, (ALS, EALS, CFR, W2V, BPRMF)):
+            raise ValueError(f"Not supported algo type: {type(algo)}")
+        self.algo = algo
+        self.num_workers = int(kwargs["num_workers"])
+
+    def _resolve(self, keys, group):
+        indexes = self.algo.get_index(list(keys), group=group)
+        kept = [(k, i) for k, i in zip(keys, indexes) if i is not None]
+        keys = [k for k, _ in kept]
+        idx = np.array([i for _, i in kept], dtype=np.int32)
+        return keys, idx
+
+    def _resolve_pool(self, pool, group="item"):
+        if pool is None:
+            return None
+        pool = self.algo.get_index_pool(pool, group=group)
+        if len(pool) == 0:
+            raise RuntimeError("pool is empty")
+        return pool.astype(np.int32)
+
+    def _most_similar(self, group, indexes, Factor, topk, pool):
+        return batch_topn(np.asarray(Factor)[indexes], Factor, topk,
+                          pool=pool)
+
+    def _topk_recommendation(self, indexes, FactorP, FactorQ, topk, pool):
+        return batch_topn(np.asarray(FactorP)[indexes], FactorQ, topk,
+                          pool=pool)
+
+    def _topk_recommendation_bias(self, indexes, FactorP, FactorQ,
+                                  FactorQb, topk, pool):
+        return batch_topn(np.asarray(FactorP)[indexes], FactorQ, topk,
+                          pool=pool, Qb=FactorQb)
+
+    @abc.abstractmethod
+    def most_similar(self, keys, topk=10, group="item", pool=None,
+                     repr=False):
+        """Batched top-k most-similar retrieval.
+
+        Returns (topks int32[B, topk] with -1 padding, scores f32) or,
+        with ``repr=True``, keys instead of indexes.
+        """
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def topk_recommendation(self, keys, topk=10, pool=None, repr=False):
+        """Batched top-k recommendation; returns (keys, topks, scores)."""
+        raise NotImplementedError
+
+
+class ParALS(Parallel):
+    def __init__(self, algo, **kwargs):
+        opt = getattr(algo, "opt", None)
+        num_workers = int(kwargs.get(
+            "num_workers", opt.num_workers if opt else 1))
+        super().__init__(algo, num_workers=num_workers)
+
+    def most_similar(self, keys, topk=10, group="item", pool=None,
+                     repr=False):
+        self.algo.normalize(group=group)
+        keys, indexes = self._resolve(keys, group)
+        pool = self._resolve_pool(pool, group=group)
+        if group == "item":
+            topks, scores = self._most_similar(group, indexes, self.algo.Q,
+                                               topk, pool)
+            if repr:
+                topks = [[self.algo._idmanager.itemids[t]
+                          for t in tt if t != -1] for tt in topks]
+            return topks, scores
+        elif group == "user":
+            topks, scores = self._most_similar(group, indexes, self.algo.P,
+                                               topk, pool)
+            if repr:
+                topks = [[self.algo._idmanager.userids[t]
+                          for t in tt if t != -1] for tt in topks]
+            return topks, scores
+        raise ValueError(f"Not supported group: {group}")
+
+    def topk_recommendation(self, keys, topk=10, pool=None, repr=False):
+        if self.algo.opt.get("_nrz_P") or self.algo.opt.get("_nrz_Q"):
+            raise RuntimeError(
+                "Cannot make topk recommendation with normalized factors")
+        keys, indexes = self._resolve(keys, "user")
+        pool = self._resolve_pool(pool, group="item")
+        topks, scores = self._topk_recommendation(
+            indexes, self.algo.P, self.algo.Q, topk, pool)
+        if repr:
+            topks = [[self.algo._idmanager.itemids[t]
+                      for t in tt if t != -1] for tt in topks]
+        return keys, topks, scores
+
+
+class ParEALS(ParALS):
+    pass
+
+
+class ParBPRMF(ParALS):
+    def topk_recommendation(self, keys, topk=10, pool=None, repr=False):
+        if self.algo.opt.get("_nrz_P") or self.algo.opt.get("_nrz_Q"):
+            raise RuntimeError(
+                "Cannot make topk recommendation with normalized factors")
+        keys, indexes = self._resolve(keys, "user")
+        pool = self._resolve_pool(pool, group="item")
+        topks, scores = self._topk_recommendation_bias(
+            indexes, self.algo.P, self.algo.Q, self.algo.Qb, topk, pool)
+        if repr:
+            topks = [[self.algo._idmanager.itemids[t]
+                      for t in tt if t != -1] for tt in topks]
+        return keys, topks, scores
+
+
+class ParW2V(Parallel):
+    def __init__(self, algo, **kwargs):
+        opt = getattr(algo, "opt", None)
+        num_workers = int(kwargs.get(
+            "num_workers", opt.num_workers if opt else 1))
+        super().__init__(algo, num_workers=num_workers)
+
+    def most_similar(self, keys, topk=10, pool=None, repr=False,
+                     group="item"):
+        self.algo.normalize(group="item")
+        indexes = self.algo.get_index(list(keys), group="item")
+        kept = [(k, i) for k, i in zip(keys, indexes) if i is not None]
+        keys = [k for k, _ in kept]
+        indexes = np.array([i for _, i in kept], dtype=np.int32)
+        if pool is not None:
+            pool = np.asarray(
+                [i for i in self.algo.get_index(list(pool), group="item")
+                 if i is not None], dtype=np.int32)
+            if len(pool) == 0:
+                raise RuntimeError("pool is empty")
+        topks, scores = self._most_similar("item", indexes, self.algo.L0,
+                                           topk, pool)
+        if repr:
+            inv = self.algo._vocab.inv_index
+            topks = [[self.algo._idmanager.itemids[inv[t]]
+                      for t in tt if t != -1] for tt in topks]
+        return topks, scores
+
+    def topk_recommendation(self, keys, topk=10, pool=None, repr=False):
+        raise NotImplementedError
+
+
+class ParCFR(ParALS):
+    """CFR retrieval: user x item factors, like ALS (U/I aliased P/Q)."""

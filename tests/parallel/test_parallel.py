@@ -1,0 +1,128 @@
+"""Parallels layer tests (reference tests/parallel/test_algo.py analog):
+equality of naive vs batched results, pool filtering, bias path."""
+import numpy as np
+import pytest
+
+from buffalo_tpu.data import MatrixMarketOptions, load
+from buffalo_tpu.models import ALS, BPRMF
+from buffalo_tpu.models.options import ALSOption, BPRMFOption
+from buffalo_tpu.parallel import ParALS, ParBPRMF
+
+
+@pytest.fixture(scope="module")
+def ml_data(ml100k_like, tmp_path_factory):
+    root = tmp_path_factory.mktemp("par_data")
+    opt = MatrixMarketOptions().get_default_option()
+    opt.input.main = ml100k_like["path"]
+    opt.input.uid = ml100k_like["uid"]
+    opt.input.iid = ml100k_like["iid"]
+    opt.data.path = str(root / "ml.bfo")
+    opt.data.tmp_dir = str(root / "tmp")
+    opt.data.validation = {"name": "sample", "p": 0.1, "max_samples": 300}
+    data = load(opt)
+    data.create()
+    return data
+
+
+@pytest.fixture(scope="module")
+def als(ml_data):
+    opt = ALSOption().get_default_option()
+    opt.d = 16
+    opt.num_iters = 6
+    opt.validation = {}
+    m = ALS(opt, data=ml_data)
+    m.initialize()
+    m.train()
+    m.build_itemid_map()
+    m.build_userid_map()
+    return m
+
+
+@pytest.fixture(scope="module")
+def bpr(ml_data):
+    opt = BPRMFOption().get_default_option()
+    opt.d = 16
+    opt.num_iters = 10
+    opt.optimizer = "adagrad"
+    opt.validation = {}
+    m = BPRMF(opt, data=ml_data)
+    m.initialize()
+    m.train()
+    m.build_itemid_map()
+    m.build_userid_map()
+    return m
+
+
+def test_topk_recommendation_matches_naive(als):
+    par = ParALS(als)
+    keys = ["u0", "u5", "u9"]
+    rkeys, topks, scores = par.topk_recommendation(keys, topk=5)
+    assert rkeys == keys
+    for k, row in zip(rkeys, topks):
+        naive = als.topk_recommendation(k, topk=5)
+        batch = [als._idmanager.itemids[t] for t in row if t != -1]
+        assert naive == batch
+
+
+def test_most_similar_matches_naive(als):
+    par = ParALS(als)
+    keys = ["i0", "i3", "i7"]
+    topks, scores = par.most_similar(keys, topk=5)
+    for k, row in zip(keys, topks):
+        naive = als.most_similar(k, topk=5)
+        naive_keys = [kk for kk, _ in naive]
+        batch_keys = [als._idmanager.itemids[t] for t in row if t != -1]
+        # batched result includes the query itself at rank 0 (score 1)
+        batch_keys = [b for b in batch_keys if b != k][:4]
+        assert naive_keys[:4] == batch_keys
+
+
+def test_pool_filtering(als):
+    par = ParALS(als)
+    pool = ["i1", "i2", "i3"]
+    topks, scores = par.most_similar(["i1"], topk=5, pool=pool)
+    valid = [t for t in topks[0] if t != -1]
+    pool_idx = {als._idmanager.itemid_map[p] for p in pool}
+    assert set(valid) <= pool_idx
+    # pool smaller than topk -> -1 padding
+    assert np.sum(topks[0] == -1) == 2
+
+
+def test_pool_empty_raises(als):
+    par = ParALS(als)
+    with pytest.raises(RuntimeError):
+        par.most_similar(["i1"], topk=5, pool=["nope"])
+
+
+def test_unknown_keys_skipped(bpr):
+    par = ParBPRMF(bpr)
+    keys, topks, scores = par.topk_recommendation(
+        ["u0", "not-a-user"], topk=5)
+    assert keys == ["u0"]
+    assert topks.shape == (1, 5)
+
+
+def test_repr_output(als):
+    par = ParALS(als)
+    topks, scores = par.most_similar(["i0"], topk=5, repr=True)
+    assert all(isinstance(t, str) for t in topks[0])
+
+
+def test_bpr_bias_included(bpr):
+    par = ParBPRMF(bpr)
+    keys, topks, scores = par.topk_recommendation(["u1"], topk=5)
+    expected = bpr.P[bpr._idmanager.userid_map["u1"]] @ bpr.Q.T + bpr.Qb
+    best = np.argsort(-expected)[:5]
+    assert set(map(int, topks[0])) == set(map(int, best))
+
+
+def test_normalized_factors_rejected(als, bpr):
+    par = ParALS(als)
+    par.most_similar(["i0"], topk=3)  # triggers normalize of Q
+    with pytest.raises(RuntimeError):
+        par.topk_recommendation(["u0"], topk=3)
+
+
+def test_wrong_algo_type_rejected():
+    with pytest.raises(ValueError):
+        ParALS(object())
