@@ -265,14 +265,13 @@ class DataBuilder(Data):
     @staticmethod
     def _build_csr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                    num_rows: int):
-        """Sort triples by (row, col) and emit (indptr[int64], key, val)."""
-        order = np.lexsort((cols, rows))
-        key = cols[order].astype(np.int32, copy=False)
-        val = vals[order].astype(np.float32, copy=False)
-        counts = np.bincount(rows, minlength=num_rows)
-        indptr = np.zeros(num_rows + 1, dtype=np.int64)
-        np.cumsum(counts, out=indptr[1:])
-        return indptr, key, val
+        """Sort triples by (row, col) and emit (indptr[int64], key, val).
+
+        Delegates to the native OpenMP counting-sort kernel when built
+        (``data/native/fileio.cc``), numpy lexsort otherwise.
+        """
+        from buffalo_tpu.data.fileio import build_csr
+        return build_csr(rows, cols, vals, num_rows)
 
     def _write_group(self, out_dir: str, group: str, **arrays: np.ndarray) -> None:
         for name, arr in arrays.items():

@@ -56,6 +56,34 @@ def parse_triples_text(text: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return parse_triples(io.StringIO(text))
 
 
+def parse_triples_file(path: str, skip_bytes: int = 0
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse a triples file from a byte offset; native kernel when built."""
+    from buffalo_tpu.data import native
+    result = native.parse_triples_native(path, skip_bytes)
+    if result is not None:
+        return result
+    with open(path) as fin:
+        fin.seek(skip_bytes)
+        return parse_triples(fin)
+
+
+def build_csr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+              num_rows: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort triples by (row, col) into CSR; native counting sort when
+    available, np.lexsort otherwise."""
+    from buffalo_tpu.data import native
+    result = native.build_csr_native(rows, cols, vals, num_rows)
+    if result is not None:
+        return result
+    order = np.lexsort((cols, rows))
+    key = cols[order].astype(np.int32, copy=False)
+    val = vals[order].astype(np.float32, copy=False)
+    indptr = np.zeros(num_rows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=num_rows), out=indptr[1:])
+    return indptr, key, val
+
+
 def build_sppmi(indptr: np.ndarray, keys: np.ndarray, num_items: int,
                 window: int = 5, k: int = 1,
                 logger=None) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

@@ -16,7 +16,7 @@ import scipy.io
 import scipy.sparse
 
 from buffalo_tpu.data.base import Data, DataBuilder, DataOption
-from buffalo_tpu.data.fileio import parse_triples
+from buffalo_tpu.data.fileio import parse_triples_file
 from buffalo_tpu.utils import Option
 
 
@@ -111,7 +111,8 @@ class MatrixMarket(DataBuilder):
             while line.startswith("%"):
                 line = fin.readline()
             num_users, num_items, num_nnz = map(int, line.strip().split())
-            rows, cols, vals = parse_triples(fin)
+            skip_bytes = fin.tell()
+        rows, cols, vals = parse_triples_file(main, skip_bytes)
         if len(rows) != num_nnz:
             raise RuntimeError(
                 f"MatrixMarket header declares {num_nnz} entries "

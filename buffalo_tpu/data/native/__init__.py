@@ -1,0 +1,126 @@
+"""Native (C++/OpenMP) data kernels, bound via ctypes.
+
+Counterpart of the reference's Cython-bound native data layer
+(``buffalo/data/fileio.pyx`` + ``fileio.hpp``).  The shared library is
+compiled on first use with g++ and cached next to the source; when no
+compiler is available the callers fall back to the vectorized
+numpy/pandas paths in ``buffalo_tpu.data.fileio``.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fileio.cc")
+_LIB_PATH = os.path.join(_HERE, "_fileio.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+           "-std=c++17", _SRC, "-o", _LIB_PATH]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.isfile(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.fileio_count_lines.restype = ctypes.c_int64
+        lib.fileio_count_lines.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.fileio_parse_fill.restype = ctypes.c_int64
+        lib.fileio_parse_fill.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.fileio_build_csr.restype = ctypes.c_int
+        lib.fileio_build_csr.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def parse_triples_native(path: str, skip_bytes: int = 0):
+    """Parse ``row col [val]`` lines with the OpenMP kernel.
+
+    Returns (rows int64, cols int64, vals float32) or None when the
+    native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    bpath = path.encode()
+    n = lib.fileio_count_lines(bpath, skip_bytes)
+    if n < 0:
+        return None
+    rows = np.empty(n, dtype=np.int64)
+    cols = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.float32)
+    got = lib.fileio_parse_fill(bpath, skip_bytes,
+                                _ptr(rows, ctypes.c_int64),
+                                _ptr(cols, ctypes.c_int64),
+                                _ptr(vals, ctypes.c_float), n)
+    if got < 0:
+        return None
+    return rows[:got], cols[:got], vals[:got]
+
+
+def build_csr_native(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                     num_rows: int, sort_cols: bool = True):
+    """Counting-sort CSR build.  Returns (indptr, key, val) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nnz = len(rows)
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    indptr = np.zeros(num_rows + 1, dtype=np.int64)
+    out_key = np.empty(nnz, dtype=np.int32)
+    out_val = np.empty(nnz, dtype=np.float32)
+    rc = lib.fileio_build_csr(nnz, _ptr(rows, ctypes.c_int64),
+                              _ptr(cols, ctypes.c_int64),
+                              _ptr(vals, ctypes.c_float), num_rows,
+                              _ptr(indptr, ctypes.c_int64),
+                              _ptr(out_key, ctypes.c_int32),
+                              _ptr(out_val, ctypes.c_float),
+                              1 if sort_cols else 0)
+    if rc != 0:
+        return None
+    return indptr, out_key, out_val

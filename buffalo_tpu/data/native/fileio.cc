@@ -1,0 +1,246 @@
+// Native data-ingestion kernels: parallel text-triple parsing and CSR
+// compression.
+//
+// TPU-native counterpart of the reference's OpenMP fileio kernels
+// (buffalo/data/fileio.hpp: chunked parse at line boundaries,
+// __gnu_parallel::stable_sort + indptr emission, fileio.hpp:263-419).
+// Re-designed as a two-pass mmap parser (count, then fill) plus a
+// counting-sort CSR builder: counting sort by row is O(nnz) and
+// perfectly parallel, and the per-row column sort runs on OpenMP
+// threads — no global comparison sort needed.
+//
+// Exposed via a plain C ABI consumed through ctypes
+// (buffalo_tpu/data/fileio.py); numpy owns all buffers.
+
+#include <omp.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct MappedFile {
+    const char* data = nullptr;
+    int64_t size = 0;
+    int fd = -1;
+
+    bool open(const char* path) {
+        fd = ::open(path, O_RDONLY);
+        if (fd < 0) return false;
+        struct stat st;
+        if (fstat(fd, &st) != 0) { ::close(fd); return false; }
+        size = st.st_size;
+        if (size == 0) { data = nullptr; return true; }
+        void* p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (p == MAP_FAILED) { ::close(fd); return false; }
+        data = static_cast<const char*>(p);
+        return true;
+    }
+
+    ~MappedFile() {
+        if (data) munmap(const_cast<char*>(data), size);
+        if (fd >= 0) ::close(fd);
+    }
+};
+
+// Advance past the current line (returns index one past '\n').
+inline int64_t next_line(const char* d, int64_t pos, int64_t size) {
+    while (pos < size && d[pos] != '\n') ++pos;
+    return pos < size ? pos + 1 : size;
+}
+
+inline bool is_space(char c) { return c == ' ' || c == '\t' || c == '\r'; }
+
+// Parse one whitespace-separated "int int [float]" line.  Returns the
+// number of fields parsed (0 for blank/comment lines).
+inline int parse_line(const char* p, const char* end, int64_t* a,
+                      int64_t* b, double* v) {
+    while (p < end && is_space(*p)) ++p;
+    if (p >= end || *p == '%' || *p == '\n') return 0;
+    char* q;
+    *a = strtoll(p, &q, 10);
+    if (q == p) return 0;
+    p = q;
+    while (p < end && is_space(*p)) ++p;
+    *b = strtoll(p, &q, 10);
+    if (q == p) return 1;
+    p = q;
+    while (p < end && is_space(*p)) ++p;
+    if (p >= end || *p == '\n') { *v = 1.0; return 2; }
+    *v = strtod(p, &q);
+    if (q == p) { *v = 1.0; return 2; }
+    return 3;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: count data lines (non-blank, non-comment) after skip_bytes.
+int64_t fileio_count_lines(const char* path, int64_t skip_bytes) {
+    MappedFile f;
+    if (!f.open(path)) return -1;
+    const char* d = f.data;
+    const int64_t size = f.size;
+    if (skip_bytes >= size) return 0;
+
+    int num_threads = omp_get_max_threads();
+    std::vector<int64_t> counts(num_threads, 0);
+    const int64_t span = size - skip_bytes;
+    const int64_t chunk = std::max<int64_t>(1, span / num_threads);
+
+#pragma omp parallel num_threads(num_threads)
+    {
+        int tid = omp_get_thread_num();
+        int64_t beg = skip_bytes + tid * chunk;
+        int64_t end = (tid == num_threads - 1) ? size
+                                               : skip_bytes + (tid + 1) * chunk;
+        if (beg > size) beg = size;
+        if (end > size) end = size;
+        // align to line starts (first line handled by previous chunk)
+        if (tid != 0 && beg > skip_bytes) beg = next_line(d, beg - 1, size);
+        if (end < size) end = next_line(d, end - 1, size);
+        int64_t n = 0;
+        int64_t pos = beg;
+        while (pos < end) {
+            int64_t a, b;
+            double v;
+            if (parse_line(d + pos, d + end, &a, &b, &v) >= 2) ++n;
+            pos = next_line(d, pos, end);
+        }
+        counts[tid] = n;
+    }
+    int64_t total = 0;
+    for (auto c : counts) total += c;
+    return total;
+}
+
+// Pass 2: fill rows/cols/vals (caller-allocated, capacity elements).
+// Returns number of parsed triples or -1 on error.
+int64_t fileio_parse_fill(const char* path, int64_t skip_bytes,
+                          int64_t* rows, int64_t* cols, float* vals,
+                          int64_t capacity) {
+    MappedFile f;
+    if (!f.open(path)) return -1;
+    const char* d = f.data;
+    const int64_t size = f.size;
+    if (skip_bytes >= size) return 0;
+
+    int num_threads = omp_get_max_threads();
+    const int64_t span = size - skip_bytes;
+    const int64_t chunk = std::max<int64_t>(1, span / num_threads);
+
+    // per-chunk counts, then prefix-sum for write offsets
+    std::vector<int64_t> begs(num_threads), ends(num_threads),
+        counts(num_threads, 0);
+    for (int tid = 0; tid < num_threads; ++tid) {
+        int64_t beg = skip_bytes + tid * chunk;
+        int64_t end = (tid == num_threads - 1) ? size
+                                               : skip_bytes + (tid + 1) * chunk;
+        if (beg > size) beg = size;
+        if (end > size) end = size;
+        if (tid != 0 && beg > skip_bytes) beg = next_line(d, beg - 1, size);
+        if (end < size) end = next_line(d, end - 1, size);
+        begs[tid] = beg;
+        ends[tid] = end;
+    }
+#pragma omp parallel for num_threads(num_threads)
+    for (int tid = 0; tid < num_threads; ++tid) {
+        int64_t n = 0;
+        int64_t pos = begs[tid];
+        while (pos < ends[tid]) {
+            int64_t a, b;
+            double v;
+            if (parse_line(d + pos, d + ends[tid], &a, &b, &v) >= 2) ++n;
+            pos = next_line(d, pos, ends[tid]);
+        }
+        counts[tid] = n;
+    }
+    std::vector<int64_t> offsets(num_threads + 1, 0);
+    for (int t = 0; t < num_threads; ++t)
+        offsets[t + 1] = offsets[t] + counts[t];
+    if (offsets[num_threads] > capacity) return -2;
+
+#pragma omp parallel for num_threads(num_threads)
+    for (int tid = 0; tid < num_threads; ++tid) {
+        int64_t out = offsets[tid];
+        int64_t pos = begs[tid];
+        while (pos < ends[tid]) {
+            int64_t a, b;
+            double v = 1.0;
+            int nf = parse_line(d + pos, d + ends[tid], &a, &b, &v);
+            if (nf >= 2) {
+                rows[out] = a;
+                cols[out] = b;
+                vals[out] = (nf >= 3) ? static_cast<float>(v) : 1.0f;
+                ++out;
+            }
+            pos = next_line(d, pos, ends[tid]);
+        }
+    }
+    return offsets[num_threads];
+}
+
+// Stable CSR build: counting-sort triples by row (input order kept
+// within a row), then sort each row's entries by column in parallel.
+// indptr: int64[num_rows + 1]; out_key/out_val: int32/float[nnz].
+int fileio_build_csr(int64_t nnz, const int64_t* rows, const int64_t* cols,
+                     const float* vals, int64_t num_rows, int64_t* indptr,
+                     int32_t* out_key, float* out_val, int sort_cols) {
+    std::vector<std::atomic<int64_t>> counts(num_rows);
+    for (int64_t r = 0; r < num_rows; ++r)
+        counts[r].store(0, std::memory_order_relaxed);
+
+#pragma omp parallel for
+    for (int64_t i = 0; i < nnz; ++i) {
+        int64_t r = rows[i];
+        if (r < 0 || r >= num_rows) continue;
+        counts[r].fetch_add(1, std::memory_order_relaxed);
+    }
+    indptr[0] = 0;
+    for (int64_t r = 0; r < num_rows; ++r)
+        indptr[r + 1] = indptr[r] + counts[r].load(std::memory_order_relaxed);
+
+    // scatter (sequential to keep within-row input order stable)
+    std::vector<int64_t> cursor(indptr, indptr + num_rows);
+    for (int64_t i = 0; i < nnz; ++i) {
+        int64_t r = rows[i];
+        if (r < 0 || r >= num_rows) continue;
+        int64_t at = cursor[r]++;
+        out_key[at] = static_cast<int32_t>(cols[i]);
+        out_val[at] = vals[i];
+    }
+
+    if (sort_cols) {
+#pragma omp parallel for schedule(dynamic, 64)
+        for (int64_t r = 0; r < num_rows; ++r) {
+            int64_t beg = indptr[r], end = indptr[r + 1];
+            int64_t len = end - beg;
+            if (len <= 1) continue;
+            std::vector<std::pair<int32_t, float>> buf(len);
+            for (int64_t i = 0; i < len; ++i)
+                buf[i] = {out_key[beg + i], out_val[beg + i]};
+            std::stable_sort(buf.begin(), buf.end(),
+                             [](const auto& a, const auto& b) {
+                                 return a.first < b.first;
+                             });
+            for (int64_t i = 0; i < len; ++i) {
+                out_key[beg + i] = buf[i].first;
+                out_val[beg + i] = buf[i].second;
+            }
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

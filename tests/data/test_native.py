@@ -1,0 +1,59 @@
+"""Native C++ fileio kernels vs numpy reference implementations."""
+import numpy as np
+import pytest
+
+from buffalo_tpu.data.native import (build_csr_native, get_lib,
+                                     parse_triples_native)
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="native lib unavailable")
+
+
+def test_parse_matches_numpy(tmp_path):
+    path = tmp_path / "t.txt"
+    path.write_text("1 2 3.5\n4 5\n% comment\n\n6 7 -1.25e2\n10 11 0.125\n")
+    rows, cols, vals = parse_triples_native(str(path), 0)
+    assert rows.tolist() == [1, 4, 6, 10]
+    assert cols.tolist() == [2, 5, 7, 11]
+    np.testing.assert_allclose(vals, [3.5, 1.0, -125.0, 0.125])
+
+
+def test_parse_with_offset(tmp_path):
+    path = tmp_path / "t.txt"
+    header = "%%MatrixMarket matrix coordinate real general\n3 3 2\n"
+    path.write_text(header + "1 1 1.0\n2 2 2.0\n")
+    rows, cols, vals = parse_triples_native(str(path), len(header))
+    assert rows.tolist() == [1, 2]
+
+
+def test_parse_empty(tmp_path):
+    path = tmp_path / "e.txt"
+    path.write_text("")
+    rows, cols, vals = parse_triples_native(str(path), 0)
+    assert len(rows) == 0
+
+
+def test_csr_matches_lexsort():
+    rng = np.random.default_rng(5)
+    nnz, R, C = 50000, 400, 300
+    rows = rng.integers(0, R, nnz)
+    cols = rng.integers(0, C, nnz)
+    vals = rng.random(nnz).astype(np.float32)
+    indptr, key, val = build_csr_native(rows, cols, vals, R)
+    order = np.lexsort((cols, rows))
+    np.testing.assert_array_equal(key, cols[order].astype(np.int32))
+    np.testing.assert_allclose(val, vals[order])
+    expected = np.zeros(R + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=R), out=expected[1:])
+    np.testing.assert_array_equal(indptr, expected)
+
+
+def test_csr_unsorted_option_preserves_order():
+    rows = np.array([1, 0, 1, 0])
+    cols = np.array([9, 5, 2, 7])
+    vals = np.array([1, 2, 3, 4], dtype=np.float32)
+    indptr, key, val = build_csr_native(rows, cols, vals, 2,
+                                        sort_cols=False)
+    # input order within each row preserved (stream semantics)
+    assert key.tolist() == [5, 7, 9, 2]
+    assert val.tolist() == [2.0, 4.0, 1.0, 3.0]
