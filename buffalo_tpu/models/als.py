@@ -27,7 +27,7 @@ from buffalo_tpu.data.batching import DeviceBatcher
 from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import ALSOption
-from buffalo_tpu.ops.als_kernels import als_step
+from buffalo_tpu.ops.als_kernels import als_batch_step, als_epoch
 from buffalo_tpu.utils import log
 from buffalo_tpu import parallelism
 
@@ -116,36 +116,58 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             optimizer = "ialspp"
         return optimizer
 
-    def _iterate(self, batchers, P, Q, group="rowwise"):
-        """One half-epoch: precompute gramian, update every row of P."""
-        import jax.numpy as jnp
-
+    def _epoch_kwargs(self):
         opt = self.opt
-        item_axis = group == "colwise"
-        reg = opt.reg_i if item_axis else opt.reg_u
-        FF = jnp.dot(Q.T, Q, preferred_element_type=jnp.float32)
-        step = partial(
-            als_step,
+        return dict(
             optimizer=self._optimizer, alpha=float(opt.alpha),
-            reg=float(reg), adaptive_reg=bool(opt.adaptive_reg),
+            adaptive_reg=bool(opt.adaptive_reg),
             cg_iters=int(opt.num_cg_max_iters),
             cg_tol=float(opt.cg_tolerance),
             block_size=min(int(opt.block_size), int(opt.d)),
-            item_axis=item_axis, num_fixed_rows=Q.shape[0],
             compute_loss=bool(opt.compute_loss_on_training))
-        # accumulate loss terms as device scalars; sync once per half-epoch
-        # so step dispatches stay asynchronous
-        numes, denos = [], []
-        st = time.time()
-        for rows, lens, cols, vals in batchers[group]:
-            P, n, d = step(P, Q, FF, rows, lens, cols, vals)
-            numes.append(n)
-            denos.append(d)
-        nume = float(np.sum([np.asarray(x) for x in numes]))
-        deno = float(np.sum([np.asarray(x) for x in denos]))
-        self.logger.debug(
-            f"{group} updated: elapsed {time.time() - st:0.3f}s")
-        return P, nume, deno
+
+    def _run_epoch(self, batchers, P, Q):
+        """One full epoch; one XLA dispatch when data is device-resident.
+
+        Falls back to per-batch streaming dispatches (reference-style
+        ``batch_mb`` bounded memory, ``buffered_data.py:85-118``) when
+        the padded epoch exceeds the HBM budget.
+        """
+        import jax.numpy as jnp
+
+        opt = self.opt
+        kw = self._epoch_kwargs()
+        if all(batchers[g].resident for g in ("rowwise", "colwise")):
+            P, Q, nume, deno = als_epoch(
+                P, Q, tuple(batchers["rowwise"].device_batches()),
+                tuple(batchers["colwise"].device_batches()),
+                reg_u=float(opt.reg_u), reg_i=float(opt.reg_i), **kw)
+            return P, Q, float(nume), float(deno)
+
+        nume = deno = 0.0
+        for group in ("rowwise", "colwise"):
+            item_axis = group == "colwise"
+            A, Bf = (P, Q) if group == "rowwise" else (Q, P)
+            reg = opt.reg_i if item_axis else opt.reg_u
+            FF = jnp.dot(Bf.T, Bf, preferred_element_type=jnp.float32)
+            step = partial(als_batch_step, reg=float(reg),
+                           item_axis=item_axis, num_fixed_rows=Bf.shape[0],
+                           **kw)
+            numes, denos = [], []
+            st = time.time()
+            for batch in batchers[group]:
+                A, n, d = step(A, Bf, FF, batch)
+                numes.append(n)
+                denos.append(d)
+            nume += float(np.sum([np.asarray(x) for x in numes]))
+            deno += float(np.sum([np.asarray(x) for x in denos]))
+            self.logger.debug(
+                f"{group} updated: elapsed {time.time() - st:0.3f}s")
+            if group == "rowwise":
+                P = A
+            else:
+                Q = A
+        return P, Q, nume, deno
 
     def train(self, training_callback: Optional[
             Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
@@ -186,10 +208,9 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         full_st = time.time()
         for i in range(self.opt.num_iters):
             start_t = time.time()
-            P, nume1, deno1 = self._iterate(batchers, P, Q, group="rowwise")
-            Q, nume2, deno2 = self._iterate(batchers, Q, P, group="colwise")
+            P, Q, nume, deno = self._run_epoch(batchers, P, Q)
             train_t = time.time() - start_t
-            rmse = ((nume1 + nume2) / (deno1 + deno2 + self.opt.eps)) ** 0.5
+            rmse = (nume / (deno + self.opt.eps)) ** 0.5
             metrics = {"train_loss": rmse}
             if self.opt.get("validation") and \
                     self.opt.evaluation_on_learning and \

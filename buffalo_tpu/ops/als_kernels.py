@@ -21,6 +21,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from buffalo_tpu.data.batching import PaddedBatch, SegmentBatch
 from buffalo_tpu.ops.solve import solve, solve_cg
 
 
@@ -177,6 +178,145 @@ def ialspp_solve_batch(p: jax.Array, F: jax.Array, FF: jax.Array,
         Yui = Yui - jnp.einsum("bld,bd->bl", Fb, x,
                                preferred_element_type=jnp.float32)
     return p, nume, deno
+
+
+def als_solve_segment_batch(p: jax.Array, Q: jax.Array, FF: jax.Array,
+                            lens: jax.Array, seg_ids: jax.Array,
+                            chunk_lens: jax.Array, cols: jax.Array,
+                            vals: jax.Array,
+                            *, alpha: float, reg: float, adaptive_reg: bool,
+                            optimizer: str, cg_iters: int, cg_tol: float,
+                            item_axis: bool, num_fixed_rows: int,
+                            compute_loss: bool):
+    """Solve long rows whose entries arrive as fixed-width chunks.
+
+    p:          (R, d)  current rows being updated
+    Q:          fixed-side table (gathered per chunk here, so a power-law
+                head row never materializes as one multi-GB padded row)
+    seg_ids:    (Nc,) local row index of each chunk (padding -> R)
+    chunk_lens: (Nc,) valid entries per chunk; cols/vals: (Nc, C).
+
+    Per-chunk normal-equation statistics are accumulated per row with
+    ``segment_sum`` — numerically identical to the single-row padded
+    path (the reference's per-row loop ``als.cc:107-209`` visits the
+    same entries in CSR order).
+    """
+    R, d = p.shape
+    Nc, C = vals.shape
+    mask = (jnp.arange(C, dtype=jnp.int32)[None, :]
+            < chunk_lens[:, None]).astype(jnp.float32)
+    row_mask = (lens > 0).astype(jnp.float32)
+
+    F = jnp.take(Q, cols, axis=0)                       # (Nc, C, d)
+    w = vals * alpha * mask
+    Fw = F * w[:, :, None]
+    A_chunk = jnp.einsum("ncd,nce->nde", Fw, F,
+                         preferred_element_type=jnp.float32)
+    y_chunk = jnp.einsum("ncd,nc->nd", F, (1.0 + w) * mask,
+                         preferred_element_type=jnp.float32)
+    A_data = jax.ops.segment_sum(
+        A_chunk.reshape(Nc, d * d), seg_ids, num_segments=R + 1
+    )[:R].reshape(R, d, d)
+    y = jax.ops.segment_sum(y_chunk, seg_ids, num_segments=R + 1)[:R]
+
+    ada = jnp.where(adaptive_reg, lens.astype(jnp.float32), 1.0)
+    A = FF[None] + A_data \
+        + (reg * ada)[:, None, None] * jnp.eye(d, dtype=p.dtype)[None]
+
+    nume = deno = jnp.zeros((), jnp.float32)
+    if compute_loss:
+        p_sq = jnp.sum(p * p, axis=-1)
+        nume = jnp.sum(row_mask * ada * reg * p_sq)
+        if item_axis:
+            p_chunk = jnp.take(jnp.vstack([p, jnp.zeros((1, d), p.dtype)]),
+                               jnp.minimum(seg_ids, R), axis=0)
+            dots = jnp.einsum("ncd,nd->nc", F, p_chunk,
+                              preferred_element_type=jnp.float32)
+            pos = mask * (-dots * dots + (dots - 1.0) ** 2 * (1.0 + w))
+            pFFp = jnp.einsum("rd,de,re->r", p, FF, p,
+                              preferred_element_type=jnp.float32)
+            nume = nume + jnp.sum(row_mask * pFFp) + jnp.sum(pos)
+            deno = deno + jnp.sum(row_mask) * num_fixed_rows + jnp.sum(w)
+
+    x = solve(A, y, p, optimizer if optimizer != "ialspp" else "manual_cg",
+              num_iters=max(cg_iters, 3), tolerance=cg_tol)
+    x = jnp.where(row_mask[:, None] > 0, x, p)
+    return x, nume, deno
+
+
+def _apply_batch(A, Bf, FF, batch, *, optimizer, alpha, reg, adaptive_reg,
+                 cg_iters, cg_tol, block_size, item_axis, num_fixed_rows,
+                 compute_loss):
+    """Update table ``A`` with one batch (padded or segment) against ``Bf``."""
+    common = dict(alpha=alpha, reg=reg, adaptive_reg=adaptive_reg,
+                  item_axis=item_axis, num_fixed_rows=num_fixed_rows,
+                  compute_loss=compute_loss)
+    rows = batch.rows
+    safe_rows = jnp.minimum(rows, A.shape[0] - 1)
+    p = jnp.take(A, safe_rows, axis=0)
+    if isinstance(batch, SegmentBatch):
+        x, nume, deno = als_solve_segment_batch(
+            p, Bf, FF, batch.lens, batch.seg_ids, batch.chunk_lens,
+            batch.cols, batch.vals, optimizer=optimizer,
+            cg_iters=cg_iters, cg_tol=cg_tol, **common)
+    else:
+        F = jnp.take(Bf, batch.cols, axis=0)
+        if optimizer == "ialspp":
+            x, nume, deno = ialspp_solve_batch(
+                p, F, FF, batch.lens, batch.vals, block_size=block_size,
+                cg_tol=cg_tol, **common)
+        else:
+            x, nume, deno = als_solve_batch(
+                p, F, FF, batch.lens, batch.vals, optimizer=optimizer,
+                cg_iters=cg_iters, cg_tol=cg_tol, **common)
+    A = A.at[rows].set(x, mode="drop")
+    return A, nume, deno
+
+
+@partial(jax.jit, static_argnames=(
+    "optimizer", "alpha", "reg", "adaptive_reg", "cg_iters", "cg_tol",
+    "block_size", "item_axis", "num_fixed_rows", "compute_loss"),
+    donate_argnums=(0,))
+def als_batch_step(A, Bf, FF, batch, *, optimizer, alpha, reg, adaptive_reg,
+                   cg_iters, cg_tol, block_size, item_axis, num_fixed_rows,
+                   compute_loss):
+    """Streaming-mode per-batch step (PaddedBatch or SegmentBatch)."""
+    return _apply_batch(
+        A, Bf, FF, batch, optimizer=optimizer, alpha=alpha, reg=reg,
+        adaptive_reg=adaptive_reg, cg_iters=cg_iters, cg_tol=cg_tol,
+        block_size=block_size, item_axis=item_axis,
+        num_fixed_rows=num_fixed_rows, compute_loss=compute_loss)
+
+
+@partial(jax.jit, static_argnames=(
+    "optimizer", "alpha", "reg_u", "reg_i", "adaptive_reg", "cg_iters",
+    "cg_tol", "block_size", "compute_loss"), donate_argnums=(0, 1))
+def als_epoch(P, Q, row_batches, col_batches, *, optimizer, alpha, reg_u,
+              reg_i, adaptive_reg, cg_iters, cg_tol, block_size,
+              compute_loss):
+    """One full ALS epoch — gramian + both half-epochs — in ONE dispatch.
+
+    The reference pays one C++ call per chunk (`als.py:115-143`); on a
+    remote TPU every dispatch costs a network round trip, so the whole
+    epoch (all resident batches of both orientations, including the
+    gramian precomputes) compiles into a single XLA program.  P and Q
+    are donated and updated in place in HBM.
+    """
+    common = dict(optimizer=optimizer, alpha=alpha, adaptive_reg=adaptive_reg,
+                  cg_iters=cg_iters, cg_tol=cg_tol, block_size=block_size,
+                  compute_loss=compute_loss)
+    nume = deno = jnp.zeros((), jnp.float32)
+    FF = jnp.dot(Q.T, Q, preferred_element_type=jnp.float32)
+    for batch in row_batches:
+        P, n, dn = _apply_batch(P, Q, FF, batch, reg=reg_u, item_axis=False,
+                                num_fixed_rows=Q.shape[0], **common)
+        nume, deno = nume + n, deno + dn
+    FF = jnp.dot(P.T, P, preferred_element_type=jnp.float32)
+    for batch in col_batches:
+        Q, n, dn = _apply_batch(Q, P, FF, batch, reg=reg_i, item_axis=True,
+                                num_fixed_rows=P.shape[0], **common)
+        nume, deno = nume + n, deno + dn
+    return P, Q, nume, deno
 
 
 @partial(jax.jit, static_argnames=(

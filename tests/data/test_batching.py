@@ -49,8 +49,8 @@ def test_bounded_shape_count():
     degrees = rng.integers(1, 5000, size=2000)
     indptr, key, val = _csr_from_degrees(degrees, num_items=1000)
     planner = BatchPlanner(indptr, entries_per_batch=1 << 16)
-    # power-of-two buckets: at most log2(5000/8) ~ 10 shapes
-    assert len(planner.shapes()) <= 12
+    # ~1.25-geometric buckets: ~log1.25(5000/8) ~ 29 shapes
+    assert len(planner.shapes()) <= 32
     for (B, L) in planner.shapes():
         assert B * L <= max(1 << 16, L * 8)
 
