@@ -171,6 +171,29 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                     verify_neg=bool(opt.verify_neg),
                     use_cum_table=self._cum_table is not None)
 
+    def _stage_epoch_chunks(self, batch_size):
+        """Device-resident (nchunks, N) positives in CSR order.
+
+        The reference's job queue also walks rows in CSR order
+        (``algo.cc:308-362``); padding entries beyond nnz are masked
+        inside the fused epoch.
+        """
+        import jax
+
+        group = self.data.get_group("rowwise")
+        indptr = np.asarray(group["indptr"], dtype=np.int64)
+        users = np.repeat(np.arange(len(indptr) - 1, dtype=np.int32),
+                          np.diff(indptr))
+        items = np.asarray(group["key"], dtype=np.int32)
+        nnz = len(items)
+        nchunks = -(-nnz // batch_size)
+        pad = nchunks * batch_size - nnz
+        if pad:
+            users = np.concatenate([users, np.zeros(pad, np.int32)])
+            items = np.concatenate([items, np.zeros(pad, np.int32)])
+        return (jax.device_put(users.reshape(nchunks, batch_size)),
+                jax.device_put(items.reshape(nchunks, batch_size)), nnz)
+
     def train(self, training_callback: Optional[
             Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
         assert self.data, "Data is not set"
@@ -184,12 +207,11 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         batch_size = int(opt.get("batch_size") or 0)
         if batch_size <= 0:
             batch_size = min(self.num_nnz, 1 << 19)
-        coo = COOBatcher(self.data, chunk_size=batch_size, shuffle=True,
-                         seed=int(opt.random_seed))
 
         group = self.data.get_group("rowwise")
-        indptr = jax.device_put(np.asarray(group["indptr"], dtype=np.int64))
-        keys = jax.device_put(np.asarray(group["key"], dtype=np.int32))
+        bloom_np, bloom_log2 = K.build_bloom(
+            np.asarray(group["indptr"]), np.asarray(group["key"]))
+        bloom = jax.device_put(bloom_np)
         cum_table = (jax.device_put(self._cum_table)
                      if self._cum_table is not None
                      else jnp.zeros((1,), jnp.float32))
@@ -198,20 +220,38 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         self._Q = jax.device_put(self.Q)
         self._Qb = jax.device_put(self.Qb)
         statics = self._static_opts()
-
+        pcn = bool(opt.per_coordinate_normalize)
         deferred = optimizer != "sgd"
-        if deferred:
-            gradP = jnp.zeros_like(self._P)
-            gradQ = jnp.zeros_like(self._Q)
-            gradQb = jnp.zeros_like(self._Qb)
-            countP = jnp.zeros(self._P.shape[0], jnp.float32)
-            countQ = jnp.zeros(self._Q.shape[0], jnp.float32)
-            mP = jnp.zeros_like(self._P)
-            vP = jnp.zeros_like(self._P)
-            mQ = jnp.zeros_like(self._Q)
-            vQ = jnp.zeros_like(self._Q)
-            mQb = jnp.zeros_like(self._Qb)
-            vQb = jnp.zeros_like(self._Qb)
+
+        # device-resident fused epoch unless the COO exceeds the budget
+        resident_mb = int(opt.get("resident_mb", 4096))
+        resident = (self.num_nnz * 8) <= resident_mb * 1024 * 1024
+        if resident:
+            users_c, items_c, nnz = self._stage_epoch_chunks(batch_size)
+            opt_state = {}
+            if deferred:
+                opt_state = {"mP": jnp.zeros_like(self._P),
+                             "vP": jnp.zeros_like(self._P),
+                             "mQ": jnp.zeros_like(self._Q),
+                             "vQ": jnp.zeros_like(self._Q)}
+                if opt.use_bias:
+                    opt_state["mQb"] = jnp.zeros_like(self._Qb)
+                    opt_state["vQb"] = jnp.zeros_like(self._Qb)
+        else:
+            coo = COOBatcher(self.data, chunk_size=batch_size,
+                             shuffle=True, seed=int(opt.random_seed))
+            if deferred:
+                gradP = jnp.zeros_like(self._P)
+                gradQ = jnp.zeros_like(self._Q)
+                gradQb = jnp.zeros_like(self._Qb)
+                countP = jnp.zeros(self._P.shape[0], jnp.float32)
+                countQ = jnp.zeros(self._Q.shape[0], jnp.float32)
+                mP = jnp.zeros_like(self._P)
+                vP = jnp.zeros_like(self._P)
+                mQ = jnp.zeros_like(self._Q)
+                vQ = jnp.zeros_like(self._Q)
+                mQb = jnp.zeros_like(self._Qb)
+                vQb = jnp.zeros_like(self._Qb)
 
         self.sampling_loss_samples()
 
@@ -222,53 +262,68 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         full_st = time.time()
         for i in range(opt.num_iters):
             start_t = time.time()
-            for users, positives, _vals in coo:
+            if resident:
                 rng, sub = jax.random.split(rng)
-                if deferred:
-                    gradP, gradQ, gradQb, countP, countQ = \
-                        K.bpr_accumulate_step(
-                            self._P, self._Q, self._Qb, gradP, gradQ,
-                            gradQb, countP, countQ, users, positives,
-                            indptr, keys, cum_table, sub,
-                            per_coordinate_normalize=bool(
-                                opt.per_coordinate_normalize),
+                self._P, self._Q, self._Qb, opt_state = K.bpr_epoch(
+                    self._P, self._Q, self._Qb, opt_state,
+                    users_c, items_c, bloom, cum_table, sub,
+                    jnp.int32(i), optimizer=optimizer,
+                    bloom_log2=bloom_log2,
+                    per_coordinate_normalize=pcn, lr=float(opt.lr),
+                    min_lr=float(opt.min_lr), beta1=float(opt.beta1),
+                    beta2=float(opt.beta2), reg_u=float(opt.reg_u),
+                    reg_i=float(opt.reg_i), reg_j=float(opt.reg_j),
+                    reg_b=float(opt.reg_b), num_valid=nnz,
+                    total_samples=total_samples, **statics)
+                train_t = time.time() - start_t
+            else:
+                for users, positives, _vals in coo:
+                    rng, sub = jax.random.split(rng)
+                    if deferred:
+                        gradP, gradQ, gradQb, countP, countQ = \
+                            K.bpr_accumulate_step(
+                                self._P, self._Q, self._Qb, gradP, gradQ,
+                                gradQb, countP, countQ, users, positives,
+                                bloom, cum_table, sub,
+                                per_coordinate_normalize=pcn,
+                                bloom_log2=bloom_log2,
+                                **statics)
+                    else:
+                        # linear lr decay by progress (algo.cc:283-287)
+                        progress = processed / total_samples
+                        lr = max(opt.lr - (opt.lr - opt.min_lr) * progress,
+                                 opt.min_lr)
+                        self._P, self._Q, self._Qb = K.bpr_sgd_step(
+                            self._P, self._Q, self._Qb, users, positives,
+                            bloom, cum_table, sub,
+                            jnp.float32(lr),
+                            reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
+                            reg_j=float(opt.reg_j), reg_b=float(opt.reg_b),
+                            bloom_log2=bloom_log2,
                             **statics)
-                else:
-                    # linear lr decay by progress (algo.cc:283-287)
-                    progress = processed / total_samples
-                    lr = max(opt.lr - (opt.lr - opt.min_lr) * progress,
-                             opt.min_lr)
-                    self._P, self._Q, self._Qb = K.bpr_sgd_step(
-                        self._P, self._Q, self._Qb, users, positives,
-                        indptr, keys, cum_table, sub,
-                        jnp.float32(lr),
-                        reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
-                        reg_j=float(opt.reg_j), reg_b=float(opt.reg_b),
-                        **statics)
-                processed += len(users)
-            if deferred:
-                pcn = bool(opt.per_coordinate_normalize)
-                self._P, gradP, mP, vP = K.apply_deferred_update(
-                    self._P, gradP, mP, vP, countP, i, optimizer=optimizer,
-                    lr=float(opt.lr), beta1=float(opt.beta1),
-                    beta2=float(opt.beta2), reg=float(opt.reg_u),
-                    per_coordinate_normalize=pcn)
-                self._Q, gradQ, mQ, vQ = K.apply_deferred_update(
-                    self._Q, gradQ, mQ, vQ, countQ, i, optimizer=optimizer,
-                    lr=float(opt.lr), beta1=float(opt.beta1),
-                    beta2=float(opt.beta2), reg=float(opt.reg_i),
-                    per_coordinate_normalize=pcn)
-                if opt.use_bias:
-                    self._Qb, gradQb, mQb, vQb = K.apply_deferred_update(
-                        self._Qb, gradQb, mQb, vQb, countQ, i,
-                        optimizer=optimizer, lr=float(opt.lr),
-                        beta1=float(opt.beta1), beta2=float(opt.beta2),
-                        reg=float(opt.reg_b),
+                    processed += len(users)
+                if deferred:
+                    self._P, gradP, mP, vP = K.apply_deferred_update(
+                        self._P, gradP, mP, vP, countP, i, optimizer=optimizer,
+                        lr=float(opt.lr), beta1=float(opt.beta1),
+                        beta2=float(opt.beta2), reg=float(opt.reg_u),
                         per_coordinate_normalize=pcn)
-                if pcn:
-                    countP = jnp.zeros_like(countP)
-                    countQ = jnp.zeros_like(countQ)
-            train_t = time.time() - start_t
+                    self._Q, gradQ, mQ, vQ = K.apply_deferred_update(
+                        self._Q, gradQ, mQ, vQ, countQ, i, optimizer=optimizer,
+                        lr=float(opt.lr), beta1=float(opt.beta1),
+                        beta2=float(opt.beta2), reg=float(opt.reg_i),
+                        per_coordinate_normalize=pcn)
+                    if opt.use_bias:
+                        self._Qb, gradQb, mQb, vQb = K.apply_deferred_update(
+                            self._Qb, gradQb, mQb, vQb, countQ, i,
+                            optimizer=optimizer, lr=float(opt.lr),
+                            beta1=float(opt.beta1), beta2=float(opt.beta2),
+                            reg=float(opt.reg_b),
+                            per_coordinate_normalize=pcn)
+                    if pcn:
+                        countP = jnp.zeros_like(countP)
+                        countQ = jnp.zeros_like(countQ)
+                train_t = time.time() - start_t
 
             loss = self.compute_loss()
             metrics = {"train_loss": loss}

@@ -163,23 +163,50 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         batch_size = int(opt.get("batch_size") or 0)
         if batch_size <= 0:
             batch_size = min(self.num_nnz, 1 << 18)
-        coo = COOBatcher(self.data, chunk_size=batch_size, shuffle=True,
-                         seed=int(opt.random_seed))
 
         group = self.data.get_group("rowwise")
         indptr = jax.device_put(np.asarray(group["indptr"], dtype=np.int64))
-        keys = jax.device_put(np.asarray(group["key"], dtype=np.int32))
+        bloom_np, bloom_log2 = K.build_bloom(
+            np.asarray(group["indptr"]), np.asarray(group["key"]))
+        bloom = jax.device_put(bloom_np)
 
         self._P = jax.device_put(self.P)
         self._Q = jax.device_put(self.Q)
-        gradP = jnp.zeros_like(self._P)
-        gradQ = jnp.zeros_like(self._Q)
-        countP = jnp.zeros(self._P.shape[0], jnp.float32)
-        countQ = jnp.zeros(self._Q.shape[0], jnp.float32)
-        mP = jnp.zeros_like(self._P)
-        vP = jnp.zeros_like(self._P)
-        mQ = jnp.zeros_like(self._Q)
-        vQ = jnp.zeros_like(self._Q)
+
+        resident_mb = int(opt.get("resident_mb", 4096))
+        resident = (self.num_nnz * 8) <= resident_mb * 1024 * 1024
+        if resident:
+            # device-resident chunks, one fused dispatch per epoch
+            indptr_np = np.asarray(group["indptr"], dtype=np.int64)
+            users_np = np.repeat(
+                np.arange(len(indptr_np) - 1, dtype=np.int32),
+                np.diff(indptr_np))
+            items_np = np.asarray(group["key"], dtype=np.int32)
+            nnz = len(items_np)
+            nchunks = -(-nnz // batch_size)
+            pad = nchunks * batch_size - nnz
+            if pad:
+                users_np = np.concatenate([users_np,
+                                           np.zeros(pad, np.int32)])
+                items_np = np.concatenate([items_np,
+                                           np.zeros(pad, np.int32)])
+            users_c = jax.device_put(users_np.reshape(nchunks, batch_size))
+            items_c = jax.device_put(items_np.reshape(nchunks, batch_size))
+            opt_state = {"mP": jnp.zeros_like(self._P),
+                         "vP": jnp.zeros_like(self._P),
+                         "mQ": jnp.zeros_like(self._Q),
+                         "vQ": jnp.zeros_like(self._Q)}
+        else:
+            coo = COOBatcher(self.data, chunk_size=batch_size, shuffle=True,
+                             seed=int(opt.random_seed))
+            gradP = jnp.zeros_like(self._P)
+            gradQ = jnp.zeros_like(self._Q)
+            countP = jnp.zeros(self._P.shape[0], jnp.float32)
+            countQ = jnp.zeros(self._Q.shape[0], jnp.float32)
+            mP = jnp.zeros_like(self._P)
+            vP = jnp.zeros_like(self._P)
+            mQ = jnp.zeros_like(self._Q)
+            vQ = jnp.zeros_like(self._Q)
 
         num_candidates = int(min(max(int(opt.max_trials), 2), 64))
         statics = dict(num_items=num_items, num_candidates=num_candidates,
@@ -190,7 +217,8 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
                        update_i=bool(opt.update_i),
                        update_j=bool(opt.update_j),
                        per_coordinate_normalize=bool(
-                           opt.per_coordinate_normalize))
+                           opt.per_coordinate_normalize),
+                       bloom_log2=bloom_log2)
 
         self.sampling_loss_samples()
         rng = jax.random.PRNGKey(int(opt.random_seed))
@@ -199,28 +227,38 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         full_st = time.time()
         for i in range(opt.num_iters):
             start_t = time.time()
-            for users, positives, _vals in coo:
+            if resident:
                 rng, sub = jax.random.split(rng)
-                gradP, gradQ, countP, countQ = W.warp_accumulate_step(
-                    self._P, self._Q, gradP, gradQ, countP, countQ,
-                    users, positives, indptr, keys, sub, **statics)
-            self._P, gradP, mP, vP = K.apply_deferred_update(
-                self._P, gradP, mP, vP, countP, i,
-                optimizer=str(opt.optimizer), lr=float(opt.lr),
-                beta1=float(opt.beta1), beta2=float(opt.beta2),
-                reg=float(opt.reg_u), per_coordinate_normalize=pcn)
-            self._Q, gradQ, mQ, vQ = K.apply_deferred_update(
-                self._Q, gradQ, mQ, vQ, countQ, i,
-                optimizer=str(opt.optimizer), lr=float(opt.lr),
-                beta1=float(opt.beta1), beta2=float(opt.beta2),
-                reg=float(opt.reg_i), per_coordinate_normalize=pcn)
-            # post-step unit-ball projection (warp.cc:192-201)
-            self._P = W.project_unit_ball(self._P)
-            self._Q = W.project_unit_ball(self._Q)
-            if pcn:
-                countP = jnp.zeros_like(countP)
-                countQ = jnp.zeros_like(countQ)
-            train_t = time.time() - start_t
+                self._P, self._Q, opt_state = W.warp_epoch(
+                    self._P, self._Q, opt_state, users_c, items_c,
+                    indptr, bloom, sub, jnp.int32(i),
+                    optimizer=str(opt.optimizer), lr=float(opt.lr),
+                    beta1=float(opt.beta1), beta2=float(opt.beta2),
+                    num_valid=nnz, **statics)
+                train_t = time.time() - start_t
+            else:
+                for users, positives, _vals in coo:
+                    rng, sub = jax.random.split(rng)
+                    gradP, gradQ, countP, countQ = W.warp_accumulate_step(
+                        self._P, self._Q, gradP, gradQ, countP, countQ,
+                        users, positives, indptr, bloom, sub, **statics)
+                self._P, gradP, mP, vP = K.apply_deferred_update(
+                    self._P, gradP, mP, vP, countP, i,
+                    optimizer=str(opt.optimizer), lr=float(opt.lr),
+                    beta1=float(opt.beta1), beta2=float(opt.beta2),
+                    reg=float(opt.reg_u), per_coordinate_normalize=pcn)
+                self._Q, gradQ, mQ, vQ = K.apply_deferred_update(
+                    self._Q, gradQ, mQ, vQ, countQ, i,
+                    optimizer=str(opt.optimizer), lr=float(opt.lr),
+                    beta1=float(opt.beta1), beta2=float(opt.beta2),
+                    reg=float(opt.reg_i), per_coordinate_normalize=pcn)
+                # post-step unit-ball projection (warp.cc:192-201)
+                self._P = W.project_unit_ball(self._P)
+                self._Q = W.project_unit_ball(self._Q)
+                if pcn:
+                    countP = jnp.zeros_like(countP)
+                    countQ = jnp.zeros_like(countQ)
+                train_t = time.time() - start_t
 
             loss = self.compute_loss()
             metrics = {"train_loss": loss}

@@ -6,9 +6,12 @@ doing lock-free in-place updates (``lib/algo.cc:133-493``,
 disappears: a megabatch of (user, positive) pairs is drawn, negatives
 are sampled vectorized (uniform or popularity^power via cumulative
 table, ``bpr.cc:105-117``), rejection of seen items becomes a fixed-K
-oversample + first-valid select backed by a batched binary search over
-the CSR row (``verify_neg``), and gradients land via deterministic
-scatter-adds.  The deferred-gradient adam/adagrad barrier
+oversample + first-valid select backed by a bloom-filter membership
+probe (``verify_neg`` — never false-negative, so a positive is never
+accepted as a negative), and gradients land via deterministic
+scatter-adds.  ``bpr_epoch`` runs a whole epoch as one XLA program
+(lax.scan over device-resident chunks) — on a remote TPU the
+per-dispatch round trip would otherwise dominate.  The deferred-gradient adam/adagrad barrier
 (``algo.cc:382-465``: accumulate all epoch gradients, then one
 optimizer step per epoch, with optional per-coordinate normalization)
 is reproduced exactly.
@@ -32,6 +35,76 @@ def draw_negatives(key: jax.Array, shape, num_items: int,
         return jax.random.randint(key, shape, 0, num_items, dtype=jnp.int32)
     r = jax.random.uniform(key, shape) * cum_table[-1]
     return jnp.searchsorted(cum_table, r, side="right").astype(jnp.int32)
+
+
+# ---------------------------------------------------------- bloom filter
+import numpy as _np
+
+_MIX_C1 = _np.uint32(0x7feb352d)
+_MIX_C2 = _np.uint32(0x846ca68b)
+_SEED_1 = _np.uint32(0x9e3779b9)
+_SEED_2 = _np.uint32(0x85ebca6b)
+
+
+def _mix32(x):
+    """32-bit finalizer (splitmix-style avalanche), same math in
+    numpy-uint32 (build) and jnp-uint32 (query)."""
+    x = x ^ (x >> 16)
+    x = x * _MIX_C1
+    x = x ^ (x >> 15)
+    x = x * _MIX_C2
+    x = x ^ (x >> 16)
+    return x
+
+
+def _bloom_hashes(u, i, log2_bits):
+    """Two independent bucket indices for pair (u, i)."""
+    h1 = _mix32(u ^ _mix32(i ^ _SEED_1))
+    h2 = _mix32(i ^ _mix32(u ^ _SEED_2))
+    m = _np.uint32((1 << log2_bits) - 1)
+    return h1 & m, h2 & m
+
+
+def build_bloom(indptr: "np.ndarray", keys: "np.ndarray",
+                bits_per_entry: int = 8):
+    """Host-side bloom filter over all (user, item) positives.
+
+    Replaces the per-sample CSR binary search of negative verification
+    (the reference's per-thread ``unordered_set`` seen-test,
+    ``bpr.cc:103,115``) with 2 word-gathers per candidate.  Never
+    false-negative — a true positive is always flagged seen; the ~2%
+    false-positive rate only causes a valid negative to be resampled.
+
+    Returns (words uint32[M/32], log2_bits).
+    """
+    import numpy as np
+
+    nnz = len(keys)
+    log2_bits = max(16, int(np.ceil(np.log2(max(1, nnz * bits_per_entry)))))
+    log2_bits = min(log2_bits, 30)
+    users = np.repeat(
+        np.arange(len(indptr) - 1, dtype=np.uint32),
+        np.diff(np.asarray(indptr))).astype(np.uint32)
+    items = np.asarray(keys, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        h1, h2 = _bloom_hashes(users, items, log2_bits)
+    words = np.zeros(1 << (log2_bits - 5), dtype=np.uint32)
+    for h in (h1, h2):
+        np.bitwise_or.at(words, (h >> 5).astype(np.int64),
+                         np.uint32(1) << (h & 31))
+    return words, log2_bits
+
+
+def bloom_contains(words: jax.Array, log2_bits: int, u: jax.Array,
+                   i: jax.Array) -> jax.Array:
+    """Vectorized membership probe: 2 gathers per (u, i) pair."""
+    h1, h2 = _bloom_hashes(u.astype(jnp.uint32), i.astype(jnp.uint32),
+                           log2_bits)
+    b1 = (words[(h1 >> 5).astype(jnp.int32)]
+          >> (h1 & 31)) & jnp.uint32(1)
+    b2 = (words[(h2 >> 5).astype(jnp.int32)]
+          >> (h2 & 31)) & jnp.uint32(1)
+    return (b1 & b2) == 1
 
 
 def row_contains(items: jax.Array, rows: jax.Array, indptr: jax.Array,
@@ -62,21 +135,23 @@ def row_contains(items: jax.Array, rows: jax.Array, indptr: jax.Array,
 
 def sample_verified_negatives(key: jax.Array, users: jax.Array,
                               num_items: int, cum_table,
-                              indptr, keys, verify: bool,
+                              bloom_words, bloom_log2: int, verify: bool,
                               num_attempts: int = 4) -> jax.Array:
     """K-attempt rejection sampling: first candidate not seen by the user.
 
     Fixed-shape analog of the reference's unbounded
     ``while !verify_neg || seen.find(neg)==end`` loop (bpr.cc:107-117):
-    draw ``num_attempts`` candidates per sample and pick the first that
-    is not a positive of the user (falling back to the last candidate —
-    at ML sparsity the miss probability is (nnz/users/items)^K ~ 0).
+    draw ``num_attempts`` candidates per sample and pick the first whose
+    bloom probe says "not a positive of the user" (falling back to the
+    last candidate — at ML sparsity the miss probability is
+    (nnz/users/items)^K ~ 0).
     """
     B = users.shape[0]
     cand = draw_negatives(key, (num_attempts, B), num_items, cum_table)
     if not verify:
         return cand[0]
-    seen = jax.vmap(lambda c: row_contains(c, users, indptr, keys))(cand)
+    seen = jax.vmap(lambda c: bloom_contains(bloom_words, bloom_log2,
+                                             users, c))(cand)
     ok = ~seen  # (K, B)
     first = jnp.argmax(ok, axis=0)  # first valid attempt (0 if none)
     any_ok = jnp.any(ok, axis=0)
@@ -145,19 +220,20 @@ def _bpr_forward(P, Q, Qb, u, pos, neg, use_bias):
 
 @partial(jax.jit, static_argnames=(
     "num_items", "num_negatives", "use_bias", "update_i", "update_j",
-    "verify_neg", "use_cum_table", "per_coordinate_normalize"),
+    "verify_neg", "use_cum_table", "per_coordinate_normalize",
+    "bloom_log2"),
     donate_argnums=(3, 4, 5, 6, 7))
 def bpr_accumulate_step(P, Q, Qb, gradP, gradQ, gradQb, countP, countQ,
-                        users, positives, indptr, keys, cum_table, rng_key,
+                        users, positives, bloom_words, cum_table, rng_key,
                         *, num_items, num_negatives, use_bias, update_i,
-                        update_j, verify_neg, use_cum_table,
+                        update_j, verify_neg, use_cum_table, bloom_log2,
                         per_coordinate_normalize):
     """Deferred-gradient megabatch (adam/adagrad path, bpr.cc:138-156)."""
     u = jnp.repeat(users, num_negatives)
     pos = jnp.repeat(positives, num_negatives)
     neg = sample_verified_negatives(
         rng_key, u, num_items, cum_table if use_cum_table else None,
-        indptr, keys, verify_neg)
+        bloom_words, bloom_log2, verify_neg)
     p, qi, qj, logit = _bpr_forward(P, Q, Qb, u, pos, neg, use_bias)
 
     gradP = gradP.at[u].add(logit[:, None] * (qi - qj))
@@ -179,19 +255,20 @@ def bpr_accumulate_step(P, Q, Qb, gradP, gradQ, gradQb, countP, countQ,
 
 @partial(jax.jit, static_argnames=(
     "num_items", "num_negatives", "use_bias", "update_i", "update_j",
-    "verify_neg", "use_cum_table", "reg_u", "reg_i", "reg_j", "reg_b"),
+    "verify_neg", "use_cum_table", "reg_u", "reg_i", "reg_j", "reg_b",
+    "bloom_log2"),
     donate_argnums=(0, 1, 2))
-def bpr_sgd_step(P, Q, Qb, users, positives, indptr, keys, cum_table,
+def bpr_sgd_step(P, Q, Qb, users, positives, bloom_words, cum_table,
                  rng_key, lr, *, num_items, num_negatives, use_bias,
                  update_i, update_j, verify_neg, use_cum_table,
-                 reg_u, reg_i, reg_j, reg_b):
+                 bloom_log2, reg_u, reg_i, reg_j, reg_b):
     """Plain-SGD megabatch: the deterministic stand-in for hogwild
     in-place updates (bpr.cc:157-172), with per-sample L2 terms."""
     u = jnp.repeat(users, num_negatives)
     pos = jnp.repeat(positives, num_negatives)
     neg = sample_verified_negatives(
         rng_key, u, num_items, cum_table if use_cum_table else None,
-        indptr, keys, verify_neg)
+        bloom_words, bloom_log2, verify_neg)
     p, qi, qj, logit = _bpr_forward(P, Q, Qb, u, pos, neg, use_bias)
 
     gp = logit[:, None] * (qi - qj) - reg_u * p
@@ -206,6 +283,123 @@ def bpr_sgd_step(P, Q, Qb, users, positives, indptr, keys, cum_table,
         if use_bias:
             Qb = Qb.at[neg].add(lr * (-logit - reg_b * jnp.take(Qb, neg)))
     return P, Q, Qb
+
+
+@partial(jax.jit, static_argnames=(
+    "optimizer", "num_items", "num_negatives", "use_bias", "update_i",
+    "update_j", "verify_neg", "use_cum_table", "per_coordinate_normalize",
+    "lr", "min_lr", "beta1", "beta2", "reg_u", "reg_i", "reg_j", "reg_b",
+    "num_valid", "total_samples", "bloom_log2"), donate_argnums=(0, 1, 2, 3))
+def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
+              cum_table, rng_key, step, *, optimizer, num_items,
+              num_negatives, use_bias, update_i, update_j, verify_neg,
+              use_cum_table, bloom_log2, per_coordinate_normalize, lr,
+              min_lr, beta1, beta2, reg_u, reg_i, reg_j, reg_b, num_valid,
+              total_samples):
+    """One full BPR epoch in ONE dispatch: lax.scan over resident chunks.
+
+    ``users``/``positives`` are the epoch's positives pre-reshaped to
+    (nchunks, N) on device (CSR order — the reference's job queue also
+    walks rows in order, ``algo.cc:308-362``); entries beyond
+    ``num_valid`` are padding and masked out.  For sgd the learning
+    rate decays linearly with global progress inside the scan
+    (``algo.cc:283-287``); for adam/adagrad gradients accumulate across
+    the whole scan and one deferred optimizer step applies at the
+    epoch barrier (``algo.cc:382-465``).
+    """
+    nchunks, N = users.shape
+    deferred = optimizer != "sgd"
+    ct = cum_table if use_cum_table else None
+
+    def chunk_forward(P, Q, Qb, u_chunk, pos_chunk, cidx, key):
+        base = cidx * N
+        valid = (base + jnp.arange(N, dtype=jnp.int32)) < num_valid
+        u = jnp.repeat(u_chunk, num_negatives)
+        pos = jnp.repeat(pos_chunk, num_negatives)
+        mask = jnp.repeat(valid, num_negatives).astype(jnp.float32)
+        neg = sample_verified_negatives(key, u, num_items, ct,
+                                        bloom_words, bloom_log2,
+                                        verify_neg)
+        p, qi, qj, logit = _bpr_forward(P, Q, Qb, u, pos, neg, use_bias)
+        return u, pos, neg, mask, p, qi, qj, logit * mask
+
+    if deferred:
+        def body(carry, xs):
+            gP, gQ, gQb, cP, cQ = carry
+            u_chunk, pos_chunk, cidx = xs
+            key = jax.random.fold_in(rng_key, cidx)
+            u, pos, neg, mask, p, qi, qj, logit = chunk_forward(
+                P, Q, Qb, u_chunk, pos_chunk, cidx, key)
+            gP = gP.at[u].add(logit[:, None] * (qi - qj))
+            item_deriv = logit[:, None] * p
+            if update_i:
+                gQ = gQ.at[pos].add(item_deriv)
+                if use_bias:
+                    gQb = gQb.at[pos].add(logit)
+            if update_j:
+                gQ = gQ.at[neg].add(-item_deriv)
+                if use_bias:
+                    gQb = gQb.at[neg].add(-logit)
+            if per_coordinate_normalize:
+                cP = cP.at[u].add(mask)
+                cQ = cQ.at[pos].add(mask)
+                cQ = cQ.at[neg].add(mask)
+            return (gP, gQ, gQb, cP, cQ), None
+
+        init = (jnp.zeros_like(P), jnp.zeros_like(Q), jnp.zeros_like(Qb),
+                jnp.zeros(P.shape[0], jnp.float32),
+                jnp.zeros(Q.shape[0], jnp.float32))
+        (gP, gQ, gQb, cP, cQ), _ = jax.lax.scan(
+            body, init, (users, positives, jnp.arange(nchunks)))
+
+        def apply(param, grad, m, v, counts, reg):
+            if per_coordinate_normalize:
+                c = jnp.maximum(counts, 1.0)
+                grad = grad / (c[:, None] if grad.ndim == 2 else c)
+            grad = grad - 2.0 * reg * param
+            if optimizer == "adam":
+                delta, m, v = adam_update(grad, m, v, step, lr, beta1,
+                                          beta2)
+            else:
+                delta, v = adagrad_update(grad, v, lr)
+            return param + delta, m, v
+
+        P, opt_state["mP"], opt_state["vP"] = apply(
+            P, gP, opt_state["mP"], opt_state["vP"], cP, reg_u)
+        Q, opt_state["mQ"], opt_state["vQ"] = apply(
+            Q, gQ, opt_state["mQ"], opt_state["vQ"], cQ, reg_i)
+        if use_bias:
+            Qb, opt_state["mQb"], opt_state["vQb"] = apply(
+                Qb, gQb, opt_state["mQb"], opt_state["vQb"], cQ, reg_b)
+        return P, Q, Qb, opt_state
+
+    def body(carry, xs):
+        P, Q, Qb = carry
+        u_chunk, pos_chunk, cidx = xs
+        key = jax.random.fold_in(rng_key, cidx)
+        u, pos, neg, mask, p, qi, qj, logit = chunk_forward(
+            P, Q, Qb, u_chunk, pos_chunk, cidx, key)
+        progress = (step.astype(jnp.float32) * num_valid
+                    + cidx.astype(jnp.float32) * N) / total_samples
+        lr_t = jnp.maximum(lr - (lr - min_lr) * progress, min_lr)
+        m = mask[:, None]
+        P = P.at[u].add(lr_t * m * (logit[:, None] * (qi - qj) - reg_u * p))
+        item_deriv = logit[:, None] * p
+        if update_i:
+            Q = Q.at[pos].add(lr_t * m * (item_deriv - reg_i * qi))
+            if use_bias:
+                Qb = Qb.at[pos].add(
+                    lr_t * mask * (logit - reg_b * jnp.take(Qb, pos)))
+        if update_j:
+            Q = Q.at[neg].add(lr_t * m * (-item_deriv - reg_j * qj))
+            if use_bias:
+                Qb = Qb.at[neg].add(
+                    lr_t * mask * (-logit - reg_b * jnp.take(Qb, neg)))
+        return (P, Q, Qb), None
+
+    (P, Q, Qb), _ = jax.lax.scan(
+        body, (P, Q, Qb), (users, positives, jnp.arange(nchunks)))
+    return P, Q, Qb, opt_state
 
 
 @partial(jax.jit, static_argnames=("use_bias",))

@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from buffalo_tpu.ops.sgd_kernels import row_contains
+from buffalo_tpu.ops.sgd_kernels import bloom_contains
 
 
 def _scores(p, q, score_func: str):
@@ -38,13 +38,13 @@ def _scores(p, q, score_func: str):
 @partial(jax.jit, static_argnames=(
     "num_items", "num_candidates", "score_func", "threshold",
     "reg_u", "reg_i", "reg_j", "update_i", "update_j",
-    "per_coordinate_normalize"),
+    "per_coordinate_normalize", "bloom_log2"),
     donate_argnums=(2, 3, 4, 5))
 def warp_accumulate_step(P, Q, gradP, gradQ, countP, countQ,
-                         users, positives, indptr, keys, rng_key,
+                         users, positives, indptr, bloom_words, rng_key,
                          *, num_items, num_candidates, score_func,
                          threshold, reg_u, reg_i, reg_j, update_i,
-                         update_j, per_coordinate_normalize):
+                         update_j, per_coordinate_normalize, bloom_log2):
     """One WARP megabatch: adaptive negative search + weighted grads."""
     B = users.shape[0]
     p = jnp.take(P, users, axis=0)              # (B, d)
@@ -53,8 +53,9 @@ def warp_accumulate_step(P, Q, gradP, gradQ, countP, countQ,
 
     cand = jax.random.randint(rng_key, (B, num_candidates), 0, num_items,
                               dtype=jnp.int32)
-    seen = jax.vmap(row_contains, in_axes=(1, None, None, None),
-                    out_axes=1)(cand, users, indptr, keys)   # (B, K)
+    seen = jax.vmap(lambda c: bloom_contains(bloom_words, bloom_log2,
+                                             users, c),
+                    in_axes=1, out_axes=1)(cand)   # (B, K)
     qc = jnp.take(Q, cand, axis=0)              # (B, K, d)
     uj = _scores(p[:, None, :], qc, score_func)  # (B, K)
 
@@ -100,6 +101,106 @@ def warp_accumulate_step(P, Q, gradP, gradQ, countP, countQ,
         countQ = countQ.at[positives].add(mv)
         countQ = countQ.at[neg].add(mv)
     return gradP, gradQ, countP, countQ
+
+
+@partial(jax.jit, static_argnames=(
+    "optimizer", "num_items", "num_candidates", "score_func", "threshold",
+    "reg_u", "reg_i", "reg_j", "update_i", "update_j",
+    "per_coordinate_normalize", "lr", "beta1", "beta2", "num_valid",
+    "bloom_log2"),
+    donate_argnums=(0, 1, 2))
+def warp_epoch(P, Q, opt_state, users, positives, indptr, bloom_words,
+               rng_key, step, *, optimizer, num_items, num_candidates,
+               score_func, threshold, reg_u, reg_i, reg_j, update_i,
+               update_j, per_coordinate_normalize, lr, beta1, beta2,
+               num_valid, bloom_log2):
+    """One full WARP epoch in ONE dispatch.
+
+    lax.scan over device-resident (nchunks, N) positive chunks
+    accumulating deferred gradients, then the epoch-barrier
+    adam/adagrad step (``algo.cc:382-465``) and the unit-ball
+    projection (``warp.cc:192-201``) — all in the same XLA program.
+    """
+    from buffalo_tpu.ops.sgd_kernels import adagrad_update, adam_update
+
+    nchunks, N = users.shape
+
+    def body(carry, xs):
+        gP, gQ, cP, cQ = carry
+        u_chunk, pos_chunk, cidx = xs
+        key = jax.random.fold_in(rng_key, cidx)
+        base = cidx * N
+        valid = ((base + jnp.arange(N, dtype=jnp.int32))
+                 < num_valid).astype(jnp.float32)
+
+        p = jnp.take(P, u_chunk, axis=0)
+        qi = jnp.take(Q, pos_chunk, axis=0)
+        ui = _scores(p, qi, score_func)
+        cand = jax.random.randint(key, (N, num_candidates), 0, num_items,
+                                  dtype=jnp.int32)
+        seen = jax.vmap(lambda c: bloom_contains(
+            bloom_words, bloom_log2, u_chunk, c),
+                        in_axes=1, out_axes=1)(cand)
+        qc = jnp.take(Q, cand, axis=0)
+        uj = _scores(p[:, None, :], qc, score_func)
+        violating = (~seen) & ((ui[:, None] - uj) < threshold)
+        any_v = jnp.any(violating, axis=1)
+        f = jnp.argmax(violating, axis=1)
+        tried = jnp.cumsum((~seen).astype(jnp.int32), axis=1)
+        v = jnp.take_along_axis(tried, f[:, None], axis=1)[:, 0]
+        trial = jnp.maximum(2 * v, 1)
+        seen_size = (indptr[u_chunk + 1] - indptr[u_chunk]).astype(jnp.int32)
+        avail = jnp.maximum(num_items - seen_size - 1, 0)
+        phi = jnp.log(jnp.maximum(1, (avail // trial)).astype(jnp.float32))
+        w = jnp.where(any_v, phi, 0.0) * valid
+
+        neg = jnp.take_along_axis(cand, f[:, None], axis=1)[:, 0]
+        qj = jnp.take_along_axis(qc, f[:, None, None], axis=1)[:, 0, :]
+        if score_func == "l2":
+            u_deriv = (2.0 * w)[:, None] * (qi - qj)
+            i_deriv = w[:, None] * (p - qi)
+            j_deriv = -w[:, None] * (p - qj)
+        else:
+            u_deriv = w[:, None] * (qi - qj)
+            i_deriv = w[:, None] * p
+            j_deriv = -i_deriv
+        m = (any_v.astype(jnp.float32) * valid)[:, None]
+        gP = gP.at[u_chunk].add(u_deriv - m * reg_u * p)
+        if update_i:
+            gQ = gQ.at[pos_chunk].add(i_deriv - m * reg_i * qi)
+        if update_j:
+            gQ = gQ.at[neg].add(j_deriv - m * reg_j * qj)
+        if per_coordinate_normalize:
+            mv = any_v.astype(jnp.float32) * valid
+            cP = cP.at[u_chunk].add(mv)
+            cQ = cQ.at[pos_chunk].add(mv)
+            cQ = cQ.at[neg].add(mv)
+        return (gP, gQ, cP, cQ), None
+
+    init = (jnp.zeros_like(P), jnp.zeros_like(Q),
+            jnp.zeros(P.shape[0], jnp.float32),
+            jnp.zeros(Q.shape[0], jnp.float32))
+    (gP, gQ, cP, cQ), _ = jax.lax.scan(
+        body, init, (users, positives, jnp.arange(nchunks)))
+
+    def apply(param, grad, m, v, counts, reg):
+        if per_coordinate_normalize:
+            c = jnp.maximum(counts, 1.0)
+            grad = grad / c[:, None]
+        grad = grad - 2.0 * reg * param
+        if optimizer == "adam":
+            delta, m, v = adam_update(grad, m, v, step, lr, beta1, beta2)
+        else:
+            delta, v = adagrad_update(grad, v, lr)
+        return param + delta, m, v
+
+    P, opt_state["mP"], opt_state["vP"] = apply(
+        P, gP, opt_state["mP"], opt_state["vP"], cP, reg_u)
+    Q, opt_state["mQ"], opt_state["vQ"] = apply(
+        Q, gQ, opt_state["mQ"], opt_state["vQ"], cQ, reg_i)
+    P = project_unit_ball(P)
+    Q = project_unit_ball(Q)
+    return P, Q, opt_state
 
 
 @jax.jit
