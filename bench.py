@@ -99,7 +99,8 @@ def main():
 
     groups, total = synth_ml20m(num_users, num_items, nnz)
     data = _ArrayData(groups)
-    batchers = {g: DeviceBatcher(data, g, batch_mb=1024, resident_mb=8192)
+    batchers = {g: DeviceBatcher(data, g, batch_mb=1024, resident_mb=8192,
+                                 d=D)
                 for g in ("rowwise", "colwise")}
     row_batches = tuple(batchers["rowwise"].device_batches())
     col_batches = tuple(batchers["colwise"].device_batches())

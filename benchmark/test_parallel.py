@@ -1,0 +1,87 @@
+"""Batch-retrieval throughput: ParALS most_similar / topk_recommendation.
+
+Counterpart of ``benchmark/test_parallel.py`` (reference numbers at
+``benchmark/README.md:175-179``: 10k most_similar queries in 63.9s /
+34.1s / 21.8s at 1/2/4 threads on the Xeon box; an HNSW ANN index cuts
+that to ~0.2s).  Here retrieval is one sharded matmul + top-k per
+batch, so the whole 10k-query bench is a handful of XLA dispatches.
+
+Usage:
+  python benchmark/test_parallel.py --queries 10000 --topk 10
+"""
+from __future__ import annotations
+
+import argparse
+import sys as _sys
+from pathlib import Path as _Path
+
+_here = _Path(__file__).resolve().parent
+_sys.path.insert(0, str(_here))          # sibling models.py
+_sys.path.insert(0, str(_here.parent))   # repo root (buffalo_tpu)
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+from models import DATASET_SHAPES, build_data, write_synth_mm
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="kakao_brunch_12m",
+                    choices=sorted(DATASET_SHAPES))
+    ap.add_argument("--mm", default=None)
+    ap.add_argument("--d", type=int, default=100)
+    ap.add_argument("--queries", type=int, default=10000)
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=2048)
+    args = ap.parse_args()
+
+    mm = args.mm or write_synth_mm(args.dataset)
+    db = os.path.join(tempfile.gettempdir(),
+                      f"bt_par_db_{args.dataset}")
+    data = build_data(mm, db)
+
+    from buffalo_tpu import ALS, ALSOption, ParALS
+    opt = ALSOption().get_default_option()
+    opt.d = args.d
+    opt.num_iters = 1
+    als = ALS(opt, data=data)
+    als.initialize()
+    als.train()
+
+    par = ParALS(als)
+    als.build_itemid_map()
+    als.build_userid_map()
+    rng = np.random.default_rng(0)
+    itemids = als._idmanager.itemids
+    userids = als._idmanager.userids
+    qs = [itemids[i] for i in rng.integers(0, len(itemids), args.queries)]
+    # warmup compile, then timed run
+    par.most_similar(qs[:64], topk=args.topk)
+    st = time.perf_counter()
+    topks, scores = par.most_similar(qs, topk=args.topk)
+    ms_t = time.perf_counter() - st
+
+    uqs = [userids[i] for i in rng.integers(0, len(userids), args.queries)]
+    par.topk_recommendation(uqs[:64], topk=args.topk)
+    st = time.perf_counter()
+    _keys, topks, scores = par.topk_recommendation(uqs, topk=args.topk)
+    tk_t = time.perf_counter() - st
+
+    print(f"| op | queries | d | elapsed_s | q_per_s |")
+    print(f"|---|---|---|---|---|")
+    print(f"| most_similar | {len(qs)} | {args.d} | {ms_t:.3f} "
+          f"| {len(qs) / ms_t:.0f} |")
+    print(f"| topk_recommendation | {len(uqs)} | {args.d} | {tk_t:.3f} "
+          f"| {len(uqs) / tk_t:.0f} |")
+    print(json.dumps({"most_similar_s": round(ms_t, 4),
+                      "topk_s": round(tk_t, 4),
+                      "queries": len(qs), "d": args.d,
+                      "vs_baseline_1t": round(63.9 / max(ms_t, 1e-9), 1)}))
+
+
+if __name__ == "__main__":
+    main()

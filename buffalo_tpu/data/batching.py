@@ -320,15 +320,23 @@ class DeviceBatcher:
 
     def __init__(self, data, axis: str = "rowwise", batch_mb: int = 1024,
                  resident_mb: int = 4096, row_multiple: int = 1,
-                 sharding=None, max_len: int = DEFAULT_MAX_L):
+                 sharding=None, max_len: int = DEFAULT_MAX_L,
+                 d: Optional[int] = None):
         self.logger = log.get_logger("DeviceBatcher")
         self.data = data
         self.axis = axis
         group = data.get_group(axis)
         self.key = np.asarray(group["key"])
         self.val = np.asarray(group["val"]) if "val" in group else None
+        # per-entry working-set: cols+vals (8B) plus, when the factor
+        # dimension is known, the gathered fixed-side rows F and one
+        # weighted copy (2 * 4d B) — keeps peak HBM within batch_mb
+        # regardless of d (the reference's batch_mb only has to cover
+        # 16B/entry because its C++ loop never materializes F)
+        bytes_per_entry = 16 if d is None else 8 + 8 * int(d)
+        entries = max(int(batch_mb) * 1024 * 1024 // bytes_per_entry, 4096)
         self.planner = BatchPlanner(np.asarray(group["indptr"]),
-                                    batch_mb=batch_mb,
+                                    entries_per_batch=entries,
                                     row_multiple=row_multiple,
                                     max_len=max_len)
         padded_entries = sum(b.B * b.L * math.ceil(len(b.row_ids) / b.B)

@@ -196,7 +196,8 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
                 batch_mb=int(self.data.opt.data.get("batch_mb", 1024)),
                 resident_mb=int(self.opt.get("resident_mb", 4096)),
                 row_multiple=(mesh.size if mesh is not None else 1),
-                sharding=batch_sharding if mesh is not None else None)
+                sharding=batch_sharding if mesh is not None else None,
+                d=int(self.opt.d))
 
         sharding_mode = self.opt.get("sharding", "dp")
         table_sharding = row_shard if (
@@ -206,10 +207,12 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
 
         best_loss, rmse, self.validation_result = float("inf"), None, {}
         full_st = time.time()
+        self.iteration_times = []  # per-epoch train seconds
         for i in range(self.opt.num_iters):
             start_t = time.time()
             P, Q, nume, deno = self._run_epoch(batchers, P, Q)
             train_t = time.time() - start_t
+            self.iteration_times.append(train_t)
             rmse = (nume / (deno + self.opt.eps)) ** 0.5
             metrics = {"train_loss": rmse}
             if self.opt.get("validation") and \

@@ -260,6 +260,7 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         processed = 0.0
         best_loss, loss, self.validation_result = float("inf"), None, {}
         full_st = time.time()
+        self.iteration_times = []  # per-epoch train seconds
         for i in range(opt.num_iters):
             start_t = time.time()
             if resident:
@@ -276,6 +277,7 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                     reg_b=float(opt.reg_b), num_valid=nnz,
                     total_samples=total_samples, **statics)
                 train_t = time.time() - start_t
+                self.iteration_times.append(train_t)
             else:
                 for users, positives, _vals in coo:
                     rng, sub = jax.random.split(rng)
@@ -324,6 +326,7 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                         countP = jnp.zeros_like(countP)
                         countQ = jnp.zeros_like(countQ)
                 train_t = time.time() - start_t
+                self.iteration_times.append(train_t)
 
             loss = self.compute_loss()
             metrics = {"train_loss": loss}

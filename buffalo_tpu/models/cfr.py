@@ -136,13 +136,15 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
         batch_mb = int(self.data.opt.data.get("batch_mb", 1024))
         out = {}
         rw = self.data.get_group("rowwise")
-        planner = BatchPlanner(np.asarray(rw["indptr"]), batch_mb=batch_mb)
+        planner = BatchPlanner(np.asarray(rw["indptr"]), batch_mb=batch_mb,
+                               max_len=1 << 30)
         out["user"] = list(planner.iter_batches(rw["key"], rw.get("val")))
 
         cw = self.data.get_group("colwise")
         sp = self.data.get_group("sppmi")
         sp_indptr = np.asarray(sp["indptr"])
-        planner = BatchPlanner(np.asarray(cw["indptr"]), batch_mb=batch_mb)
+        planner = BatchPlanner(np.asarray(cw["indptr"]), batch_mb=batch_mb,
+                               max_len=1 << 30)
         item_batches = []
         for b in planner.iter_batches(cw["key"], cw.get("val")):
             lens_c, cols_c, vals_c = pad_rows(
@@ -170,7 +172,8 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
                     vals=np.zeros((B, 8), np.float32))
                 item_batches.append((empty, lens_c, cols_c, vals_c))
 
-        planner = BatchPlanner(sp_indptr, batch_mb=batch_mb)
+        planner = BatchPlanner(sp_indptr, batch_mb=batch_mb,
+                               max_len=1 << 30)
         out["context"] = list(planner.iter_batches(sp["key"], sp["val"]))
         return out
 
@@ -195,6 +198,7 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
         scale = self.compute_scale()
         best_loss, loss, self.validation_result = float("inf"), None, {}
         full_st = time.time()
+        self.iteration_times = []  # per-epoch train seconds
         for i in range(opt.num_iters):
             start_t = time.time()
             losses = []
@@ -223,6 +227,7 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
                 losses.append(l_)
             loss = float(np.sum([np.asarray(x) for x in losses])) / scale
             train_t = time.time() - start_t
+            self.iteration_times.append(train_t)
             metrics = {"train_loss": loss}
             if opt.get("validation") and opt.evaluation_on_learning and \
                     self.periodical(opt.evaluation_period, i):

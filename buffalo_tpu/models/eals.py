@@ -156,6 +156,7 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
 
         best_loss, loss, self.validation_result = float("inf"), None, {}
         full_st = time.time()
+        self.iteration_times = []  # per-epoch train seconds
         for i in range(opt.num_iters):
             start_t = time.time()
             # user side: Sq = (C^0.5 Q)^T (C^0.5 Q)
@@ -182,6 +183,7 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
                 alpha=float(opt.alpha))
             loss = float(rmse)
             train_t = time.time() - start_t
+            self.iteration_times.append(train_t)
             metrics = {"train_loss": loss}
             if opt.get("validation") and opt.evaluation_on_learning and \
                     self.periodical(opt.evaluation_period, i):

@@ -23,7 +23,10 @@ from buffalo_tpu.data.batching import DeviceBatcher
 from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import PLSIOption
-from buffalo_tpu.ops.plsi_kernels import plsi_accumulate, plsi_normalize_swap
+from buffalo_tpu.ops.plsi_kernels import (plsi_accumulate,
+                                          plsi_accumulate_segments,
+                                          plsi_epoch,
+                                          plsi_normalize_swap)
 from buffalo_tpu.utils import log
 
 
@@ -154,7 +157,8 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
         batcher = DeviceBatcher(
             self.data, "rowwise",
             batch_mb=int(self.data.opt.data.get("batch_mb", 1024)),
-            resident_mb=int(opt.get("resident_mb", 4096)))
+            resident_mb=int(opt.get("resident_mb", 4096)),
+            d=int(opt.d))
 
         P = jax.device_put(self.P)
         Q = jax.device_put(self.Q)
@@ -166,20 +170,36 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
             f"alpha2: {opt.alpha2}")
         best_loss, loss, self.validation_result = 1e10, None, {}
         full_st = time.time()
+        self.iteration_times = []  # per-epoch train seconds
+        from buffalo_tpu.data.batching import SegmentBatch
+
         for i in range(opt.num_iters):
             start_t = time.time()
-            Pn = jnp.zeros_like(P)
-            Qn = jnp.zeros_like(Q)
-            losses = []
-            for rows, lens, cols, vals in batcher:
-                Pn, Qn, batch_loss = plsi_accumulate(
-                    Pn, Qn, P, Q, rows, lens, cols, vals)
-                losses.append(batch_loss)
-            P, Q = plsi_normalize_swap(Pn, Qn,
-                                       alpha1=float(opt.alpha1),
-                                       alpha2=float(opt.alpha2))
-            loss_nume = float(np.sum([np.asarray(x) for x in losses]))
+            if batcher.resident:
+                # whole EM epoch in one dispatch
+                P, Q, epoch_loss = plsi_epoch(
+                    P, Q, tuple(batcher.device_batches()),
+                    alpha1=float(opt.alpha1), alpha2=float(opt.alpha2))
+                loss_nume = float(epoch_loss)
+            else:
+                Pn = jnp.zeros_like(P)
+                Qn = jnp.zeros_like(Q)
+                losses = []
+                for b in batcher:
+                    if isinstance(b, SegmentBatch):
+                        Pn, Qn, batch_loss = plsi_accumulate_segments(
+                            Pn, Qn, P, Q, b.rows, b.seg_ids,
+                            b.chunk_lens, b.cols, b.vals)
+                    else:
+                        Pn, Qn, batch_loss = plsi_accumulate(
+                            Pn, Qn, P, Q, b.rows, b.lens, b.cols, b.vals)
+                    losses.append(batch_loss)
+                P, Q = plsi_normalize_swap(Pn, Qn,
+                                           alpha1=float(opt.alpha1),
+                                           alpha2=float(opt.alpha2))
+                loss_nume = float(np.sum([np.asarray(x) for x in losses]))
             train_t = time.time() - start_t
+            self.iteration_times.append(train_t)
             loss = loss_nume / (loss_deno + opt.eps)
             metrics = {"train_loss": loss}
             if opt.get("validation") and opt.evaluation_on_learning and \

@@ -232,6 +232,7 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                        compute_loss=bool(opt.compute_loss_on_training))
         loss = None
         full_st = time.time()
+        self.iteration_times = []  # per-epoch train seconds
         for i in range(opt.num_iters):
             start_t = time.time()
             inputs, targets, n_words = self._generate_pairs(rng_np)

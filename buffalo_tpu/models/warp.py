@@ -225,6 +225,7 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         pcn = bool(opt.per_coordinate_normalize)
         best_loss, loss, self.validation_result = float("inf"), None, {}
         full_st = time.time()
+        self.iteration_times = []  # per-epoch train seconds
         for i in range(opt.num_iters):
             start_t = time.time()
             if resident:
@@ -236,6 +237,7 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
                     beta1=float(opt.beta1), beta2=float(opt.beta2),
                     num_valid=nnz, **statics)
                 train_t = time.time() - start_t
+                self.iteration_times.append(train_t)
             else:
                 for users, positives, _vals in coo:
                     rng, sub = jax.random.split(rng)
@@ -259,6 +261,7 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
                     countP = jnp.zeros_like(countP)
                     countQ = jnp.zeros_like(countQ)
                 train_t = time.time() - start_t
+                self.iteration_times.append(train_t)
 
             loss = self.compute_loss()
             metrics = {"train_loss": loss}

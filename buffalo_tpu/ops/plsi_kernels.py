@@ -16,6 +16,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from buffalo_tpu.data.batching import SegmentBatch
+
 
 @jax.jit
 def plsi_accumulate(Pn, Qn, P, Q, rows, lens, cols, vals):
@@ -37,6 +39,63 @@ def plsi_accumulate(Pn, Qn, P, Q, rows, lens, cols, vals):
     Qn = Qn.at[cols.reshape(-1)].add(
         latent.reshape(B * L, -1), mode="drop")
     return Pn, Qn, loss
+
+
+def _accumulate_chunks(Pn, Qn, P, Q, chunk_rows, chunk_lens, cols, vals):
+    """E-step accumulation where each row is one fixed-width chunk
+    (SegmentBatch path for power-law long rows); chunk_rows carries the
+    global row id per chunk (out-of-range for padding chunks)."""
+    Nc, C = cols.shape
+    safe = jnp.minimum(chunk_rows, P.shape[0] - 1)
+    p = jnp.take(P, safe, axis=0)                   # (Nc, d)
+    q = jnp.take(Q, cols, axis=0)                   # (Nc, C, d)
+    mask = (jnp.arange(C, dtype=jnp.int32)[None, :]
+            < chunk_lens[:, None]).astype(jnp.float32)
+    w = vals * mask
+    latent = jnp.maximum(p[:, None, :] * q, 1e-10)
+    norm = jnp.sum(latent, axis=-1, keepdims=True)
+    loss = -jnp.sum(jnp.log(norm[..., 0]) * w)
+    latent = latent / norm * w[..., None]
+    Pn = Pn.at[chunk_rows].add(jnp.sum(latent, axis=1), mode="drop")
+    Qn = Qn.at[cols.reshape(-1)].add(
+        latent.reshape(Nc * C, -1), mode="drop")
+    return Pn, Qn, loss
+
+
+@jax.jit
+def plsi_accumulate_segments(Pn, Qn, P, Q, rows, seg_ids, chunk_lens,
+                             cols, vals):
+    """Streaming-mode E-step accumulation for one SegmentBatch."""
+    R = rows.shape[0]
+    padded_rows = jnp.concatenate(
+        [rows, jnp.full((1,), Pn.shape[0], rows.dtype)])
+    chunk_rows = jnp.take(padded_rows, jnp.minimum(seg_ids, R), axis=0)
+    return _accumulate_chunks(Pn, Qn, P, Q, chunk_rows, chunk_lens,
+                              cols, vals)
+
+
+@partial(jax.jit, static_argnames=("alpha1", "alpha2"))
+def plsi_epoch(P, Q, batches, *, alpha1, alpha2):
+    """One full EM epoch (E accumulate over all batches + M normalize)
+    in ONE dispatch; handles padded and segment batches."""
+    Pn = jnp.zeros_like(P)
+    Qn = jnp.zeros_like(Q)
+    loss = jnp.zeros((), jnp.float32)
+    for b in batches:
+        if isinstance(b, SegmentBatch):
+            R = b.rows.shape[0]
+            padded_rows = jnp.concatenate(
+                [b.rows, jnp.full((1,), Pn.shape[0], b.rows.dtype)])
+            chunk_rows = jnp.take(padded_rows, jnp.minimum(b.seg_ids, R),
+                                  axis=0)
+            Pn, Qn, batch_loss = _accumulate_chunks(
+                Pn, Qn, P, Q, chunk_rows, b.chunk_lens, b.cols, b.vals)
+        else:
+            Pn, Qn, batch_loss = plsi_accumulate(
+                Pn, Qn, P, Q, b.rows, b.lens, b.cols, b.vals)
+        loss = loss + batch_loss
+    P, Q = plsi_normalize_swap(Pn, Qn, alpha1=alpha1, alpha2=alpha2)
+    return P, Q, loss
 
 
 @partial(jax.jit, static_argnames=("alpha1", "alpha2"))

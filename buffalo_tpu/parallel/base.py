@@ -31,6 +31,17 @@ class Parallel(abc.ABC):
             raise ValueError(f"Not supported algo type: {type(algo)}")
         self.algo = algo
         self.num_workers = int(kwargs["num_workers"])
+        self._ann_index = None
+
+    def set_ann_index(self, index):
+        """Optional ANN hook (the reference's n2/HNSW path,
+        ``examples/example_als.py:56-76``): any object exposing
+        ``search(queries: (B, d) float32, topk: int) -> (ids, scores)``.
+        When set, ``most_similar`` delegates to it instead of the
+        exact sharded matmul scan."""
+        if not hasattr(index, "search"):
+            raise ValueError("ANN index must expose search(queries, topk)")
+        self._ann_index = index
 
     def _resolve(self, keys, group):
         indexes = self.algo.get_index(list(keys), group=group)
@@ -48,6 +59,9 @@ class Parallel(abc.ABC):
         return pool.astype(np.int32)
 
     def _most_similar(self, group, indexes, Factor, topk, pool):
+        if self._ann_index is not None and pool is None:
+            return self._ann_index.search(np.asarray(Factor)[indexes],
+                                          topk)
         return batch_topn(np.asarray(Factor)[indexes], Factor, topk,
                           pool=pool)
 
