@@ -330,6 +330,193 @@ class DataBuilder(Data):
         }
 
 
+    # ------------------------------------------------------- disk-based build
+    def _build_core_disk(self, out_dir: str, chunk_iter,
+                         num_users: int, num_items: int,
+                         userids, itemids, rng: np.random.Generator,
+                         with_colwise: bool = True) -> dict:
+        """Out-of-core two-pass counting-sort build (``disk_based=True``).
+
+        Counterpart of the reference's external-sort path
+        (``aux.psort`` + ``chunking_into_bins`` + compressed
+        binarization, ``data/base.py:399-451``): the triple stream is
+        consumed twice via ``chunk_iter()`` (a callable returning an
+        iterator of (rows, cols, vals) numpy chunks); only
+        O(num_users + num_items) host RAM is held — payload arrays are
+        np.memmap files inside the artifact.
+
+        Validation: ``sample`` (per-entry Bernoulli with rate p capped
+        at max_samples via thinning) or none; ``newest`` requires the
+        in-memory path.
+        """
+        vopt = self.opt.data.get("validation") or {}
+        vname = vopt.get("name")
+        if vname == "newest":
+            raise NotImplementedError(
+                "validation.name='newest' requires disk_based=False")
+
+        # ---- pass 1: degrees + nnz + value-prepro statistics
+        deg_u = np.zeros(num_users, dtype=np.int64)
+        deg_i = np.zeros(num_items, dtype=np.int64)
+        n_total = 0
+        for rows, cols, vals in chunk_iter():
+            self.value_prepro.update_stats(vals)
+            deg_u += np.bincount(rows, minlength=num_users)
+            deg_i += np.bincount(cols, minlength=num_items)
+            n_total += len(rows)
+
+        # choose validation entries by global index (deterministic)
+        vali_mask_of = None
+        n_vali = 0
+        if vname == "sample":
+            p = float(vopt.get("p", 0.01))
+            max_samples = int(vopt.get("max_samples", 500))
+            want = min(int(n_total * p), max_samples)
+            if want > 0:
+                vali_idx = np.sort(rng.choice(n_total, size=want,
+                                              replace=False))
+                n_vali = want
+
+                def vali_mask_of(beg, end):
+                    lo = np.searchsorted(vali_idx, beg)
+                    hi = np.searchsorted(vali_idx, end)
+                    mask = np.zeros(end - beg, dtype=bool)
+                    mask[vali_idx[lo:hi] - beg] = True
+                    return mask
+
+        nnz = n_total - n_vali
+
+        def _mm(where, name, dtype, shape):
+            return np.lib.format.open_memmap(
+                os.path.join(where, name), mode="w+", dtype=dtype,
+                shape=shape)
+
+        vali_row = vali_col = vali_val = None
+        if n_vali:
+            vali_row = np.zeros(n_vali, dtype=np.int32)
+            vali_col = np.zeros(n_vali, dtype=np.int32)
+            vali_val = np.zeros(n_vali, dtype=np.float32)
+
+        # scatter targets are sized for the FULL stream (validation
+        # entries leave holes compacted away afterwards)
+        cap = max(n_total, 1)
+        tmp_dir = os.path.join(self.tmp_root, "disk_build")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tkey_r = _mm(tmp_dir, "r.key.npy", np.int32, (cap,))
+        tval_r = _mm(tmp_dir, "r.val.npy", np.float32, (cap,))
+        key_r = _mm(out_dir, "rowwise.key.npy", np.int32, (max(nnz, 1),))
+        val_r = _mm(out_dir, "rowwise.val.npy", np.float32, (max(nnz, 1),))
+        if with_colwise:
+            tkey_c = _mm(tmp_dir, "c.key.npy", np.int32, (cap,))
+            tval_c = _mm(tmp_dir, "c.val.npy", np.float32, (cap,))
+            key_c = _mm(out_dir, "colwise.key.npy", np.int32,
+                        (max(nnz, 1),))
+            val_c = _mm(out_dir, "colwise.val.npy", np.float32,
+                        (max(nnz, 1),))
+
+        indptr_u = np.zeros(num_users + 1, dtype=np.int64)
+        np.cumsum(deg_u, out=indptr_u[1:])
+        indptr_i = np.zeros(num_items + 1, dtype=np.int64)
+        np.cumsum(deg_i, out=indptr_i[1:])
+        cur_u = indptr_u[:-1].copy()
+        cur_i = indptr_i[:-1].copy()
+
+        # ---- pass 2: scatter into CSR payloads
+        def _scatter(cursor, rws, cls, vls, key_mm, val_mm):
+            order = np.argsort(rws, kind="stable")
+            r_s, c_s, v_s = rws[order], cls[order], vls[order]
+            uniq, start_idx, counts = np.unique(
+                r_s, return_index=True, return_counts=True)
+            within = np.arange(len(r_s), dtype=np.int64) - np.repeat(
+                start_idx, counts)
+            pos = cursor[r_s] + within
+            key_mm[pos] = c_s
+            val_mm[pos] = v_s
+            np.add.at(cursor, uniq, counts)
+
+        seen = 0
+        placed_v = 0
+        for rows, cols, vals in chunk_iter():
+            vals = self.value_prepro(np.asarray(vals, np.float32))
+            n = len(rows)
+            if vali_mask_of is not None:
+                vm = vali_mask_of(seen, seen + n)
+                nv = int(vm.sum())
+                if nv:
+                    vali_row[placed_v:placed_v + nv] = rows[vm]
+                    vali_col[placed_v:placed_v + nv] = cols[vm]
+                    vali_val[placed_v:placed_v + nv] = vals[vm]
+                    placed_v += nv
+                keep = ~vm
+                rows, cols, vals = rows[keep], cols[keep], vals[keep]
+            seen += n
+            _scatter(cur_u, rows.astype(np.int64), cols.astype(np.int32),
+                     vals, tkey_r, tval_r)
+            if with_colwise:
+                _scatter(cur_i, cols.astype(np.int64),
+                         rows.astype(np.int32), vals, tkey_c, tval_c)
+
+        # cursors now hold per-row ends (train-only); rebuild indptr
+        new_indptr_u = np.zeros(num_users + 1, dtype=np.int64)
+        lens_u = cur_u - indptr_u[:-1]
+        np.cumsum(lens_u, out=new_indptr_u[1:])
+        if with_colwise:
+            new_indptr_i = np.zeros(num_items + 1, dtype=np.int64)
+            lens_i = cur_i - indptr_i[:-1]
+            np.cumsum(lens_i, out=new_indptr_i[1:])
+
+        # compact (drop validation holes) + per-row col sort, blockwise
+        def _compact_sort(indptr_old, cursor, new_indptr, src_k, src_v,
+                          dst_k, dst_v, block=1 << 14):
+            n_rows = len(indptr_old) - 1
+            for beg in range(0, n_rows, block):
+                end = min(beg + block, n_rows)
+                parts_k, parts_v = [], []
+                for r in range(beg, end):
+                    s, e = indptr_old[r], cursor[r]
+                    k = np.asarray(src_k[s:e])
+                    v = np.asarray(src_v[s:e])
+                    o = np.argsort(k, kind="stable")
+                    parts_k.append(k[o])
+                    parts_v.append(v[o])
+                k = np.concatenate(parts_k) if parts_k else \
+                    np.zeros(0, src_k.dtype)
+                v = np.concatenate(parts_v) if parts_v else \
+                    np.zeros(0, src_v.dtype)
+                dst_k[new_indptr[beg]:new_indptr[end]] = k
+                dst_v[new_indptr[beg]:new_indptr[end]] = \
+                    self.value_prepro.post(v)
+
+        _compact_sort(indptr_u, cur_u, new_indptr_u, tkey_r, tval_r,
+                      key_r, val_r)
+        np.save(os.path.join(out_dir, "rowwise.indptr.npy"), new_indptr_u)
+        key_r.flush(); val_r.flush()
+        if with_colwise:
+            _compact_sort(indptr_i, cur_i, new_indptr_i, tkey_c, tval_c,
+                          key_c, val_c)
+            np.save(os.path.join(out_dir, "colwise.indptr.npy"),
+                    new_indptr_i)
+            key_c.flush(); val_c.flush()
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+        if n_vali:
+            self._write_group(out_dir, "vali", row=vali_row[:placed_v],
+                              col=vali_col[:placed_v],
+                              val=vali_val[:placed_v])
+        self._write_group(
+            out_dir, "idmap",
+            rows=np.asarray(userids if userids is not None else [],
+                            dtype=np.str_),
+            cols=np.asarray(itemids if itemids is not None else [],
+                            dtype=np.str_))
+        return {
+            "num_users": int(num_users),
+            "num_items": int(num_items),
+            "num_nnz": int(nnz),
+            "num_validation_samples": int(placed_v),
+        }
+
+
 class DataOption:
     """Validation of the data-option subtree (reference ``data/base.py:454-473``)."""
 

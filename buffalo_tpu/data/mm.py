@@ -130,7 +130,12 @@ class MatrixMarket(DataBuilder):
             except Exception:
                 self.close()
         self.logger.info("Create database from matrix market input")
-        rows, cols, vals, num_users, num_items = self._parse_main()
+        disk_based = bool(self.opt.data.get("disk_based", False)) and \
+            isinstance(self.opt.input.main, str)
+        if disk_based:
+            num_users, num_items, chunk_iter = self._chunked_reader()
+        else:
+            rows, cols, vals, num_users, num_items = self._parse_main()
         userids = _load_id_list(self.opt.input.get("uid"))
         itemids = _load_id_list(self.opt.input.get("iid"))
         if userids is not None and len(userids) != num_users:
@@ -145,9 +150,14 @@ class MatrixMarket(DataBuilder):
         out_dir = self._start_artifact(path)
         rng = np.random.default_rng(self.opt.data.get("random_seed", 0))
         try:
-            attrs = self._build_core(out_dir, rows, cols, vals,
-                                     num_users, num_items,
-                                     userids, itemids, rng)
+            if disk_based:
+                attrs = self._build_core_disk(out_dir, chunk_iter,
+                                              num_users, num_items,
+                                              userids, itemids, rng)
+            else:
+                attrs = self._build_core(out_dir, rows, cols, vals,
+                                         num_users, num_items,
+                                         userids, itemids, rng)
             self._finalize_artifact(out_dir, attrs)
         except Exception:
             import shutil
@@ -155,3 +165,45 @@ class MatrixMarket(DataBuilder):
             raise
         self.open(path)
         self.logger.info(self.show_info())
+
+    def _chunked_reader(self, chunk_lines: int = 4_000_000):
+        """Out-of-core input: (num_users, num_items, chunk_iter) where
+        chunk_iter() re-reads the file in bounded chunks (disk_based
+        path; the reference streams 4 MB chunks, ``mm.py:167-234``)."""
+        main = self.opt.input.main
+        with open(main) as fin:
+            header = fin.readline()
+            if not header.startswith("%%MatrixMarket"):
+                raise RuntimeError(f"Not a MatrixMarket file: {main}")
+            line = fin.readline()
+            while line.startswith("%"):
+                line = fin.readline()
+            num_users, num_items, _ = map(int, line.strip().split())
+            skip = fin.tell()
+
+        def chunk_iter():
+            import pandas as pd
+            reader = pd.read_csv(
+                main, sep=r"\s+", header=None, engine="c",
+                skiprows=0, comment="%", dtype=np.float64,
+                chunksize=chunk_lines,
+                skipinitialspace=True,
+                names=["r", "c", "v"],
+                skip_blank_lines=True,
+                iterator=True,
+                # skip the two header lines by byte offset instead of
+                # skiprows (comment lines already excluded)
+            )
+            first = True
+            for df in reader:
+                if first:
+                    # drop the size line (parsed as a triple)
+                    df = df.iloc[1:]
+                    first = False
+                rows = df["r"].to_numpy(np.int64) - 1
+                cols = df["c"].to_numpy(np.int64) - 1
+                vals = df["v"].fillna(1.0).to_numpy(np.float32) \
+                    if df["v"].isna().any() else df["v"].to_numpy(np.float32)
+                yield rows, cols, vals
+
+        return num_users, num_items, chunk_iter

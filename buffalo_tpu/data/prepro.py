@@ -19,6 +19,11 @@ class PreProcess:
     def pre(self, header) -> None:
         pass
 
+    def update_stats(self, v: np.ndarray) -> None:
+        """First-pass statistics hook for out-of-core builds
+        (MinMaxScalar needs the global range before rescaling)."""
+        pass
+
     def __call__(self, v: np.ndarray) -> np.ndarray:
         return v
 
@@ -43,10 +48,13 @@ class MinMaxScalar(PreProcess):
         self.value_min = float("inf")
         self.value_max = 0.0
 
-    def __call__(self, v: np.ndarray) -> np.ndarray:
+    def update_stats(self, v: np.ndarray) -> None:
         if v.size:
             self.value_min = min(self.value_min, float(np.min(v)))
             self.value_max = max(self.value_max, float(np.max(v)))
+
+    def __call__(self, v: np.ndarray) -> np.ndarray:
+        self.update_stats(v)
         return v
 
     def post(self, val: np.ndarray) -> np.ndarray:

@@ -1,0 +1,161 @@
+"""SGD-kernel unit tests: bloom filter guarantees, negative sampling,
+deferred-optimizer math."""
+import numpy as np
+
+from buffalo_tpu.ops import sgd_kernels as K
+
+
+def _toy_csr(num_users=50, num_items=40, seed=0):
+    rng = np.random.default_rng(seed)
+    deg = rng.integers(1, 12, num_users)
+    indptr = np.zeros(num_users + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    keys = rng.integers(0, num_items, int(indptr[-1])).astype(np.int32)
+    return indptr, keys
+
+
+def test_bloom_never_false_negative():
+    import jax
+
+    indptr, keys = _toy_csr()
+    words, log2 = K.build_bloom(indptr, keys)
+    words_d = jax.device_put(words)
+    users = np.repeat(np.arange(len(indptr) - 1, dtype=np.int32),
+                      np.diff(indptr))
+    hit = np.asarray(K.bloom_contains(words_d, log2, users, keys))
+    assert hit.all(), "a true positive was not flagged seen"
+
+
+def test_bloom_false_positive_rate_low():
+    import jax
+
+    indptr, keys = _toy_csr(num_users=200, num_items=5000, seed=1)
+    words, log2 = K.build_bloom(indptr, keys)
+    words_d = jax.device_put(words)
+    rng = np.random.default_rng(2)
+    users = rng.integers(0, 200, 20000).astype(np.int32)
+    items = rng.integers(0, 5000, 20000).astype(np.int32)
+    # exact membership for comparison
+    seen = set()
+    for u in range(200):
+        for k in keys[indptr[u]:indptr[u + 1]]:
+            seen.add((u, int(k)))
+    flagged = np.asarray(K.bloom_contains(words_d, log2, users, items))
+    truth = np.array([(int(u), int(i)) in seen
+                      for u, i in zip(users, items)])
+    assert flagged[truth].all()                      # no false negatives
+    fp = float(np.mean(flagged[~truth]))
+    assert fp < 0.05, f"false positive rate too high: {fp}"
+
+
+def test_verified_negatives_avoid_positives():
+    import jax
+
+    indptr, keys = _toy_csr(num_users=30, num_items=500, seed=3)
+    words, log2 = K.build_bloom(indptr, keys)
+    words_d = jax.device_put(words)
+    users = np.repeat(np.arange(30, dtype=np.int32), 64)
+    neg = np.asarray(K.sample_verified_negatives(
+        jax.random.PRNGKey(0), jax.device_put(users), 500, None,
+        words_d, log2, True))
+    seen = set()
+    for u in range(30):
+        for k in keys[indptr[u]:indptr[u + 1]]:
+            seen.add((u, int(k)))
+    bad = sum((int(u), int(n)) in seen for u, n in zip(users, neg))
+    # sparse data: the probability all 4 attempts hit positives is ~0
+    assert bad == 0
+
+
+def test_bpr_epoch_matches_streaming_steps():
+    """Fused epoch (deferred adagrad) == per-chunk accumulate + apply."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    U, I, D, N = 40, 30, 8, 64
+    indptr, keys = _toy_csr(U, I, seed=5)
+    words, log2 = K.build_bloom(indptr, keys)
+    nnz = int(indptr[-1])
+    users = np.repeat(np.arange(U, dtype=np.int32), np.diff(indptr))
+    nchunks = -(-nnz // N)
+    pad = nchunks * N - nnz
+    users_p = np.concatenate([users, np.zeros(pad, np.int32)])
+    items_p = np.concatenate([keys, np.zeros(pad, np.int32)])
+
+    P0 = rng.normal(size=(U, D)).astype(np.float32) * 0.1
+    Q0 = rng.normal(size=(I, D)).astype(np.float32) * 0.1
+    Qb0 = np.zeros(I, np.float32)
+    bloom = jax.device_put(words)
+    cum = jnp.zeros((1,), jnp.float32)
+    statics = dict(num_items=I, num_negatives=1, use_bias=True,
+                   update_i=True, update_j=True, verify_neg=True,
+                   use_cum_table=False, bloom_log2=log2)
+
+    # fused
+    opt_state = {"mP": jnp.zeros((U, D)), "vP": jnp.zeros((U, D)),
+                 "mQ": jnp.zeros((I, D)), "vQ": jnp.zeros((I, D)),
+                 "mQb": jnp.zeros(I), "vQb": jnp.zeros(I)}
+    Pf, Qf, Qbf, _ = K.bpr_epoch(
+        jax.device_put(P0), jax.device_put(Q0), jax.device_put(Qb0),
+        opt_state,
+        jax.device_put(users_p.reshape(nchunks, N)),
+        jax.device_put(items_p.reshape(nchunks, N)),
+        bloom, cum, jax.random.PRNGKey(7), jnp.int32(0),
+        optimizer="adagrad", per_coordinate_normalize=False, lr=0.05,
+        min_lr=1e-4, beta1=0.9, beta2=0.999, reg_u=0.02, reg_i=0.02,
+        reg_j=0.02, reg_b=0.02, num_valid=nnz, total_samples=float(nnz),
+        **statics)
+
+    # streaming: same chunk order, same fold_in keys, masked tail
+    P = jax.device_put(P0)
+    Q = jax.device_put(Q0)
+    Qb = jax.device_put(Qb0)
+    gP, gQ, gQb = jnp.zeros((U, D)), jnp.zeros((I, D)), jnp.zeros(I)
+    cP, cQ = jnp.zeros(U), jnp.zeros(I)
+    key = jax.random.PRNGKey(7)
+    for c in range(nchunks):
+        u = users_p[c * N:(c + 1) * N]
+        pos = items_p[c * N:(c + 1) * N]
+        valid = (np.arange(N) + c * N) < nnz
+        sub = jax.random.fold_in(key, c)
+        # reproduce the masked accumulate by zeroing padded logits:
+        # run accumulate on the raw chunk then subtract the padded
+        # contribution — instead simply skip the tail-only compare by
+        # using full chunks except the last, which we recompute by hand
+        gP, gQ, gQb, cP, cQ = K.bpr_accumulate_step(
+            P, Q, Qb, gP, gQ, gQb, cP, cQ,
+            jax.device_put(u), jax.device_put(pos), bloom, cum, sub,
+            per_coordinate_normalize=False, **statics)
+        if not valid.all():
+            # remove the padded samples' gradient contribution
+            neg = K.sample_verified_negatives(
+                sub, jax.device_put(u), I, None, bloom, log2, True)
+            p_, qi, qj, logit = K._bpr_forward(
+                P, Q, Qb, jax.device_put(u), jax.device_put(pos),
+                neg, True)
+            w = jnp.asarray((~valid).astype(np.float32))
+            lg = logit * w
+            gP = gP.at[u].add(-lg[:, None] * (qi - qj))
+            gQ = gQ.at[pos].add(-lg[:, None] * p_)
+            gQ = gQ.at[np.asarray(neg)].add(lg[:, None] * p_)
+            gQb = gQb.at[pos].add(-lg)
+            gQb = gQb.at[np.asarray(neg)].add(lg)
+    P, gP, mP, vP = K.apply_deferred_update(
+        P, gP, jnp.zeros((U, D)), jnp.zeros((U, D)), cP, 0,
+        optimizer="adagrad", lr=0.05, beta1=0.9, beta2=0.999, reg=0.02,
+        per_coordinate_normalize=False)
+    Q, gQ, mQ, vQ = K.apply_deferred_update(
+        Q, gQ, jnp.zeros((I, D)), jnp.zeros((I, D)), cQ, 0,
+        optimizer="adagrad", lr=0.05, beta1=0.9, beta2=0.999, reg=0.02,
+        per_coordinate_normalize=False)
+    Qb, gQb, mQb, vQb = K.apply_deferred_update(
+        Qb, gQb, jnp.zeros(I), jnp.zeros(I), cQ, 0,
+        optimizer="adagrad", lr=0.05, beta1=0.9, beta2=0.999, reg=0.02,
+        per_coordinate_normalize=False)
+    np.testing.assert_allclose(np.asarray(Pf), np.asarray(P),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Qf), np.asarray(Q),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Qbf), np.asarray(Qb),
+                               rtol=2e-4, atol=2e-5)
