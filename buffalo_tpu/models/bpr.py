@@ -276,8 +276,6 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                     reg_i=float(opt.reg_i), reg_j=float(opt.reg_j),
                     reg_b=float(opt.reg_b), num_valid=nnz,
                     total_samples=total_samples, **statics)
-                train_t = time.time() - start_t
-                self.iteration_times.append(train_t)
             else:
                 for users, positives, _vals in coo:
                     rng, sub = jax.random.split(rng)
@@ -325,10 +323,10 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                     if pcn:
                         countP = jnp.zeros_like(countP)
                         countQ = jnp.zeros_like(countQ)
-                train_t = time.time() - start_t
-                self.iteration_times.append(train_t)
 
-            loss = self.compute_loss()
+            loss = self.compute_loss()  # device readback: fences the epoch
+            train_t = time.time() - start_t
+            self.iteration_times.append(train_t)
             metrics = {"train_loss": loss}
             if opt.get("validation") and opt.evaluation_on_learning and \
                     self.periodical(opt.evaluation_period, i):

@@ -27,7 +27,7 @@ from buffalo_tpu.data.base import Data
 from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import W2VOption
-from buffalo_tpu.ops.w2v_kernels import w2v_step
+from buffalo_tpu.ops.w2v_kernels import w2v_epoch, w2v_step
 from buffalo_tpu.utils import Option, log
 
 
@@ -237,29 +237,28 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             start_t = time.time()
             inputs, targets, n_words = self._generate_pairs(rng_np)
             n_pairs = len(inputs)
-            losses, counts = [], []
-            for beg in range(0, n_pairs, chunk):
-                bi = inputs[beg:beg + chunk]
-                bt = targets[beg:beg + chunk]
-                if len(bi) < chunk:  # pad tail with dropped sentinel
-                    pad = chunk - len(bi)
-                    bi = np.concatenate(
-                        [bi, np.full(pad, V, dtype=np.int32)])
-                    bt = np.concatenate(
-                        [bt, np.full(pad, V, dtype=np.int32)])
-                progress = min(processed_words / max(total_words, 1.0), 1.0)
-                lr = max(opt.lr - (opt.lr - opt.min_lr) * progress,
-                         opt.min_lr)
-                rng, sub = jax.random.split(rng)
-                L0, L1, l, c = w2v_step(L0, L1, bi, bt, dist, sub,
-                                        jnp.float32(lr), **statics)
-                losses.append(l)
-                counts.append(c)
-                processed_words += (min(chunk, n_pairs - beg) / max(
-                    n_pairs, 1)) * n_words
-            loss_sum = float(np.sum([np.asarray(x) for x in losses]))
-            pair_cnt = float(np.sum([np.asarray(x) for x in counts]))
-            loss = loss_sum / max(pair_cnt, 1.0)
+            nchunks = max(1, -(-n_pairs // chunk))
+            pad = nchunks * chunk - n_pairs
+            if pad:  # pad tail with dropped sentinel
+                inputs = np.concatenate(
+                    [inputs, np.full(pad, V, dtype=np.int32)])
+                targets = np.concatenate(
+                    [targets, np.full(pad, V, dtype=np.int32)])
+            rng, sub = jax.random.split(rng)
+            # whole epoch in one dispatch: scan over resident chunks,
+            # lr decays by word progress inside the scan
+            wpc = n_words / max(nchunks, 1)
+            L0, L1, loss_sum, pair_cnt = w2v_epoch(
+                L0, L1,
+                jax.device_put(inputs.reshape(nchunks, chunk)),
+                jax.device_put(targets.reshape(nchunks, chunk)),
+                dist, sub, jnp.float32(processed_words),
+                lr=float(opt.lr), min_lr=float(opt.min_lr),
+                total_words=float(total_words), words_per_chunk=float(wpc),
+                **statics)
+            processed_words += n_words
+            loss = float(loss_sum) / max(float(pair_cnt), 1.0)
+            self.iteration_times.append(time.time() - start_t)
             self.logger.info(
                 "Iteration %d: Loss %.5f (%d pairs) Elapsed %.3f secs"
                 % (i + 1, loss, n_pairs, time.time() - start_t))

@@ -236,8 +236,6 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
                     optimizer=str(opt.optimizer), lr=float(opt.lr),
                     beta1=float(opt.beta1), beta2=float(opt.beta2),
                     num_valid=nnz, **statics)
-                train_t = time.time() - start_t
-                self.iteration_times.append(train_t)
             else:
                 for users, positives, _vals in coo:
                     rng, sub = jax.random.split(rng)
@@ -260,10 +258,10 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
                 if pcn:
                     countP = jnp.zeros_like(countP)
                     countQ = jnp.zeros_like(countQ)
-                train_t = time.time() - start_t
-                self.iteration_times.append(train_t)
 
-            loss = self.compute_loss()
+            loss = self.compute_loss()  # device readback: fences the epoch
+            train_t = time.time() - start_t
+            self.iteration_times.append(train_t)
             metrics = {"train_loss": loss}
             if opt.get("validation") and opt.evaluation_on_learning and \
                     self.periodical(opt.evaluation_period, i):

@@ -32,6 +32,43 @@ def _g(label, f):
 
 
 @partial(jax.jit, static_argnames=("num_negatives", "vocab_size",
+                                   "compute_loss", "lr", "min_lr",
+                                   "total_words", "words_per_chunk"),
+         donate_argnums=(0, 1))
+def w2v_epoch(L0, L1, inputs, targets, dist, rng_key, processed0,
+              *, num_negatives, vocab_size, compute_loss, lr, min_lr,
+              total_words, words_per_chunk):
+    """One full epoch in ONE dispatch: lax.scan over (nchunks, N)
+    pair chunks staged on device, with the reference's linear lr decay
+    by processed-word progress inside the scan (w2v.cc:349-359).
+
+    ``processed0`` is the word count before this epoch;
+    ``words_per_chunk`` advances the decay per chunk.
+    Returns (L0, L1, loss_sum, pair_count).
+    """
+    nchunks = inputs.shape[0]
+
+    def body(carry, xs):
+        L0, L1, loss, cnt = carry
+        bi, bt, cidx = xs
+        sub = jax.random.fold_in(rng_key, cidx)
+        progress = jnp.minimum(
+            (processed0 + cidx.astype(jnp.float32) * words_per_chunk)
+            / max(total_words, 1.0), 1.0)
+        lr_t = jnp.maximum(lr - (lr - min_lr) * progress, min_lr)
+        L0, L1, l, c = _w2v_step_body(
+            L0, L1, bi, bt, dist, sub, lr_t,
+            num_negatives=num_negatives, vocab_size=vocab_size,
+            compute_loss=compute_loss)
+        return (L0, L1, loss + l, cnt + c), None
+
+    init = (L0, L1, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+    (L0, L1, loss, cnt), _ = jax.lax.scan(
+        body, init, (inputs, targets, jnp.arange(nchunks)))
+    return L0, L1, loss, cnt
+
+
+@partial(jax.jit, static_argnames=("num_negatives", "vocab_size",
                                    "compute_loss"),
          donate_argnums=(0, 1))
 def w2v_step(L0, L1, inputs, targets, dist, rng_key, lr,
@@ -41,6 +78,13 @@ def w2v_step(L0, L1, inputs, targets, dist, rng_key, lr,
     inputs/targets: int32[B] vocab indices; padding carries
     ``vocab_size`` (dropped).  dist: cumulative unigram^0.75 table.
     """
+    return _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
+                          num_negatives=num_negatives,
+                          vocab_size=vocab_size, compute_loss=compute_loss)
+
+
+def _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
+                   *, num_negatives, vocab_size, compute_loss):
     B = inputs.shape[0]
     d = L0.shape[1]
     valid = (inputs < vocab_size).astype(jnp.float32)
