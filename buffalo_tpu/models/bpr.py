@@ -344,8 +344,10 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                                 for k, v in self.validation_result.items()})
                 if training_callback is not None and callable(training_callback):
                     training_callback(i, metrics)
-            self.logger.info("Iteration %d: Loss %.3f Elapsed %.3f secs"
-                             % (i + 1, loss, train_t))
+            self.logger.info(
+                "Iteration %d: Loss %.3f Elapsed %.3f secs (%.0f samples/s)"
+                % (i + 1, loss, train_t,
+                   self.num_nnz / max(train_t, 1e-9)))
             best_loss = self.save_best_only(loss, best_loss, i)
             if self.early_stopping(loss):
                 break

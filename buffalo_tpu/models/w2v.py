@@ -155,6 +155,31 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         topks = self._vocab.inv_index[topks]
         return topks, scores
 
+    def most_similar_vec(self, vec, topk=10, exclude=()):
+        """Top-k vocab keys by cosine to an arbitrary d-vector."""
+        L0 = self.L0 / (np.linalg.norm(self.L0, axis=1, keepdims=True)
+                        + 1e-12)
+        scores = L0 @ (vec / (np.linalg.norm(vec) + 1e-12))
+        if exclude:
+            scores[list(exclude)] = -np.inf
+        top = np.argsort(-scores)[:topk]
+        self.build_itemid_map()
+        keys = self._idmanager.itemids
+        return [(keys[self._vocab.inv_index[t]], float(scores[t]))
+                for t in top]
+
+    def analogy(self, a: str, b: str, c: str, topk: int = 10):
+        """``a : b :: c : ?`` via vector offset (b - a + c), the
+        reference's text8 question-words evaluation semantics
+        (tests/algo/test_w2v.py:62-70)."""
+        idx = self.get_index([a, b, c])
+        if any(i is None for i in idx):
+            return []
+        va, vb, vc = (self.L0[i] / (np.linalg.norm(self.L0[i]) + 1e-12)
+                      for i in idx)
+        return self.most_similar_vec(vb - va + vc, topk=topk,
+                                     exclude=idx)
+
     def get_scores(self, row_col_pairs):
         return []
 

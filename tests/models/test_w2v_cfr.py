@@ -169,3 +169,17 @@ def test_cfr_normalize_groups(cfr_data):
     m.train()
     m.normalize("context")
     np.testing.assert_allclose(np.linalg.norm(m.C, axis=1), 1.0, rtol=1e-3)
+
+
+def test_w2v_analogy_api(stream_data):
+    """analogy/most_similar_vec run and return vocab keys."""
+    m = W2V({**W2VOption().get_default_option(),
+             "min_count": 2, "d": 8, "num_iters": 2}, data=stream_data)
+    m.initialize()
+    m.train()
+    m.build_itemid_map()
+    keys = [m._idmanager.itemids[i] for i in m._vocab.inv_index[:3]]
+    res = m.analogy(keys[0], keys[1], keys[2], topk=3)
+    assert len(res) <= 3
+    for k, s in res:
+        assert isinstance(k, str) and np.isfinite(s)
