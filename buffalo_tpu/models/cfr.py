@@ -199,33 +199,19 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
         best_loss, loss, self.validation_result = float("inf"), None, {}
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds
+        # stage all three phases' batches on device once; the whole
+        # 3-phase epoch then runs as a single XLA dispatch
+        user_b = tuple(jax.device_put(b) for b in batches["user"])
+        item_b = tuple(jax.device_put(b) for b in batches["item"])
+        ctx_b = tuple(jax.device_put(b) for b in batches["context"])
         for i in range(opt.num_iters):
             start_t = time.time()
-            losses = []
-            # user phase
-            FF = jnp.dot(I.T, I, preferred_element_type=jnp.float32)
-            for b in batches["user"]:
-                U, l_ = K.cfr_user_step(
-                    U, I, FF, b.rows, b.lens, b.cols, b.vals,
-                    alpha=float(opt.alpha), l=float(opt.l),
-                    reg_u=float(opt.reg_u), **com)
-                losses.append(l_)
-            # item phase
-            FF = jnp.dot(U.T, U, preferred_element_type=jnp.float32)
-            for b, lens_c, cols_c, vals_c in batches["item"]:
-                I, Ib, l_ = K.cfr_item_step(
-                    I, U, C, Ib, Cb, FF, b.rows, b.lens, b.cols, b.vals,
-                    lens_c, cols_c, vals_c,
-                    alpha=float(opt.alpha), l=float(opt.l),
-                    reg_i=float(opt.reg_i), **com)
-                losses.append(l_)
-            # context phase
-            for b in batches["context"]:
-                C, Cb, l_ = K.cfr_context_step(
-                    C, I, Ib, Cb, b.rows, b.lens, b.cols, b.vals,
-                    reg_c=float(opt.reg_c), **com)
-                losses.append(l_)
-            loss = float(np.sum([np.asarray(x) for x in losses])) / scale
+            U, I, C, Ib, Cb, epoch_loss = K.cfr_epoch(
+                U, I, C, Ib, Cb, user_b, item_b, ctx_b,
+                alpha=float(opt.alpha), l=float(opt.l),
+                reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
+                reg_c=float(opt.reg_c), **com)
+            loss = float(epoch_loss) / scale
             train_t = time.time() - start_t
             self.iteration_times.append(train_t)
             metrics = {"train_loss": loss}

@@ -42,6 +42,14 @@ def _implicit_terms(F, vals, mask, alpha):
          donate_argnums=(0,))
 def cfr_user_step(U, I, FF, rows, lens, cols, vals, *, alpha, l, reg_u,
                   optimizer, cg_iters, cg_tol, compute_loss):
+    return _cfr_user_body(U, I, FF, rows, lens, cols, vals, alpha=alpha,
+                          l=l, reg_u=reg_u, optimizer=optimizer,
+                          cg_iters=cg_iters, cg_tol=cg_tol,
+                          compute_loss=compute_loss)
+
+
+def _cfr_user_body(U, I, FF, rows, lens, cols, vals, *, alpha, l, reg_u,
+                   optimizer, cg_iters, cg_tol, compute_loss):
     """User phase: A = l (FF + sum a v i i^T) + reg_u, y = l sum (1+av) i."""
     B, L = vals.shape
     mask = _mask(lens, L)
@@ -69,6 +77,17 @@ def cfr_item_step(I, U, C, Ib, Cb, FF, rows,
                   lens_u, cols_u, vals_u, lens_c, cols_c, vals_c,
                   *, alpha, l, reg_i, optimizer, cg_iters, cg_tol,
                   compute_loss):
+    return _cfr_item_body(I, U, C, Ib, Cb, FF, rows, lens_u, cols_u,
+                          vals_u, lens_c, cols_c, vals_c, alpha=alpha,
+                          l=l, reg_i=reg_i, optimizer=optimizer,
+                          cg_iters=cg_iters, cg_tol=cg_tol,
+                          compute_loss=compute_loss)
+
+
+def _cfr_item_body(I, U, C, Ib, Cb, FF, rows,
+                   lens_u, cols_u, vals_u, lens_c, cols_c, vals_c,
+                   *, alpha, l, reg_i, optimizer, cg_iters, cg_tol,
+                   compute_loss):
     """Item phase: implicit user term + explicit SPPMI term + biases."""
     B, Lu = vals_u.shape
     _, Lc = vals_c.shape
@@ -130,11 +149,57 @@ def cfr_item_step(I, U, C, Ib, Cb, FF, rows,
     return I, Ib, loss_u + loss_c + loss_reg
 
 
+@partial(jax.jit, static_argnames=("alpha", "l", "reg_u", "reg_i",
+                                   "reg_c", "optimizer", "cg_iters",
+                                   "cg_tol", "compute_loss"),
+         donate_argnums=(0, 1, 2, 3, 4))
+def cfr_epoch(U, I, C, Ib, Cb, user_batches, item_batches,
+              context_batches, *, alpha, l, reg_u, reg_i, reg_c,
+              optimizer, cg_iters, cg_tol, compute_loss):
+    """Full 3-phase CoFactor epoch (cfr.py:128-160) in ONE dispatch.
+
+    ``user_batches``/``context_batches`` are PaddedBatch pytrees;
+    ``item_batches`` are (PaddedBatch colwise, lens_c, cols_c, vals_c)
+    tuples carrying the row-synchronized SPPMI block.
+    """
+    loss = jnp.zeros((), jnp.float32)
+    FF = jnp.dot(I.T, I, preferred_element_type=jnp.float32)
+    for b in user_batches:
+        U, l_ = _cfr_user_body(U, I, FF, b.rows, b.lens, b.cols, b.vals,
+                               alpha=alpha, l=l, reg_u=reg_u,
+                               optimizer=optimizer, cg_iters=cg_iters,
+                               cg_tol=cg_tol, compute_loss=compute_loss)
+        loss = loss + l_
+    FF = jnp.dot(U.T, U, preferred_element_type=jnp.float32)
+    for b, lens_c, cols_c, vals_c in item_batches:
+        I, Ib, l_ = _cfr_item_body(
+            I, U, C, Ib, Cb, FF, b.rows, b.lens, b.cols, b.vals,
+            lens_c, cols_c, vals_c, alpha=alpha, l=l, reg_i=reg_i,
+            optimizer=optimizer, cg_iters=cg_iters, cg_tol=cg_tol,
+            compute_loss=compute_loss)
+        loss = loss + l_
+    for b in context_batches:
+        C, Cb, l_ = _cfr_context_body(
+            C, I, Ib, Cb, b.rows, b.lens, b.cols, b.vals, reg_c=reg_c,
+            optimizer=optimizer, cg_iters=cg_iters, cg_tol=cg_tol,
+            compute_loss=compute_loss)
+        loss = loss + l_
+    return U, I, C, Ib, Cb, loss
+
+
 @partial(jax.jit, static_argnames=("reg_c", "optimizer", "cg_iters",
                                    "cg_tol", "compute_loss"),
          donate_argnums=(0, 3))
 def cfr_context_step(C, I, Ib, Cb, rows, lens, cols, vals, *, reg_c,
                      optimizer, cg_iters, cg_tol, compute_loss):
+    return _cfr_context_body(C, I, Ib, Cb, rows, lens, cols, vals,
+                             reg_c=reg_c, optimizer=optimizer,
+                             cg_iters=cg_iters, cg_tol=cg_tol,
+                             compute_loss=compute_loss)
+
+
+def _cfr_context_body(C, I, Ib, Cb, rows, lens, cols, vals, *, reg_c,
+                      optimizer, cg_iters, cg_tol, compute_loss):
     """Context phase over SPPMI rows (cfr.cc:255-314)."""
     B, L = vals.shape
     mask = _mask(lens, L)

@@ -55,12 +55,22 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
     B = p.shape[0]
     out_keys = np.full((B, topk), -1, dtype=np.int32)
     out_scores = np.zeros((B, topk), dtype=np.float32)
+    import jax
+
+    # stage the candidate table once; every chunk (including small
+    # query sets) is padded to the fixed `chunk` rows so all calls hit
+    # one compiled executable per (chunk, d, N, k) signature
+    Q_d = jax.device_put(Q)
+    Qb_d = None if Qb is None else jax.device_put(np.asarray(Qb))
     for beg in range(0, B, chunk):
         pc = p[beg:beg + chunk]
-        vals, idx = matmul_topk(pc, Q, k_eff,
-                                Qb=None if Qb is None else np.asarray(Qb))
-        out_keys[beg:beg + chunk, :k_eff] = np.asarray(idx)
-        out_scores[beg:beg + chunk, :k_eff] = np.asarray(vals)
+        n = pc.shape[0]
+        if n < chunk:
+            pc = np.vstack([pc, np.zeros((chunk - n, p.shape[1]),
+                                         np.float32)])
+        vals, idx = matmul_topk(pc, Q_d, k_eff, Qb=Qb_d)
+        out_keys[beg:beg + n, :k_eff] = np.asarray(idx)[:n]
+        out_scores[beg:beg + n, :k_eff] = np.asarray(vals)[:n]
     if pool is not None and len(pool):
         mapped = np.asarray(pool)[np.maximum(out_keys, 0)]
         out_keys = np.where(out_keys >= 0, mapped, -1).astype(np.int32)
