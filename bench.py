@@ -102,8 +102,8 @@ def main():
     batchers = {g: DeviceBatcher(data, g, batch_mb=1024, resident_mb=8192,
                                  d=D)
                 for g in ("rowwise", "colwise")}
-    row_batches = tuple(batchers["rowwise"].device_batches())
-    col_batches = tuple(batchers["colwise"].device_batches())
+    row_batches = tuple(batchers["rowwise"].device_batches_stacked())
+    col_batches = tuple(batchers["colwise"].device_batches_stacked())
 
     rng = np.random.default_rng(7)
     P = jax.device_put(np.abs(rng.normal(

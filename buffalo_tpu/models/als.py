@@ -138,9 +138,15 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         opt = self.opt
         kw = self._epoch_kwargs()
         if all(batchers[g].resident for g in ("rowwise", "colwise")):
+            # stacked groups (one compiled body per shape) unless the
+            # batches carry explicit shardings (the dp mesh path shards
+            # the batch axis, which stacking would hide)
+            def staged(b):
+                return (b.device_batches() if b.sharding is not None
+                        else b.device_batches_stacked())
             P, Q, nume, deno = als_epoch(
-                P, Q, tuple(batchers["rowwise"].device_batches()),
-                tuple(batchers["colwise"].device_batches()),
+                P, Q, tuple(staged(batchers["rowwise"])),
+                tuple(staged(batchers["colwise"])),
                 reg_u=float(opt.reg_u), reg_i=float(opt.reg_i), **kw)
             return P, Q, float(nume), float(deno)
 

@@ -21,7 +21,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from buffalo_tpu.data.batching import PaddedBatch, SegmentBatch
+from buffalo_tpu.data.batching import (MATRIX_FREE_MAX_L, PaddedBatch,
+                                        SegmentBatch)
 from buffalo_tpu.ops.solve import solve, solve_cg
 
 
@@ -59,6 +60,55 @@ def _loss_terms(p: jax.Array, F: jax.Array, FF: jax.Array,
     return nume, deno
 
 
+# below MATRIX_FREE_MAX_L (batching.py) the CG solve runs matrix-free;
+# above it, materializing A once is cheaper than re-reading F per matvec
+
+
+def _solve_cg_matrix_free(p, F, FF, w, mask, reg_vec, y,
+                          num_iters: int, tolerance: float):
+    """Warm-started batched CG where the matvec applies
+    ``A x = FF x + reg x + F^T (w * (F x))`` without ever materializing
+    the per-row d x d system.
+
+    For short rows (the bulk of a power-law dataset) the (B, d, d)
+    system is lane-padded to (B, d, 128) on TPU and re-read every CG
+    step — the dominant HBM traffic of the 21.9M-row KakaoReco730M
+    user pass.  Matrix-free CG reads only F (B, L, d) per matvec,
+    ~8x less at L=8, d=32.  Same math as ``solve.solve_cg`` +
+    ``als.cc:58-81`` warm-start semantics.
+    """
+    def matvec(x):
+        dense = jnp.dot(x, FF, precision=jax.lax.Precision.HIGHEST) \
+            + reg_vec[:, None] * x
+        fx = jnp.einsum("bld,bd->bl", F, x,
+                        preferred_element_type=jnp.float32)
+        return dense + jnp.einsum("bld,bl->bd", F, fx * w,
+                                  preferred_element_type=jnp.float32)
+
+    Ax0 = matvec(p)
+    r_warm = y - Ax0
+    use_zero = (jnp.sum(y * y, axis=-1)
+                < jnp.sum(r_warm * r_warm, axis=-1))
+    x = jnp.where(use_zero[:, None], 0.0, p)
+    r = jnp.where(use_zero[:, None], y, r_warm)
+    rsold = jnp.sum(r * r, axis=-1)
+    active = rsold >= tolerance
+    pvec = r
+    for _ in range(num_iters):
+        Ap = matvec(pvec)
+        pAp = jnp.sum(pvec * Ap, axis=-1)
+        a = jnp.where(active, rsold / jnp.maximum(pAp, 1e-30), 0.0)
+        x = x + a[:, None] * pvec
+        r = r - a[:, None] * Ap
+        rsnew = jnp.sum(r * r, axis=-1)
+        active = active & (rsnew >= tolerance)
+        beta = jnp.where(rsold > 0,
+                         rsnew / jnp.maximum(rsold, 1e-30), 0.0)
+        pvec = r + beta[:, None] * pvec
+        rsold = rsnew
+    return x
+
+
 def als_solve_batch(p: jax.Array, F: jax.Array, FF: jax.Array,
                     lens: jax.Array, vals: jax.Array,
                     *, alpha: float, reg: float, adaptive_reg: bool,
@@ -78,12 +128,7 @@ def als_solve_batch(p: jax.Array, F: jax.Array, FF: jax.Array,
     mask = (jnp.arange(L, dtype=jnp.int32)[None, :]
             < lens[:, None]).astype(jnp.float32)
     row_mask = (lens > 0).astype(jnp.float32)
-
-    A_data, y = _row_stats(F, vals, mask, alpha)
     ada = jnp.where(adaptive_reg, lens.astype(jnp.float32), 1.0)
-    d = p.shape[-1]
-    A = FF[None] + A_data \
-        + (reg * ada)[:, None, None] * jnp.eye(d, dtype=p.dtype)[None]
 
     if compute_loss:
         nume, deno = _loss_terms(p, F, FF, vals, mask, row_mask, lens,
@@ -92,7 +137,20 @@ def als_solve_batch(p: jax.Array, F: jax.Array, FF: jax.Array,
     else:
         nume = deno = jnp.zeros((), jnp.float32)
 
-    x = solve(A, y, p, optimizer, num_iters=cg_iters, tolerance=cg_tol)
+    from buffalo_tpu.ops.solve import CG_SOLVERS
+    if optimizer in CG_SOLVERS and L <= MATRIX_FREE_MAX_L:
+        w = vals * alpha * mask
+        y = jnp.einsum("bld,bl->bd", F, (1.0 + w) * mask,
+                       preferred_element_type=jnp.float32)
+        x = _solve_cg_matrix_free(p, F, FF, w, mask, reg * ada, y,
+                                  num_iters=cg_iters, tolerance=cg_tol)
+    else:
+        A_data, y = _row_stats(F, vals, mask, alpha)
+        d = p.shape[-1]
+        A = FF[None] + A_data \
+            + (reg * ada)[:, None, None] * jnp.eye(d, dtype=p.dtype)[None]
+        x = solve(A, y, p, optimizer, num_iters=cg_iters,
+                  tolerance=cg_tol)
     x = jnp.where(row_mask[:, None] > 0, x, p)
     return x, nume, deno
 
@@ -305,16 +363,35 @@ def als_epoch(P, Q, row_batches, col_batches, *, optimizer, alpha, reg_u,
     common = dict(optimizer=optimizer, alpha=alpha, adaptive_reg=adaptive_reg,
                   cg_iters=cg_iters, cg_tol=cg_tol, block_size=block_size,
                   compute_loss=compute_loss)
+
+    def apply_group(A, Bf, FF, batch, **kw):
+        """One batch, or a same-shape stack of batches (leading axis):
+        stacked groups run under lax.scan so each distinct shape
+        compiles exactly one body — at 21.9M-row scale that is ~30
+        compiled bodies instead of ~400."""
+        if batch.rows.ndim == 1:
+            return _apply_batch(A, Bf, FF, batch, **kw)
+
+        def body(carry, b):
+            A, nu, de = carry
+            A, n, dn = _apply_batch(A, Bf, FF, b, **kw)
+            return (A, nu + n, de + dn), None
+
+        (A, nu, de), _ = jax.lax.scan(
+            body, (A, jnp.zeros((), jnp.float32),
+                   jnp.zeros((), jnp.float32)), batch)
+        return A, nu, de
+
     nume = deno = jnp.zeros((), jnp.float32)
     FF = jnp.dot(Q.T, Q, preferred_element_type=jnp.float32)
     for batch in row_batches:
-        P, n, dn = _apply_batch(P, Q, FF, batch, reg=reg_u, item_axis=False,
-                                num_fixed_rows=Q.shape[0], **common)
+        P, n, dn = apply_group(P, Q, FF, batch, reg=reg_u, item_axis=False,
+                               num_fixed_rows=Q.shape[0], **common)
         nume, deno = nume + n, deno + dn
     FF = jnp.dot(P.T, P, preferred_element_type=jnp.float32)
     for batch in col_batches:
-        Q, n, dn = _apply_batch(Q, P, FF, batch, reg=reg_i, item_axis=True,
-                                num_fixed_rows=P.shape[0], **common)
+        Q, n, dn = apply_group(Q, P, FF, batch, reg=reg_i, item_axis=True,
+                               num_fixed_rows=P.shape[0], **common)
         nume, deno = nume + n, deno + dn
     return P, Q, nume, deno
 
