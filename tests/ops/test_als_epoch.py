@@ -116,3 +116,33 @@ def test_segment_vs_padded_same_stats():
         outs.append(np.asarray(P))
     np.testing.assert_allclose(outs[0], outs[2], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(outs[1], outs[2], rtol=1e-4, atol=1e-5)
+
+
+def test_stacked_groups_match_flat():
+    """lax.scan over shape-stacked batches == flat batch list."""
+    import jax
+
+    from buffalo_tpu.data.batching import stack_batches
+    from buffalo_tpu.ops.als_kernels import als_epoch
+
+    num_users, num_items, d = 64, 40, 8
+    rng = np.random.default_rng(9)
+    indptr, key, val = _make_csr(num_users, num_items, seed=2,
+                                 min_deg=3, max_deg=12)
+    planner = BatchPlanner(indptr, entries_per_batch=64, max_len=64)
+    flat = tuple(planner.iter_batches(key, val))
+    stacked = tuple(stack_batches(flat))
+    assert len(stacked) < len(flat), "fixture must exercise stacking"
+
+    P0 = rng.normal(size=(num_users, d)).astype(np.float32) * 0.1
+    Q0 = rng.normal(size=(num_items, d)).astype(np.float32) * 0.1
+    kw = dict(optimizer="manual_cg", alpha=4.0, reg_u=0.05, reg_i=0.05,
+              adaptive_reg=False, cg_iters=3, cg_tol=1e-10, block_size=8,
+              compute_loss=True)
+    P1, _, n1, d1 = als_epoch(jax.device_put(P0), jax.device_put(Q0),
+                              flat, (), **kw)
+    P2, _, n2, d2 = als_epoch(jax.device_put(P0), jax.device_put(Q0),
+                              stacked, (), **kw)
+    np.testing.assert_allclose(np.asarray(P1), np.asarray(P2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(n1), float(n2), rtol=1e-5)
