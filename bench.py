@@ -102,18 +102,28 @@ def main():
     batchers = {g: DeviceBatcher(data, g, batch_mb=1024, resident_mb=8192,
                                  d=D)
                 for g in ("rowwise", "colwise")}
-    row_batches = tuple(batchers["rowwise"].device_batches_stacked())
-    col_batches = tuple(batchers["colwise"].device_batches_stacked())
+    # bucket-order range layout: contiguous range updates, no scatter
+    from buffalo_tpu.data.batching import build_range_layout, stack_batches
+    rb_, cb_ = batchers["rowwise"], batchers["colwise"]
+    row_b, col_b, u_pos, i_pos, u_pad, i_pad = build_range_layout(
+        rb_.planner, cb_.planner, rb_.key, rb_.val, cb_.key, cb_.val)
+    row_batches = tuple(jax.device_put(b) for b in stack_batches(row_b))
+    col_batches = tuple(jax.device_put(b) for b in stack_batches(col_b))
 
     rng = np.random.default_rng(7)
-    P = jax.device_put(np.abs(rng.normal(
-        scale=1.0 / D ** 2, size=(num_users, D))).astype(np.float32))
-    Q = jax.device_put(np.abs(rng.normal(
-        scale=1.0 / D ** 2, size=(num_items, D))).astype(np.float32))
+    Pp = np.zeros((u_pad, D), np.float32)
+    Pp[u_pos] = np.abs(rng.normal(
+        scale=1.0 / D ** 2, size=(num_users, D))).astype(np.float32)
+    Qp = np.zeros((i_pad, D), np.float32)
+    Qp[i_pos] = np.abs(rng.normal(
+        scale=1.0 / D ** 2, size=(num_items, D))).astype(np.float32)
+    P = jax.device_put(Pp)
+    Q = jax.device_put(Qp)
 
     epoch_fn = partial(als_epoch, optimizer="manual_cg", alpha=8.0,
                        reg_u=0.1, reg_i=0.1, adaptive_reg=False, cg_iters=3,
-                       cg_tol=1e-10, block_size=32, compute_loss=True)
+                       cg_tol=1e-10, block_size=32, compute_loss=True,
+                       num_p_rows=num_users, num_q_rows=num_items)
 
     # warmup (compiles + resident upload)
     P, Q = run_epoch(P, Q, row_batches, col_batches, epoch_fn)

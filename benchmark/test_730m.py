@@ -100,7 +100,9 @@ def main():
     import jax.numpy as jnp
     from functools import partial
 
-    from buffalo_tpu.data.batching import DeviceBatcher
+    from buffalo_tpu.data.batching import (DeviceBatcher,
+                                           build_range_layout,
+                                           stack_batches)
     from buffalo_tpu.ops.als_kernels import als_epoch
 
     st = time.perf_counter()
@@ -112,9 +114,12 @@ def main():
     batchers = {g: DeviceBatcher(_Data(groups), g, batch_mb=args.batch_mb,
                                  resident_mb=args.resident_mb, d=args.d)
                 for g in ("rowwise", "colwise")}
-    rb = tuple(batchers["rowwise"].device_batches_stacked()) \
+    rb_, cb_ = batchers["rowwise"], batchers["colwise"]
+    row_b, col_b, u_pos, i_pos, u_pad, i_pad = build_range_layout(
+        rb_.planner, cb_.planner, rb_.key, rb_.val, cb_.key, cb_.val)
+    rb = tuple(jax.device_put(b) for b in stack_batches(row_b)) \
         if args.only in ("both", "rowwise") else ()
-    cb = tuple(batchers["colwise"].device_batches_stacked()) \
+    cb = tuple(jax.device_put(b) for b in stack_batches(col_b)) \
         if args.only in ("both", "colwise") else ()
     print(f"staged: {batchers['rowwise'].num_batches}+"
           f"{batchers['colwise'].num_batches} batches "
@@ -124,14 +129,19 @@ def main():
 
     rng = np.random.default_rng(7)
     D = args.d
-    P = jax.device_put(np.abs(rng.normal(
-        scale=1.0 / D ** 2, size=(USERS, D))).astype(np.float32))
-    Q = jax.device_put(np.abs(rng.normal(
-        scale=1.0 / D ** 2, size=(ITEMS, D))).astype(np.float32))
+    Pp = np.zeros((u_pad, D), np.float32)
+    Pp[u_pos] = np.abs(rng.normal(
+        scale=1.0 / D ** 2, size=(USERS, D))).astype(np.float32)
+    Qp = np.zeros((i_pad, D), np.float32)
+    Qp[i_pos] = np.abs(rng.normal(
+        scale=1.0 / D ** 2, size=(ITEMS, D))).astype(np.float32)
+    P = jax.device_put(Pp)
+    Q = jax.device_put(Qp)
 
     fn = partial(als_epoch, optimizer="manual_cg", alpha=8.0, reg_u=0.1,
                  reg_i=0.1, adaptive_reg=False, cg_iters=3, cg_tol=1e-10,
-                 block_size=32, compute_loss=False)
+                 block_size=32, compute_loss=False,
+                 num_p_rows=USERS, num_q_rows=ITEMS)
 
     def sync(*arrs):
         return sum(float(jnp.sum(a[::65536, -1])) for a in arrs)

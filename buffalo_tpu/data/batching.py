@@ -114,6 +114,136 @@ class SegmentBatch(NamedTuple):
         return int((self.lens > 0).sum())
 
 
+class RangeBatch(NamedTuple):
+    """A padded batch whose rows are a CONTIGUOUS range of a permuted
+    factor table: [row_start, row_start + B).
+
+    Scatter into a 21.9M-row table costs ~133 ns/row on TPU (hardware
+    floor, index hints change nothing); after permuting the table into
+    bucket order once per training run, the update becomes a
+    dynamic_update_slice (pure bandwidth) and the current-row read a
+    dynamic_slice.  ``row_start`` is an int32 scalar array so stacked
+    groups can scan over it.
+    """
+    row_start: np.ndarray    # int32 () — first row of the range
+    lens: np.ndarray         # int32[B] true row lengths (0 padding)
+    cols: np.ndarray         # int32[B, L] (ids in the OTHER table's
+    vals: np.ndarray         # float32[B, L]         permuted order)
+
+    @property
+    def shape(self):
+        return self.cols.shape
+
+    @property
+    def num_real_rows(self) -> int:
+        return int((self.lens > 0).sum())
+
+
+def build_range_layout(row_planner: "BatchPlanner",
+                       col_planner: "BatchPlanner",
+                       row_key, row_val, col_key, col_val):
+    """Permute both orientations into bucket order and emit RangeBatches.
+
+    Returns (row_batches, col_batches, u_newpos, i_newpos, u_rows_padded,
+    i_rows_padded): ``*_newpos[old_id] -> position`` in the permuted
+    (and padded) table; every real row gets a position (degree-0 rows
+    at the tail, untouched by training).  Cross-references are
+    remapped: rowwise ``cols`` carry item positions, colwise ``cols``
+    user positions.  Long rows (SegmentBatch) keep scatter semantics
+    with remapped ids.
+    """
+    def positions(planner):
+        num = planner.num_rows
+        newpos = np.full(num, -1, dtype=np.int64)
+        plan = []  # (row_ids, start, B) per batch
+        pos = 0
+        bmult = planner.batch_rows_multiple
+        for bucket in planner.buckets:
+            ids = bucket.row_ids
+            for beg in range(0, len(ids), bucket.B):
+                rows = ids[beg:beg + bucket.B]
+                n = len(rows)
+                B = min(bucket.B, -(-n // bmult) * bmult)
+                newpos[rows] = pos + np.arange(n)
+                plan.append((rows, pos, B))
+                pos += B
+        seg = np.asarray(
+            [r for p in planner.segment_plans for r in p], dtype=np.int64)
+        first_free = pos
+        # segment rows then degree-0 rows at the tail
+        deg0 = np.nonzero(newpos < 0)[0]
+        if len(seg):
+            deg0 = deg0[~np.isin(deg0, seg)]
+        tail = np.concatenate([seg, deg0])
+        newpos[tail] = first_free + np.arange(len(tail))
+        total = first_free + len(tail)
+        padded = -(-total // MIN_B) * MIN_B
+        return newpos, plan, padded
+
+    u_newpos, u_plan, u_padded = positions(row_planner)
+    i_newpos, i_plan, i_padded = positions(col_planner)
+
+    def emit(planner, plan, key, val, self_newpos, other_newpos):
+        out = []
+        indptr = planner.indptr
+        key = np.asarray(key, dtype=np.int64)
+        for rows, pos, B in plan:
+            n = len(rows)
+            beg = indptr[rows]
+            lens = (indptr[rows + 1] - beg).astype(np.int32)
+            L = 0
+            # bucket L from the planner grid: all rows share one bucket
+            L = int(max(MIN_L, 0))
+            # recompute exact bucket length: the longest row in batch,
+            # rounded up on the grid (same value the planner used)
+            grid = _bucket_lengths(planner.max_len)
+            L = int(grid[np.searchsorted(grid, int(lens.max()))])
+            offs = np.arange(L, dtype=np.int64)[None, :]
+            idx = beg[:, None] + np.minimum(offs, (lens[:, None] - 1))
+            mask = offs < lens[:, None]
+            cols = np.where(mask, other_newpos[key[idx]], 0)
+            if val is not None:
+                vals = np.where(
+                    mask, np.asarray(val, np.float32)[idx], 0.0
+                ).astype(np.float32)
+            else:
+                vals = mask.astype(np.float32)
+            out_lens = np.zeros(B, dtype=np.int32)
+            out_lens[:n] = lens
+            pad_cols = np.zeros((B, L), dtype=np.int32)
+            pad_cols[:n] = cols
+            pad_vals = np.zeros((B, L), dtype=np.float32)
+            pad_vals[:n] = vals
+            out.append(RangeBatch(row_start=np.int32(pos),
+                                  lens=out_lens, cols=pad_cols,
+                                  vals=pad_vals))
+        # segment batches: remap both the row ids and the col ids
+        for plan_rows in planner.segment_plans:
+            sb = planner._build_segment_batch(plan_rows, key, val)
+            rows = np.where(sb.lens > 0,
+                            # newpos of real rows; padding rows point
+                            # out of range so scatters drop them
+                            np.take(
+                                np.concatenate([
+                                    self_newpos,
+                                    np.array([1 << 30])]),
+                                np.minimum(sb.rows, len(self_newpos))),
+                            1 << 30).astype(np.int32)
+            cols = other_newpos[sb.cols.astype(np.int64)].astype(np.int32)
+            out.append(SegmentBatch(rows=rows, lens=sb.lens,
+                                    seg_ids=sb.seg_ids,
+                                    chunk_lens=sb.chunk_lens,
+                                    cols=cols, vals=sb.vals))
+        return out
+
+    row_batches = emit(row_planner, u_plan, row_key, row_val,
+                       u_newpos, i_newpos)
+    col_batches = emit(col_planner, i_plan, col_key, col_val,
+                       i_newpos, u_newpos)
+    return (row_batches, col_batches, u_newpos, i_newpos,
+            int(u_padded), int(i_padded))
+
+
 @dataclass
 class _BucketPlan:
     L: int                    # padded row length

@@ -23,7 +23,8 @@ import numpy as np
 
 import buffalo_tpu.data
 from buffalo_tpu.data.base import Data
-from buffalo_tpu.data.batching import DeviceBatcher
+from buffalo_tpu.data.batching import (DeviceBatcher, build_range_layout,
+                                        stack_batches)
 from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import ALSOption
@@ -138,6 +139,16 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         opt = self.opt
         kw = self._epoch_kwargs()
         if all(batchers[g].resident for g in ("rowwise", "colwise")):
+            if getattr(self, "_range", None) is not None:
+                # bucket-order layout: tables are permuted/padded,
+                # updates are contiguous range writes (no scatter)
+                rs = self._range
+                P, Q, nume, deno = als_epoch(
+                    P, Q, rs["row_groups"], rs["col_groups"],
+                    reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
+                    num_p_rows=rs["num_users"],
+                    num_q_rows=rs["num_items"], **kw)
+                return P, Q, float(nume), float(deno)
             # stacked groups (one compiled body per shape) unless the
             # batches carry explicit shardings (the dp mesh path shards
             # the batch axis, which stacking would hide)
@@ -183,7 +194,9 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         self._optimizer = self._resolve_optimizer()
         mesh = None
         n_dev = self.opt.get("num_devices") or 0
-        if jax.device_count() > 1 or n_dev > 1:
+        if n_dev == 1:
+            mesh = None  # force single-device (enables range layout)
+        elif jax.device_count() > 1 or n_dev > 1:
             mesh = parallelism.get_mesh(n_dev if n_dev else None)
 
         batch_shard = row_shard = repl = None
@@ -208,8 +221,46 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         sharding_mode = self.opt.get("sharding", "dp")
         table_sharding = row_shard if (
             mesh is not None and "tp" in sharding_mode) else repl
-        P = jax.device_put(self.P, table_sharding)
-        Q = jax.device_put(self.Q, table_sharding)
+
+        # bucket-order range layout: single-device resident training
+        # permutes both tables once so every batch updates a contiguous
+        # row range (scatter costs ~133 ns/row at 20M+ rows; a range
+        # write is pure bandwidth)
+        self._range = None
+        use_range = (mesh is None
+                     and all(batchers[g].resident
+                             for g in ("rowwise", "colwise"))
+                     and bool(self.opt.get("range_layout", True)))
+        if use_range:
+            rb = batchers["rowwise"]
+            cb = batchers["colwise"]
+            row_b, col_b, u_pos, i_pos, u_pad, i_pad = build_range_layout(
+                rb.planner, cb.planner, rb.key, rb.val, cb.key, cb.val)
+            d = int(self.opt.d)
+            Pp = np.zeros((u_pad, d), np.float32)
+            Pp[u_pos] = self.P
+            Qp = np.zeros((i_pad, d), np.float32)
+            Qp[i_pos] = self.Q
+            self._range = {
+                "row_groups": tuple(jax.device_put(b)
+                                    for b in stack_batches(row_b)),
+                "col_groups": tuple(jax.device_put(b)
+                                    for b in stack_batches(col_b)),
+                "u_pos": u_pos, "i_pos": i_pos,
+                "num_users": int(self.P.shape[0]),
+                "num_items": int(self.Q.shape[0]),
+            }
+            P = jax.device_put(Pp)
+            Q = jax.device_put(Qp)
+        else:
+            P = jax.device_put(self.P, table_sharding)
+            Q = jax.device_put(self.Q, table_sharding)
+
+        def to_host(P, Q):
+            if self._range is not None:
+                return (np.asarray(P)[self._range["u_pos"]],
+                        np.asarray(Q)[self._range["i_pos"]])
+            return np.asarray(P), np.asarray(Q)
 
         best_loss, rmse, self.validation_result = float("inf"), None, {}
         full_st = time.time()
@@ -225,7 +276,7 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
                     self.opt.evaluation_on_learning and \
                     self.periodical(self.opt.evaluation_period, i):
                 start_t = time.time()
-                self.P, self.Q = np.asarray(P), np.asarray(Q)
+                self.P, self.Q = to_host(P, Q)
                 self.validation_result = self.get_validation_results()
                 vali_t = time.time() - start_t
                 val_str = " ".join(f"{k}:{v:0.5f}"
@@ -241,7 +292,8 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             best_loss = self.save_best_only(rmse, best_loss, i)
             if self.early_stopping(rmse):
                 break
-        self.P, self.Q = np.asarray(P), np.asarray(Q)
+        self.P, self.Q = to_host(P, Q)
+        self._range = None
         self.logger.info(
             f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
         ret = {"train_loss": rmse}

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from buffalo_tpu.data.batching import (MATRIX_FREE_MAX_L, PaddedBatch,
-                                        SegmentBatch)
+                                        RangeBatch, SegmentBatch)
 from buffalo_tpu.ops.solve import solve, solve_cg
 
 
@@ -305,10 +305,27 @@ def als_solve_segment_batch(p: jax.Array, Q: jax.Array, FF: jax.Array,
 def _apply_batch(A, Bf, FF, batch, *, optimizer, alpha, reg, adaptive_reg,
                  cg_iters, cg_tol, block_size, item_axis, num_fixed_rows,
                  compute_loss):
-    """Update table ``A`` with one batch (padded or segment) against ``Bf``."""
+    """Update table ``A`` with one batch (padded/segment/range)."""
     common = dict(alpha=alpha, reg=reg, adaptive_reg=adaptive_reg,
                   item_axis=item_axis, num_fixed_rows=num_fixed_rows,
                   compute_loss=compute_loss)
+    if isinstance(batch, RangeBatch):
+        # bucket-order layout: contiguous slice in, slice update out —
+        # avoids the ~133 ns/row scatter floor of big tables
+        B = batch.lens.shape[0]
+        p = jax.lax.dynamic_slice_in_dim(A, batch.row_start, B, axis=0)
+        F = jnp.take(Bf, batch.cols, axis=0)
+        if optimizer == "ialspp":
+            x, nume, deno = ialspp_solve_batch(
+                p, F, FF, batch.lens, batch.vals, block_size=block_size,
+                cg_tol=cg_tol, **common)
+        else:
+            x, nume, deno = als_solve_batch(
+                p, F, FF, batch.lens, batch.vals, optimizer=optimizer,
+                cg_iters=cg_iters, cg_tol=cg_tol, **common)
+        A = jax.lax.dynamic_update_slice_in_dim(A, x, batch.row_start,
+                                                axis=0)
+        return A, nume, deno
     rows = batch.rows
     safe_rows = jnp.minimum(rows, A.shape[0] - 1)
     p = jnp.take(A, safe_rows, axis=0)
@@ -348,10 +365,11 @@ def als_batch_step(A, Bf, FF, batch, *, optimizer, alpha, reg, adaptive_reg,
 
 @partial(jax.jit, static_argnames=(
     "optimizer", "alpha", "reg_u", "reg_i", "adaptive_reg", "cg_iters",
-    "cg_tol", "block_size", "compute_loss"), donate_argnums=(0, 1))
+    "cg_tol", "block_size", "compute_loss", "num_p_rows", "num_q_rows"),
+    donate_argnums=(0, 1))
 def als_epoch(P, Q, row_batches, col_batches, *, optimizer, alpha, reg_u,
               reg_i, adaptive_reg, cg_iters, cg_tol, block_size,
-              compute_loss):
+              compute_loss, num_p_rows=None, num_q_rows=None):
     """One full ALS epoch — gramian + both half-epochs — in ONE dispatch.
 
     The reference pays one C++ call per chunk (`als.py:115-143`); on a
@@ -369,7 +387,9 @@ def als_epoch(P, Q, row_batches, col_batches, *, optimizer, alpha, reg_u,
         stacked groups run under lax.scan so each distinct shape
         compiles exactly one body — at 21.9M-row scale that is ~30
         compiled bodies instead of ~400."""
-        if batch.rows.ndim == 1:
+        flat = (batch.lens.ndim == 1 if isinstance(batch, RangeBatch)
+                else batch.rows.ndim == 1)
+        if flat:
             return _apply_batch(A, Bf, FF, batch, **kw)
 
         def body(carry, b):
@@ -386,12 +406,14 @@ def als_epoch(P, Q, row_batches, col_batches, *, optimizer, alpha, reg_u,
     FF = jnp.dot(Q.T, Q, preferred_element_type=jnp.float32)
     for batch in row_batches:
         P, n, dn = apply_group(P, Q, FF, batch, reg=reg_u, item_axis=False,
-                               num_fixed_rows=Q.shape[0], **common)
+                               num_fixed_rows=num_q_rows or Q.shape[0],
+                               **common)
         nume, deno = nume + n, deno + dn
     FF = jnp.dot(P.T, P, preferred_element_type=jnp.float32)
     for batch in col_batches:
         Q, n, dn = apply_group(Q, P, FF, batch, reg=reg_i, item_axis=True,
-                               num_fixed_rows=P.shape[0], **common)
+                               num_fixed_rows=num_p_rows or P.shape[0],
+                               **common)
         nume, deno = nume + n, deno + dn
     return P, Q, nume, deno
 

@@ -150,3 +150,13 @@ def test_training_callback(ml_data):
     als.train(training_callback=lambda i, m: calls.append((i, m)))
     assert len(calls) == 3
     assert "train_loss" in calls[0][1]
+
+
+def test_range_layout_driver_parity(ml_data):
+    """Single-device range-layout training == mesh scatter training."""
+    np.random.seed(3)
+    als_a, res_a = _train(ml_data, d=12, num_iters=4)
+    np.random.seed(3)
+    als_b, res_b = _train(ml_data, d=12, num_iters=4, num_devices=1)
+    assert abs(res_a["train_loss"] - res_b["train_loss"]) < 5e-3
+    np.testing.assert_allclose(als_a.Q, als_b.Q, rtol=5e-2, atol=5e-3)

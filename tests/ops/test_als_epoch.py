@@ -146,3 +146,60 @@ def test_stacked_groups_match_flat():
     np.testing.assert_allclose(np.asarray(P1), np.asarray(P2),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(n1), float(n2), rtol=1e-5)
+
+
+def test_range_layout_matches_flat():
+    """Permuted contiguous-range epoch == plain scatter epoch."""
+    import jax
+
+    from buffalo_tpu.data.batching import build_range_layout
+    from buffalo_tpu.ops.als_kernels import als_epoch
+
+    num_users, num_items, d = 70, 40, 8
+    rng = np.random.default_rng(11)
+    indptr, key, val = _make_csr(num_users, num_items, seed=4,
+                                 min_deg=0, max_deg=40)
+    # add a long row to exercise the remapped segment path
+    long_deg = 60
+    key = np.concatenate([key[:indptr[-2]],
+                          rng.integers(0, num_items,
+                                       long_deg).astype(np.int32)])
+    val = np.concatenate([val[:indptr[-2]],
+                          (1.0 + rng.random(long_deg)).astype(np.float32)])
+    indptr[-1] = indptr[-2] + long_deg
+    rows = np.repeat(np.arange(num_users, dtype=np.int32), np.diff(indptr))
+    order = np.argsort(key, kind="stable")
+    ckey, cval = rows[order], val[order]
+    cindptr = np.zeros(num_items + 1, dtype=np.int64)
+    np.cumsum(np.bincount(key, minlength=num_items), out=cindptr[1:])
+
+    P0 = rng.normal(size=(num_users, d)).astype(np.float32) * 0.1
+    Q0 = rng.normal(size=(num_items, d)).astype(np.float32) * 0.1
+    kw = dict(optimizer="manual_cg", alpha=4.0, reg_u=0.05, reg_i=0.05,
+              adaptive_reg=False, cg_iters=3, cg_tol=1e-10, block_size=8,
+              compute_loss=True)
+
+    rp = BatchPlanner(indptr, entries_per_batch=256, max_len=32)
+    cp = BatchPlanner(cindptr, entries_per_batch=256, max_len=32)
+    # flat reference
+    rb = tuple(rp.iter_batches(key, val))
+    cb = tuple(cp.iter_batches(ckey, cval))
+    P1, Q1, n1, d1 = als_epoch(jax.device_put(P0), jax.device_put(Q0),
+                               rb, cb, **kw)
+
+    # range layout
+    row_b, col_b, u_pos, i_pos, u_pad, i_pad = build_range_layout(
+        rp, cp, key, val, ckey, cval)
+    Pp = np.zeros((u_pad, d), np.float32)
+    Pp[u_pos] = P0
+    Qp = np.zeros((i_pad, d), np.float32)
+    Qp[i_pos] = Q0
+    P2p, Q2p, n2, d2 = als_epoch(
+        jax.device_put(Pp), jax.device_put(Qp), tuple(row_b),
+        tuple(col_b), num_p_rows=num_users, num_q_rows=num_items, **kw)
+    P2 = np.asarray(P2p)[u_pos]
+    Q2 = np.asarray(Q2p)[i_pos]
+    np.testing.assert_allclose(np.asarray(P1), P2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Q1), Q2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(n1), float(n2), rtol=1e-4)
+    np.testing.assert_allclose(float(d1), float(d2), rtol=1e-5)
