@@ -89,7 +89,7 @@ def main():
     ap.add_argument("--d", type=int, default=32)
     ap.add_argument("--nnz", type=int, default=NNZ)
     ap.add_argument("--epochs", type=int, default=2)
-    ap.add_argument("--batch_mb", type=int, default=2048)
+    ap.add_argument("--batch_mb", type=int, default=1024)
     ap.add_argument("--resident_mb", type=int, default=9216)
     ap.add_argument("--only", default="both",
                     choices=["both", "rowwise", "colwise"],

@@ -302,6 +302,31 @@ def als_solve_segment_batch(p: jax.Array, Q: jax.Array, FF: jax.Array,
     return x, nume, deno
 
 
+def gramian(X: jax.Array, chunk: int = 1 << 20) -> jax.Array:
+    """``X^T X`` accumulated over row chunks.
+
+    ``jnp.dot(X.T, X)`` on a 21.9M x 32 table makes XLA materialize a
+    full transposed-layout copy (2.6 GB at KakaoReco scale — it OOM'd
+    the chip); chunking keeps the transpose at (chunk, d).
+    """
+    n, d = X.shape
+    if n <= chunk:
+        return jnp.dot(X.T, X, preferred_element_type=jnp.float32)
+    k = n // chunk
+
+    def body(i, acc):
+        blk = jax.lax.dynamic_slice_in_dim(X, i * chunk, chunk, axis=0)
+        return acc + jnp.dot(blk.T, blk,
+                             preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, k, body, jnp.zeros((d, d), jnp.float32))
+    if n - k * chunk:
+        blk = jax.lax.slice_in_dim(X, k * chunk, n, axis=0)
+        acc = acc + jnp.dot(blk.T, blk,
+                            preferred_element_type=jnp.float32)
+    return acc
+
+
 def _apply_batch(A, Bf, FF, batch, *, optimizer, alpha, reg, adaptive_reg,
                  cg_iters, cg_tol, block_size, item_axis, num_fixed_rows,
                  compute_loss):
@@ -403,13 +428,13 @@ def als_epoch(P, Q, row_batches, col_batches, *, optimizer, alpha, reg_u,
         return A, nu, de
 
     nume = deno = jnp.zeros((), jnp.float32)
-    FF = jnp.dot(Q.T, Q, preferred_element_type=jnp.float32)
+    FF = gramian(Q)
     for batch in row_batches:
         P, n, dn = apply_group(P, Q, FF, batch, reg=reg_u, item_axis=False,
                                num_fixed_rows=num_q_rows or Q.shape[0],
                                **common)
         nume, deno = nume + n, deno + dn
-    FF = jnp.dot(P.T, P, preferred_element_type=jnp.float32)
+    FF = gramian(P)
     for batch in col_batches:
         Q, n, dn = apply_group(Q, P, FF, batch, reg=reg_i, item_axis=True,
                                num_fixed_rows=num_p_rows or P.shape[0],
