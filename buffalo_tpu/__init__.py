@@ -25,6 +25,7 @@ from buffalo_tpu.parallel import (ParALS, ParBPRMF, ParCFR,  # noqa: F401
                                   ParEALS, ParW2V)
 from buffalo_tpu.utils import Option  # noqa: F401
 from buffalo_tpu.utils import log  # noqa: F401
+from buffalo_tpu import utils as aux  # noqa: F401  (reference alias)
 from buffalo_tpu.utils.log import get_log_level, set_log_level  # noqa: F401
 
 __all__ = [
@@ -33,5 +34,5 @@ __all__ = [
     "W2VOption", "WARPOption",
     "MatrixMarket", "MatrixMarketOptions", "Stream", "StreamOptions",
     "ParALS", "ParBPRMF", "ParCFR", "ParEALS", "ParW2V",
-    "Option", "set_log_level", "get_log_level",
+    "Option", "set_log_level", "get_log_level", "aux", "log",
 ]
