@@ -178,7 +178,7 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
             if batcher.resident:
                 # whole EM epoch in one dispatch
                 P, Q, epoch_loss = plsi_epoch(
-                    P, Q, tuple(batcher.device_batches()),
+                    P, Q, tuple(batcher.device_batches_stacked()),
                     alpha1=float(opt.alpha1), alpha2=float(opt.alpha2))
                 loss_nume = float(epoch_loss)
             else:

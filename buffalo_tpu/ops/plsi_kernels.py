@@ -81,19 +81,29 @@ def plsi_epoch(P, Q, batches, *, alpha1, alpha2):
     Pn = jnp.zeros_like(P)
     Qn = jnp.zeros_like(Q)
     loss = jnp.zeros((), jnp.float32)
-    for b in batches:
+
+    def one(Pn, Qn, b):
         if isinstance(b, SegmentBatch):
             R = b.rows.shape[0]
             padded_rows = jnp.concatenate(
                 [b.rows, jnp.full((1,), Pn.shape[0], b.rows.dtype)])
             chunk_rows = jnp.take(padded_rows, jnp.minimum(b.seg_ids, R),
                                   axis=0)
-            Pn, Qn, batch_loss = _accumulate_chunks(
+            return _accumulate_chunks(
                 Pn, Qn, P, Q, chunk_rows, b.chunk_lens, b.cols, b.vals)
+        return plsi_accumulate(Pn, Qn, P, Q, b.rows, b.lens, b.cols,
+                               b.vals)
+
+    for b in batches:
+        if b.rows.ndim == 2:  # shape-stacked group: scan one body
+            def body(carry, bb):
+                Pn, Qn, ls = carry
+                Pn, Qn, l_ = one(Pn, Qn, bb)
+                return (Pn, Qn, ls + l_), None
+            (Pn, Qn, loss), _ = jax.lax.scan(body, (Pn, Qn, loss), b)
         else:
-            Pn, Qn, batch_loss = plsi_accumulate(
-                Pn, Qn, P, Q, b.rows, b.lens, b.cols, b.vals)
-        loss = loss + batch_loss
+            Pn, Qn, batch_loss = one(Pn, Qn, b)
+            loss = loss + batch_loss
     P, Q = plsi_normalize_swap(Pn, Qn, alpha1=alpha1, alpha2=alpha2)
     return P, Q, loss
 
