@@ -91,6 +91,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--batch_mb", type=int, default=1024)
     ap.add_argument("--resident_mb", type=int, default=9216)
+    ap.add_argument("--f32_vals", action="store_true",
+                    help="keep confidence values f32 (default bf16)")
     ap.add_argument("--only", default="both",
                     choices=["both", "rowwise", "colwise"],
                     help="isolate one half-epoch (profiling aid)")
@@ -116,7 +118,9 @@ def main():
                 for g in ("rowwise", "colwise")}
     rb_, cb_ = batchers["rowwise"], batchers["colwise"]
     row_b, col_b, u_pos, i_pos, u_pad, i_pad = build_range_layout(
-        rb_.planner, cb_.planner, rb_.key, rb_.val, cb_.key, cb_.val)
+        rb_.planner, cb_.planner, rb_.key, rb_.val, cb_.key, cb_.val,
+        vals_dtype=np.dtype("bfloat16")
+        if not args.f32_vals else np.float32)
     rb = tuple(jax.device_put(b) for b in stack_batches(row_b)) \
         if args.only in ("both", "rowwise") else ()
     cb = tuple(jax.device_put(b) for b in stack_batches(col_b)) \

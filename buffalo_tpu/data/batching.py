@@ -141,7 +141,8 @@ class RangeBatch(NamedTuple):
 
 def build_range_layout(row_planner: "BatchPlanner",
                        col_planner: "BatchPlanner",
-                       row_key, row_val, col_key, col_val):
+                       row_key, row_val, col_key, col_val,
+                       vals_dtype=np.float32):
     """Permute both orientations into bucket order and emit RangeBatches.
 
     Returns (row_batches, col_batches, u_newpos, i_newpos, u_rows_padded,
@@ -212,8 +213,8 @@ def build_range_layout(row_planner: "BatchPlanner",
             out_lens[:n] = lens
             pad_cols = np.zeros((B, L), dtype=np.int32)
             pad_cols[:n] = cols
-            pad_vals = np.zeros((B, L), dtype=np.float32)
-            pad_vals[:n] = vals
+            pad_vals = np.zeros((B, L), dtype=vals_dtype)
+            pad_vals[:n] = vals.astype(vals_dtype)
             out.append(RangeBatch(row_start=np.int32(pos),
                                   lens=out_lens, cols=pad_cols,
                                   vals=pad_vals))
@@ -233,7 +234,8 @@ def build_range_layout(row_planner: "BatchPlanner",
             out.append(SegmentBatch(rows=rows, lens=sb.lens,
                                     seg_ids=sb.seg_ids,
                                     chunk_lens=sb.chunk_lens,
-                                    cols=cols, vals=sb.vals))
+                                    cols=cols,
+                                    vals=sb.vals.astype(vals_dtype)))
         return out
 
     row_batches = emit(row_planner, u_plan, row_key, row_val,

@@ -29,7 +29,7 @@ from buffalo_tpu.ops.solve import solve, solve_cg
 def _row_stats(F: jax.Array, vals: jax.Array, mask: jax.Array,
                alpha: float) -> Tuple[jax.Array, jax.Array]:
     """Per-row data terms: A_data (B,d,d) = alpha * F^T C F, y (B,d)."""
-    w = vals * alpha * mask
+    w = vals.astype(jnp.float32) * alpha * mask
     Fw = F * w[:, :, None]
     A_data = jnp.einsum("bld,ble->bde", Fw, F,
                         preferred_element_type=jnp.float32)
@@ -48,7 +48,7 @@ def _loss_terms(p: jax.Array, F: jax.Array, FF: jax.Array,
     nume = jnp.sum(row_mask * ada * reg * p_sq)
     deno = jnp.zeros((), jnp.float32)
     if item_axis:
-        w = vals * alpha * mask
+        w = vals.astype(jnp.float32) * alpha * mask
         dots = jnp.einsum("bd,bld->bl", p, F,
                           preferred_element_type=jnp.float32)
         pos = mask * (-dots * dots + (dots - 1.0) ** 2 * (1.0 + w))
@@ -139,7 +139,7 @@ def als_solve_batch(p: jax.Array, F: jax.Array, FF: jax.Array,
 
     from buffalo_tpu.ops.solve import CG_SOLVERS
     if optimizer in CG_SOLVERS and L <= MATRIX_FREE_MAX_L:
-        w = vals * alpha * mask
+        w = vals.astype(jnp.float32) * alpha * mask
         y = jnp.einsum("bld,bl->bd", F, (1.0 + w) * mask,
                        preferred_element_type=jnp.float32)
         x = _solve_cg_matrix_free(p, F, FF, w, mask, reg * ada, y,
@@ -184,7 +184,7 @@ def ialspp_solve_batch(p: jax.Array, F: jax.Array, FF: jax.Array,
     else:
         nume = deno = jnp.zeros((), jnp.float32)
 
-    w = vals * alpha * mask           # (B, L)
+    w = vals.astype(jnp.float32) * alpha * mask           # (B, L)
     Yui = jnp.einsum("bd,bld->bl", p, F,
                      preferred_element_type=jnp.float32)
 
@@ -266,7 +266,7 @@ def als_solve_segment_batch(p: jax.Array, Q: jax.Array, FF: jax.Array,
     row_mask = (lens > 0).astype(jnp.float32)
 
     F = jnp.take(Q, cols, axis=0)                       # (Nc, C, d)
-    w = vals * alpha * mask
+    w = vals.astype(jnp.float32) * alpha * mask
     Fw = F * w[:, :, None]
     A_chunk = jnp.einsum("ncd,nce->nde", Fw, F,
                          preferred_element_type=jnp.float32)
