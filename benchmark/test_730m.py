@@ -142,10 +142,25 @@ def main():
     P = jax.device_put(Pp)
     Q = jax.device_put(Qp)
 
-    fn = partial(als_epoch, optimizer="manual_cg", alpha=8.0, reg_u=0.1,
-                 reg_i=0.1, adaptive_reg=False, cg_iters=3, cg_tol=1e-10,
-                 block_size=32, compute_loss=False,
-                 num_p_rows=USERS, num_q_rows=ITEMS)
+    from buffalo_tpu.ops.als_kernels import als_group_step, gramian_step
+    com = dict(optimizer="manual_cg", alpha=8.0, adaptive_reg=False,
+               cg_iters=3, cg_tol=1e-10, block_size=32,
+               compute_loss=False)
+
+    def fn(P, Q, rb, cb):
+        """Group-per-dispatch epoch: bounds XLA temp live-set (the
+        single fused program OOMs at this scale); dispatches pipeline."""
+        FF = gramian_step(Q)
+        for g in rb:
+            P, n, dn = als_group_step(P, Q, FF, g, reg=0.1,
+                                      item_axis=False,
+                                      num_fixed_rows=ITEMS, **com)
+        FF = gramian_step(P)
+        for g in cb:
+            Q, n, dn = als_group_step(Q, P, FF, g, reg=0.1,
+                                      item_axis=True,
+                                      num_fixed_rows=USERS, **com)
+        return P, Q, n, dn
 
     def sync(*arrs):
         return sum(float(jnp.sum(a[::65536, -1])) for a in arrs)

@@ -377,6 +377,48 @@ def _apply_batch(A, Bf, FF, batch, *, optimizer, alpha, reg, adaptive_reg,
     "optimizer", "alpha", "reg", "adaptive_reg", "cg_iters", "cg_tol",
     "block_size", "item_axis", "num_fixed_rows", "compute_loss"),
     donate_argnums=(0,))
+def als_group_step(A, Bf, FF, group, *, optimizer, alpha, reg,
+                   adaptive_reg, cg_iters, cg_tol, block_size, item_axis,
+                   num_fixed_rows, compute_loss):
+    """One stacked same-shape group per dispatch (lax.scan inside).
+
+    The single-program fused epoch OOMs at KakaoReco730M scale — XLA's
+    scheduler accumulates ~11 GB of lane-padded temps plus remat
+    copies of the 2.6 GB table across the whole-program schedule.
+    Dispatching one group at a time bounds the live set per program;
+    the ~40 dispatches pipeline, so the tunnel round trip is hidden in
+    steady state.
+    """
+    kw = dict(optimizer=optimizer, alpha=alpha, reg=reg,
+              adaptive_reg=adaptive_reg, cg_iters=cg_iters, cg_tol=cg_tol,
+              block_size=block_size, item_axis=item_axis,
+              num_fixed_rows=num_fixed_rows, compute_loss=compute_loss)
+    flat = (group.lens.ndim == 1 if isinstance(group, RangeBatch)
+            else group.rows.ndim == 1)
+    if flat:
+        return _apply_batch(A, Bf, FF, group, **kw)
+
+    def body(carry, b):
+        A, nu, de = carry
+        A, n, dn = _apply_batch(A, Bf, FF, b, **kw)
+        return (A, nu + n, de + dn), None
+
+    (A, nu, de), _ = jax.lax.scan(
+        body, (A, jnp.zeros((), jnp.float32),
+               jnp.zeros((), jnp.float32)), group)
+    return A, nu, de
+
+
+@partial(jax.jit, donate_argnums=())
+def gramian_step(X):
+    """Standalone chunked gramian dispatch (see ``gramian``)."""
+    return gramian(X)
+
+
+@partial(jax.jit, static_argnames=(
+    "optimizer", "alpha", "reg", "adaptive_reg", "cg_iters", "cg_tol",
+    "block_size", "item_axis", "num_fixed_rows", "compute_loss"),
+    donate_argnums=(0,))
 def als_batch_step(A, Bf, FF, batch, *, optimizer, alpha, reg, adaptive_reg,
                    cg_iters, cg_tol, block_size, item_axis, num_fixed_rows,
                    compute_loss):
