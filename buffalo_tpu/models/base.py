@@ -18,7 +18,7 @@ import struct
 import numpy as np
 
 from buffalo_tpu.ops.topk import matmul_topk
-from buffalo_tpu.utils import Option, get_temporary_file
+from buffalo_tpu.utils import Option
 
 EPS = 1e-8
 
