@@ -206,7 +206,11 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
 
         batch_size = int(opt.get("batch_size") or 0)
         if batch_size <= 0:
-            batch_size = min(self.num_nnz, 1 << 19)
+            # keep >= 32 sequential steps per epoch: the reference's
+            # hogwild applies nnz tiny updates per epoch, and a single
+            # whole-epoch megabatch step cannot match its learning
+            # dynamics at small nnz (cf. w2v.py's same rule)
+            batch_size = min(max(self.num_nnz // 32, 1024), 1 << 19)
 
         group = self.data.get_group("rowwise")
         bloom_np, bloom_log2 = K.build_bloom(

@@ -165,6 +165,10 @@ class BPRMFOption(AlgoOption):
         :ivar bool use_bias: item bias term.
         :ivar str optimizer: sgd | adagrad | adam.
         :ivar float lr / min_lr: learning rate and its decay floor.
+            Default 0.05 — higher than the reference's 0.002, which is
+            tuned for per-sample hogwild updates; deterministic
+            megabatch steps are fewer and need a larger step to reach
+            the same accuracy (parity gate: benchmark/test_accuracy.py).
         :ivar bool per_coordinate_normalize: normalize accumulated
             gradients by per-row sample counts before the optimizer step.
         :ivar float sampling_power: 0 = uniform negatives, 1 = popularity.
@@ -190,7 +194,7 @@ class BPRMFOption(AlgoOption):
             "reg_j": 0.025,
             "reg_b": 0.025,
             "optimizer": "sgd",
-            "lr": 0.002,
+            "lr": 0.05,
             "min_lr": 0.0001,
             "beta1": 0.9,
             "beta2": 0.999,
