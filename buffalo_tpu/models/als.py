@@ -28,7 +28,8 @@ from buffalo_tpu.data.batching import (DeviceBatcher, build_range_layout,
 from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import ALSOption
-from buffalo_tpu.ops.als_kernels import als_batch_step, als_epoch
+from buffalo_tpu.ops.als_kernels import (als_batch_step, als_epoch,
+                                         als_group_step, gramian_step)
 from buffalo_tpu.utils import log
 from buffalo_tpu import parallelism
 
@@ -143,6 +144,24 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
                 # bucket-order layout: tables are permuted/padded,
                 # updates are contiguous range writes (no scatter)
                 rs = self._range
+                if rs["group_dispatch"]:
+                    # beyond ~100M padded entries the single fused
+                    # program OOMs on XLA temps; dispatch per stacked
+                    # group instead (pipelined round trips)
+                    nume = deno = 0.0
+                    com = dict(reg=float(opt.reg_u), item_axis=False,
+                               num_fixed_rows=rs["num_items"], **kw)
+                    FF = gramian_step(Q)
+                    for g in rs["row_groups"]:
+                        P, n, dn = als_group_step(P, Q, FF, g, **com)
+                        nume, deno = nume + n, deno + dn
+                    com = dict(reg=float(opt.reg_i), item_axis=True,
+                               num_fixed_rows=rs["num_users"], **kw)
+                    FF = gramian_step(P)
+                    for g in rs["col_groups"]:
+                        Q, n, dn = als_group_step(Q, P, FF, g, **com)
+                        nume, deno = nume + n, deno + dn
+                    return P, Q, float(nume), float(deno)
                 P, Q, nume, deno = als_epoch(
                     P, Q, rs["row_groups"], rs["col_groups"],
                     reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
@@ -241,6 +260,11 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             Pp[u_pos] = self.P
             Qp = np.zeros((i_pad, d), np.float32)
             Qp[i_pos] = self.Q
+            padded_entries = sum(
+                int(np.prod(b.cols.shape)) for b in row_b + col_b)
+            dispatch = str(self.opt.get("epoch_dispatch", "auto"))
+            group_dispatch = (dispatch == "group") or (
+                dispatch == "auto" and padded_entries > (100 << 20))
             self._range = {
                 "row_groups": tuple(jax.device_put(b)
                                     for b in stack_batches(row_b)),
@@ -249,6 +273,7 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
                 "u_pos": u_pos, "i_pos": i_pos,
                 "num_users": int(self.P.shape[0]),
                 "num_items": int(self.Q.shape[0]),
+                "group_dispatch": group_dispatch,
             }
             P = jax.device_put(Pp)
             Q = jax.device_put(Qp)

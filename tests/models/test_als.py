@@ -160,3 +160,13 @@ def test_range_layout_driver_parity(ml_data):
     als_b, res_b = _train(ml_data, d=12, num_iters=4, num_devices=1)
     assert abs(res_a["train_loss"] - res_b["train_loss"]) < 5e-3
     np.testing.assert_allclose(als_a.Q, als_b.Q, rtol=5e-2, atol=5e-3)
+
+
+def test_group_dispatch_parity(ml_data):
+    """epoch_dispatch='group' must train identically to fused."""
+    np.random.seed(4)
+    _, r_fused = _train(ml_data, d=10, num_iters=3, num_devices=1)
+    np.random.seed(4)
+    _, r_group = _train(ml_data, d=10, num_iters=3, num_devices=1,
+                        epoch_dispatch="group")
+    assert abs(r_fused["train_loss"] - r_group["train_loss"]) < 1e-4
