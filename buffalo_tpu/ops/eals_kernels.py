@@ -92,6 +92,31 @@ def eals_loss(P, Q, vhat, row_ids, keys, vals, C, reg_u, reg_i, *, alpha):
 
 @jax.jit
 def compute_vhat(P, Q, row_ids, keys):
-    """Per-nnz predictions p_u . q_i (cache precompute, eals.cc:66-80)."""
-    return jnp.sum(jnp.take(P, row_ids, axis=0)
-                   * jnp.take(Q, keys, axis=0), axis=-1)
+    """Per-nnz predictions p_u . q_i (cache precompute, eals.cc:66-80).
+
+    Chunked: a one-shot gather materializes (nnz, d) tensors that TPU
+    lane-pads to (nnz, 128) — 10 GB at 20M nnz, d=16.  Processing
+    2^20-entry chunks bounds the padded temporaries at ~0.5 GB.
+    """
+    n = row_ids.shape[0]
+    chunk = 1 << 20
+    if n <= chunk:
+        return jnp.sum(jnp.take(P, row_ids, axis=0)
+                       * jnp.take(Q, keys, axis=0), axis=-1)
+    k = n // chunk
+
+    def body(i, out):
+        r = jax.lax.dynamic_slice_in_dim(row_ids, i * chunk, chunk, 0)
+        c = jax.lax.dynamic_slice_in_dim(keys, i * chunk, chunk, 0)
+        v = jnp.sum(jnp.take(P, r, axis=0) * jnp.take(Q, c, axis=0),
+                    axis=-1)
+        return jax.lax.dynamic_update_slice_in_dim(out, v, i * chunk, 0)
+
+    out = jax.lax.fori_loop(0, k, body, jnp.zeros((n,), jnp.float32))
+    if n - k * chunk:
+        r = jax.lax.slice_in_dim(row_ids, k * chunk, n, axis=0)
+        c = jax.lax.slice_in_dim(keys, k * chunk, n, axis=0)
+        v = jnp.sum(jnp.take(P, r, axis=0) * jnp.take(Q, c, axis=0),
+                    axis=-1)
+        out = jax.lax.dynamic_update_slice_in_dim(out, v, k * chunk, 0)
+    return out
