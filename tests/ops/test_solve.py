@@ -47,3 +47,16 @@ def test_cg_prefers_zero_start_when_warm_is_bad():
     x_zero = np.asarray(solve_cg(jnp.asarray(A), jnp.asarray(y),
                                  jnp.zeros((4, 8), jnp.float32), num_iters=3))
     np.testing.assert_allclose(x_bad, x_zero, rtol=1e-5, atol=1e-5)
+
+
+def test_gramian_chunked_matches_direct():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from buffalo_tpu.ops.als_kernels import gramian
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(1037, 12)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(gramian(X, chunk=128)),
+        np.asarray(X.T @ X), rtol=1e-4, atol=1e-4)
