@@ -1,13 +1,15 @@
 """Model base classes: id mapping, retrieval, early stopping, serialization.
 
-Behavioral counterpart of the reference ``buffalo/algo/base.py``:
+Behavioral counterpart of the reference ``buffalo/algo/base.py`` —
 ``Algo`` (id<->index maps, top-k recommendation, most-similar, early
-stopping, save-best, feature access, L2 normalize — ``base.py:12-268``)
+stopping, save-best, feature access, L2 normalize; ``base.py:12-268``)
 and ``Serializable`` (length-prefixed pickled record container with
-partial-field load and the ``instantiate`` factory —
-``base.py:271-318``; the on-disk format is kept identical so models
-serialized by either implementation share tooling).  Scoring runs on
-device through ``ops.topk``.
+partial-field load and the ``instantiate`` factory; ``base.py:271-318``).
+The on-disk serialization format is kept byte-compatible so models
+written by either implementation share tooling; the code is an
+independent design: one parameterized id-map path instead of duplicated
+user/item branches, vectorized key<->index translation through numpy
+object arrays, and device-side scoring via ``ops.topk``.
 """
 from __future__ import annotations
 
@@ -22,146 +24,178 @@ from buffalo_tpu.utils import Option
 
 EPS = 1e-8
 
+_GROUP_ATTRS = {
+    # group -> (ids attr, map attr, mapped-flag attr, idmap dataset, header key)
+    "user": ("userids", "userid_map", "userid_mapped", "rows", "num_users"),
+    "item": ("itemids", "itemid_map", "itemid_mapped", "cols", "num_items"),
+}
+
+
+def l2_normalize(feat: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalization with an epsilon guard for zero rows."""
+    feat = np.asarray(feat)
+    norm_sq = np.einsum("...d,...d->...", feat, feat)
+    return feat / np.sqrt(norm_sq + EPS)[..., np.newaxis]
+
 
 class Algo(abc.ABC):
+    """Shared driver surface: id maps, retrieval, training aids."""
+
     def __init__(self, *args, **kwargs):
         self._idmanager = Option({"userid": [], "userid_map": {},
                                   "itemid": [], "itemid_map": {},
                                   "userid_mapped": False,
                                   "itemid_mapped": False})
 
-    def get_option(self, opt_path):
-        if isinstance(opt_path, dict):
-            opt = Option(opt_path)
-        else:
-            opt = Option(opt_path)
+    def get_option(self, opt_source):
+        opt = Option(opt_source)
         self.is_valid_option(opt)
-        return (Option(opt), opt_path)
+        return Option(opt), opt_source
 
-    @staticmethod
-    def _normalize(feat):
-        feat = np.asarray(feat)
-        return feat / np.sqrt((feat ** 2).sum(-1) + EPS)[..., np.newaxis]
+    # Kept as a staticmethod named ``_normalize`` for API parity with the
+    # per-model ``normalize(group=...)`` entry points that call it.
+    _normalize = staticmethod(l2_normalize)
 
     def initialize(self):
-        self.__early_stopping = {"round": 0, "min_loss": 987654321}
-        if self.opt.get("random_seed"):
-            np.random.seed(self.opt.random_seed)
+        self._es_bad_rounds = 0
+        self._es_best_loss = float("inf")
+        seed = self.opt.get("random_seed")
+        if seed:
+            np.random.seed(seed)
 
     @abc.abstractmethod
     def normalize(self, group="item"):
         raise NotImplementedError
 
+    # -------------------------------------------------------------- id maps
+    def _id_state(self, group: str):
+        """Return (ids, key->index map) for ``group``, building lazily."""
+        ids_attr, map_attr, flag_attr, _, _ = _GROUP_ATTRS[group]
+        if not self._idmanager.get(flag_attr):
+            self._materialize_id_map(group)
+        return (getattr(self._idmanager, ids_attr),
+                getattr(self._idmanager, map_attr))
+
+    def _materialize_id_map(self, group: str):
+        ids_attr, map_attr, flag_attr, dataset, header_key = _GROUP_ATTRS[group]
+        raw = self.data.get_group("idmap").get(dataset)
+        if raw is None or len(raw) == 0:
+            count = self.data.get_header()[header_key]
+            ids = [str(i) for i in range(count)]
+        else:
+            ids = [x.decode("utf-8", "ignore") if isinstance(x, bytes)
+                   else str(x) for x in np.asarray(raw)]
+        setattr(self._idmanager, ids_attr, ids)
+        setattr(self._idmanager, map_attr,
+                {key: i for i, key in enumerate(ids)})
+        setattr(self._idmanager, flag_attr, True)
+
+    def build_itemid_map(self):
+        self._materialize_id_map("item")
+
+    def build_userid_map(self):
+        self._materialize_id_map("user")
+
+    def get_index(self, keys, group="item"):
+        """Map key(s) to internal indices; ``None`` marks unknown keys."""
+        if group not in _GROUP_ATTRS:
+            return np.array([]) if isinstance(keys, list) else None
+        _, key_to_idx = self._id_state(group)
+        if isinstance(keys, list):
+            return np.array([key_to_idx.get(k) for k in keys])
+        return key_to_idx.get(keys)
+
+    def get_index_pool(self, pool, group="item"):
+        """Resolve a candidate pool (key list or prebuilt index array)."""
+        if isinstance(pool, np.ndarray):
+            return pool
+        if isinstance(pool, list):
+            resolved = self.get_index(pool, group)
+            return np.array([i for i in resolved if i is not None])
+        raise ValueError(f"Unexpected type for pool: {type(pool)}")
+
+    def _decode(self, indices, group: str):
+        """Vectorized index -> key translation via an object ndarray."""
+        ids, _ = self._id_state(group)
+        table = np.asarray(ids, dtype=object)
+        return table[np.asarray(indices, dtype=np.int64)]
+
     # ------------------------------------------------------------- retrieval
     def _get_topk_recommendation(self, p, Q, pb, Qb, pool, topk, num_workers):
-        """Device-side scores + top-k (base.py:40-55 analog)."""
+        """Device-side scores + top-k (counterpart of ``base.py:40-55``)."""
+        candidates = Q if pool is None else Q[pool]
+        cand_bias = Qb if (Qb is None or pool is None) else Qb[pool]
+        _, picked = matmul_topk(
+            np.asarray(p), np.asarray(candidates), topk,
+            pb=None if pb is None else np.asarray(pb),
+            Qb=None if cand_bias is None else np.asarray(cand_bias))
+        picked = np.asarray(picked)
         if pool is not None:
-            Q = Q[pool]
-            if Qb is not None:
-                Qb = Qb[pool]
-        vals, topks = matmul_topk(np.asarray(p), np.asarray(Q), topk,
-                                  pb=None if pb is None else np.asarray(pb),
-                                  Qb=None if Qb is None else np.asarray(Qb))
-        topks = np.asarray(topks)
-        if pool is not None:
-            topks = np.asarray(pool)[topks]
-        return topks
+            picked = np.asarray(pool)[picked]
+        return picked
 
     def topk_recommendation(self, keys, topk=10, pool=None):
-        """Return top-k recommendations for each user key (dict) or one list."""
-        is_many = isinstance(keys, list)
-        if not is_many:
-            keys = [keys]
-        if not self._idmanager.userid_mapped:
-            self.build_userid_map()
-        if not self._idmanager.itemid_mapped:
-            self.build_itemid_map()
+        """Top-k item keys per user key: dict for a list query, list else."""
+        batched = isinstance(keys, list)
+        queries = keys if batched else [keys]
+        _, user_map = self._id_state("user")
+        self._id_state("item")
         if pool is not None:
             pool = self.get_index_pool(pool, group="item")
-            if len(pool) == 0:
+            if pool.size == 0:
                 return []
-        rows = [self._idmanager.userid_map[k] for k in keys
-                if k in self._idmanager.userid_map]
+        rows = [user_map[k] for k in queries if k in user_map]
         if not rows:
             return []
-        topks = self._get_topk_recommendation(rows, topk, pool)
-        if is_many:
-            return {self._idmanager.userids[k]:
-                    [self._idmanager.itemids[v] for v in vv]
-                    for k, vv in topks}
-        for k, vv in topks:
-            return [self._idmanager.itemids[v] for v in vv]
+        ranked = list(self._get_topk_recommendation(rows, topk, pool))
+        if not ranked:
+            return []
+        user_keys = self._decode([row for row, _ in ranked], "user")
+        item_keys = [list(self._decode(items, "item")) for _, items in ranked]
+        if batched:
+            return dict(zip(user_keys, item_keys))
+        return item_keys[0]
 
     def most_similar(self, key, topk=10, group="item", pool=None):
-        """Return the top-k most similar items as (key, score) tuples."""
-        if group == "item":
-            if not self._idmanager.itemid_mapped:
-                self.build_itemid_map()
-            return self._most_similar_item(key, topk, pool)
-        return []
+        """Top-k most similar items as ``(key, score)`` tuples."""
+        if group != "item":
+            return []
+        query_is_vector = isinstance(key, np.ndarray)
+        if not query_is_vector:
+            _, item_map = self._id_state("item")
+            query = item_map.get(key)
+            if query is None:
+                return []
+        else:
+            query = key
+        if pool is not None:
+            pool = self.get_index_pool(pool, group="item")
+            if pool.size == 0:
+                return []
+        picked, scores = self._get_most_similar_item(query, topk, pool)
+        pairs = zip(self._decode(picked, "item"), scores)
+        if query_is_vector:
+            return list(pairs)
+        return [(k, s) for (i, (k, s)) in zip(picked, pairs) if i != query]
 
     def _get_most_similar_item(self, col, topk, Factor, nrz, pool):
+        """Similarity scan: dot product, or cosine when not pre-normalized."""
         if isinstance(col, np.ndarray):
             q = col
         else:
-            topk += 1
             q = Factor[col]
-        target = Factor if pool is None else Factor[pool]
-        dot = q.dot(target.T)
+            topk += 1  # the query itself will rank first and be dropped
+        candidates = Factor if pool is None else Factor[pool]
+        scores = candidates @ q
         if not nrz:
-            dot = dot / (np.linalg.norm(q) *
-                         np.linalg.norm(target, axis=1) + EPS)
-        topks = self.get_topk(dot, k=topk, num_threads=self.opt.num_workers)
-        scores = dot[topks]
+            denom = np.linalg.norm(q) * np.linalg.norm(candidates, axis=1)
+            scores = scores / (denom + EPS)
+        picked = self.get_topk(scores, k=topk,
+                               num_threads=self.opt.num_workers)
+        best = scores[picked]
         if pool is not None:
-            topks = np.asarray(pool)[topks]
-        return topks, scores
-
-    def _most_similar_item(self, key, topk=10, pool=None):
-        is_vector = False
-        if isinstance(key, np.ndarray):
-            f = key
-            is_vector = True
-        else:
-            col = self._idmanager.itemid_map.get(key)
-            if col is None:
-                return []
-            f = col
-        if pool is not None:
-            pool = self.get_index_pool(pool, group="item")
-            if len(pool) == 0:
-                return []
-        topks, scores = self._get_most_similar_item(f, topk, pool)
-        if is_vector:
-            return [(self._idmanager.itemids[k], v)
-                    for (k, v) in zip(topks, scores)]
-        return [(self._idmanager.itemids[k], v)
-                for (k, v) in zip(topks, scores) if k != f]
-
-    # -------------------------------------------------------------- id maps
-    def _build_id_map(self, which: str):
-        idmap = self.data.get_group("idmap")
-        header = self.data.get_header()
-        arr = idmap.get("rows" if which == "user" else "cols")
-        n = header["num_users"] if which == "user" else header["num_items"]
-        if arr is None or arr.shape[0] == 0:
-            ids = [str(i) for i in range(n)]
-        else:
-            ids = [str(x) for x in arr]
-        id_map = {v: idx for idx, v in enumerate(ids)}
-        return ids, id_map
-
-    def build_itemid_map(self):
-        ids, id_map = self._build_id_map("item")
-        self._idmanager.itemids = ids
-        self._idmanager.itemid_map = id_map
-        self._idmanager.itemid_mapped = True
-
-    def build_userid_map(self):
-        ids, id_map = self._build_id_map("user")
-        self._idmanager.userids = ids
-        self._idmanager.userid_map = id_map
-        self._idmanager.userid_mapped = True
+            picked = np.asarray(pool)[picked]
+        return picked, best
 
     # ------------------------------------------------------------- features
     def get_feature(self, name, group="item"):
@@ -175,118 +209,108 @@ class Algo(abc.ABC):
         raise NotImplementedError
 
     def get_weighted_feature(self, weights, group="item", min_length=1):
+        """Weighted mean feature over keys, L2-normalized.
+
+        Unlike the reference (``base.py:191-200``), the epsilon lands in
+        the denominator — ``feat / (norm + EPS)`` — and the list form
+        also drops unknown keys.
+        """
         if isinstance(weights, dict):
-            feat = [(self.get_feature(k), w) for k, w in weights.items()]
-            feat = [f * w for f, w in feat if f is not None]
-        elif isinstance(weights, list):
-            feat = [self.get_feature(k) for k, w in weights]
-            feat = [f for f in feat if f is not None]
-        if len(feat) < min_length:
+            pairs = weights.items()
+        else:
+            pairs = [(k, 1.0) for k, _ in weights]
+        feats = [(self.get_feature(k, group), w) for k, w in pairs]
+        feats = [f * w for f, w in feats if f is not None]
+        if len(feats) < min_length:
             return None
-        feat = np.array(feat, dtype=np.float64).mean(axis=0)
-        return (feat / np.linalg.norm(feat) + EPS).astype(np.float32)
+        mean = np.mean(np.asarray(feats, dtype=np.float64), axis=0)
+        return (mean / (np.linalg.norm(mean) + EPS)).astype(np.float32)
 
     # -------------------------------------------------------- training aids
     def periodical(self, period, current):
+        """True when iteration ``current`` falls on the save/eval period."""
         return not period or (current + 1) % period == 0
 
     def save_best_only(self, loss, best_loss, i):
-        if self.opt.save_best and best_loss > loss \
-                and self.periodical(self.opt.save_period, i):
+        if (self.opt.save_best and loss < best_loss
+                and self.periodical(self.opt.save_period, i)):
             self.save(self.opt.model_path)
             return loss
         return best_loss
 
     def early_stopping(self, loss):
-        if self.opt.early_stopping_rounds < 1:
+        """Count consecutive non-improving epochs; True when over budget."""
+        patience = self.opt.early_stopping_rounds
+        if patience < 1:
             return False
-        es = self.__early_stopping
-        if es["min_loss"] < loss:
-            es["round"] += 1
+        if loss > self._es_best_loss:
+            self._es_bad_rounds += 1
         else:
-            es["round"] = 0
-        es["min_loss"] = loss
-        if es["round"] >= self.opt.early_stopping_rounds:
+            self._es_bad_rounds = 0
+        self._es_best_loss = loss
+        if self._es_bad_rounds >= patience:
             self.logger.info("Reached at early_stopping rounds, stopping train.")
             return True
         return False
 
-    # --------------------------------------------------------------- lookup
-    def get_index(self, keys, group="item"):
-        is_many = isinstance(keys, list)
-        if not is_many:
-            keys = [keys]
-        if group == "item":
-            if not self._idmanager.itemid_mapped:
-                self.build_itemid_map()
-            indexes = [self._idmanager.itemid_map.get(k) for k in keys]
-        elif group == "user":
-            if not self._idmanager.userid_mapped:
-                self.build_userid_map()
-            indexes = [self._idmanager.userid_map.get(k) for k in keys]
-        else:
-            indexes = []
-        if not is_many:
-            return indexes[0]
-        return np.array(indexes)
-
-    def get_index_pool(self, pool, group="item"):
-        if isinstance(pool, list):
-            pool = self.get_index(pool, group)
-            pool = np.array([p for p in pool if p is not None])
-        elif isinstance(pool, np.ndarray):
-            pass
-        else:
-            raise ValueError(f"Unexpected type for pool: {type(pool)}")
-        assert isinstance(pool, np.ndarray)
-        return pool
-
 
 class Serializable(abc.ABC):
-    """Length-prefixed pickle record container (base.py:271-318 format)."""
+    """Length-prefixed pickle record container.
+
+    Byte-compatible with the reference format (``base.py:275-311``):
+    ``Q`` record count, then per record ``Q`` name length + name bytes +
+    ``Q`` pickle length + pickle bytes.  ``data_fields`` filters both on
+    save and on load (unmatched records are seek-skipped, enabling e.g.
+    a serving-only load of ``Q`` + ``_idmanager``).
+    """
+
+    _LEN = struct.Struct("Q")
 
     def __init__(self, *args, **kwargs):
         pass
 
+    @classmethod
+    def _write_block(cls, fh, payload: bytes):
+        fh.write(cls._LEN.pack(len(payload)))
+        fh.write(payload)
+
+    @classmethod
+    def _read_len(cls, fh) -> int:
+        return cls._LEN.unpack(fh.read(cls._LEN.size))[0]
+
     def save(self, path=None, with_itemid_map=True, with_userid_map=True,
              data_fields=[]):
-        if path is None:
-            path = self.opt.model_path
-        if with_itemid_map and not self._idmanager.itemid_mapped:
-            self.build_itemid_map()
-        if with_userid_map and not self._idmanager.userid_mapped:
-            self.build_userid_map()
-        data = self._get_data()
+        path = path or self.opt.model_path
+        if with_itemid_map:
+            self._id_state("item")
+        if with_userid_map:
+            self._id_state("user")
+        records = self._get_data()
         if data_fields:
-            data = [(k, v) for k, v in data if k in data_fields]
-        with open(path, "wb") as fout:
-            fout.write(struct.pack("Q", len(data)))
-            for name, obj in data:
-                bname = bytes(name, encoding="utf-8")
-                fout.write(struct.pack("Q", len(bname)))
-                fout.write(bname)
-                s = pickle.dumps(obj, protocol=4)
-                fout.write(struct.pack("Q", len(s)))
-                fout.write(s)
+            wanted = set(data_fields)
+            records = [(n, o) for n, o in records if n in wanted]
+        with open(path, "wb") as fh:
+            fh.write(self._LEN.pack(len(records)))
+            for name, obj in records:
+                self._write_block(fh, name.encode("utf-8"))
+                self._write_block(fh, pickle.dumps(obj, protocol=4))
 
     def _get_data(self):
         return [("_idmanager", self._idmanager)]
 
     def load(self, path, data_fields=[]):
-        with open(path, "rb") as fin:
-            total_objs = struct.unpack("Q", fin.read(8))[0]
-            for _ in range(total_objs):
-                name_sz = struct.unpack("Q", fin.read(8))[0]
-                name = fin.read(name_sz).decode("utf8")
-                obj_sz = struct.unpack("Q", fin.read(8))[0]
-                if data_fields and name not in data_fields:
-                    fin.seek(obj_sz, 1)
-                    continue
-                setattr(self, name, pickle.loads(fin.read(obj_sz)))
+        wanted = set(data_fields) if data_fields else None
+        with open(path, "rb") as fh:
+            for _ in range(self._read_len(fh)):
+                name = fh.read(self._read_len(fh)).decode("utf8")
+                size = self._read_len(fh)
+                if wanted is not None and name not in wanted:
+                    fh.seek(size, 1)
+                else:
+                    setattr(self, name, pickle.loads(fh.read(size)))
 
     @classmethod
     def instantiate(cls, cls_opt, path, data_fields):
-        opt = cls_opt().get_default_option()
-        c = cls(opt)
-        c.load(path, data_fields)
-        return c
+        model = cls(cls_opt().get_default_option())
+        model.load(path, data_fields)
+        return model
