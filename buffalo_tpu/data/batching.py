@@ -139,6 +139,35 @@ class RangeBatch(NamedTuple):
         return int((self.lens > 0).sum())
 
 
+def _gather_remapped(indptr, key, val, rows, B, L, other_newpos,
+                     vals_dtype=np.float32):
+    """Gather CSR rows into a padded (B, L) block with col-id remap.
+
+    ``rows`` may be shorter than B (the rest is padding with len 0);
+    ``other_newpos`` maps the raw neighbor ids into the permuted other
+    table's positions.
+    """
+    n = len(rows)
+    out_lens = np.zeros(B, dtype=np.int32)
+    pad_cols = np.zeros((B, L), dtype=np.int32)
+    pad_vals = np.zeros((B, L), dtype=vals_dtype)
+    if n:
+        beg = indptr[rows]
+        lens = (indptr[rows + 1] - beg).astype(np.int32)
+        offs = np.arange(L, dtype=np.int64)[None, :]
+        idx = beg[:, None] + np.minimum(offs, (lens[:, None] - 1))
+        mask = offs < lens[:, None]
+        cols = np.where(mask, other_newpos[key[idx]], 0)
+        if val is not None:
+            vals = np.where(mask, np.asarray(val, np.float32)[idx], 0.0)
+        else:
+            vals = mask.astype(np.float32)
+        out_lens[:n] = lens
+        pad_cols[:n] = cols
+        pad_vals[:n] = vals.astype(vals_dtype)
+    return out_lens, pad_cols, pad_vals
+
+
 def build_range_layout(row_planner: "BatchPlanner",
                        col_planner: "BatchPlanner",
                        row_key, row_val, col_key, col_val,
@@ -188,54 +217,21 @@ def build_range_layout(row_planner: "BatchPlanner",
         out = []
         indptr = planner.indptr
         key = np.asarray(key, dtype=np.int64)
+        grid = _bucket_lengths(planner.max_len)
         for rows, pos, B in plan:
-            n = len(rows)
-            beg = indptr[rows]
-            lens = (indptr[rows + 1] - beg).astype(np.int32)
-            L = 0
-            # bucket L from the planner grid: all rows share one bucket
-            L = int(max(MIN_L, 0))
-            # recompute exact bucket length: the longest row in batch,
-            # rounded up on the grid (same value the planner used)
-            grid = _bucket_lengths(planner.max_len)
-            L = int(grid[np.searchsorted(grid, int(lens.max()))])
-            offs = np.arange(L, dtype=np.int64)[None, :]
-            idx = beg[:, None] + np.minimum(offs, (lens[:, None] - 1))
-            mask = offs < lens[:, None]
-            cols = np.where(mask, other_newpos[key[idx]], 0)
-            if val is not None:
-                vals = np.where(
-                    mask, np.asarray(val, np.float32)[idx], 0.0
-                ).astype(np.float32)
-            else:
-                vals = mask.astype(np.float32)
-            out_lens = np.zeros(B, dtype=np.int32)
-            out_lens[:n] = lens
-            pad_cols = np.zeros((B, L), dtype=np.int32)
-            pad_cols[:n] = cols
-            pad_vals = np.zeros((B, L), dtype=vals_dtype)
-            pad_vals[:n] = vals.astype(vals_dtype)
+            # bucket length from the planner grid: the longest row in
+            # the batch, rounded up on the grid (the planner's value)
+            max_deg = int((indptr[rows + 1] - indptr[rows]).max())
+            L = int(grid[np.searchsorted(grid, max_deg)])
+            out_lens, pad_cols, pad_vals = _gather_remapped(
+                indptr, key, val, rows, B, L, other_newpos, vals_dtype)
             out.append(RangeBatch(row_start=np.int32(pos),
                                   lens=out_lens, cols=pad_cols,
                                   vals=pad_vals))
         # segment batches: remap both the row ids and the col ids
         for plan_rows in planner.segment_plans:
-            sb = planner._build_segment_batch(plan_rows, key, val)
-            rows = np.where(sb.lens > 0,
-                            # newpos of real rows; padding rows point
-                            # out of range so scatters drop them
-                            np.take(
-                                np.concatenate([
-                                    self_newpos,
-                                    np.array([1 << 30])]),
-                                np.minimum(sb.rows, len(self_newpos))),
-                            1 << 30).astype(np.int32)
-            cols = other_newpos[sb.cols.astype(np.int64)].astype(np.int32)
-            out.append(SegmentBatch(rows=rows, lens=sb.lens,
-                                    seg_ids=sb.seg_ids,
-                                    chunk_lens=sb.chunk_lens,
-                                    cols=cols,
-                                    vals=sb.vals.astype(vals_dtype)))
+            out.append(_remap_segment(planner, plan_rows, key, val,
+                                      self_newpos, other_newpos, vals_dtype))
         return out
 
     row_batches = emit(row_planner, u_plan, row_key, row_val,
@@ -244,6 +240,122 @@ def build_range_layout(row_planner: "BatchPlanner",
                        i_newpos, u_newpos)
     return (row_batches, col_batches, u_newpos, i_newpos,
             int(u_padded), int(i_padded))
+
+
+def _remap_segment(planner, plan_rows, key, val, self_newpos, other_newpos,
+                   vals_dtype=np.float32):
+    """Build one SegmentBatch with row/col ids remapped into permuted
+    table positions (padding rows point out of range so device scatters
+    drop them)."""
+    sb = planner._build_segment_batch(plan_rows, key, val)
+    rows = np.where(sb.lens > 0,
+                    np.take(np.concatenate([self_newpos,
+                                            np.array([1 << 30])]),
+                            np.minimum(sb.rows, len(self_newpos))),
+                    1 << 30).astype(np.int32)
+    cols = other_newpos[sb.cols.astype(np.int64)].astype(np.int32)
+    return SegmentBatch(rows=rows, lens=sb.lens, seg_ids=sb.seg_ids,
+                        chunk_lens=sb.chunk_lens, cols=cols,
+                        vals=sb.vals.astype(vals_dtype))
+
+
+def build_sharded_range_layout(row_planner: "BatchPlanner",
+                               col_planner: "BatchPlanner",
+                               row_key, row_val, col_key, col_val,
+                               num_shards: int, vals_dtype=np.float32):
+    """Permute both tables into PER-SHARD bucket order for shard_map.
+
+    Mesh-aware variant of ``build_range_layout``: shard k of the
+    permuted table is the contiguous block ``[k*S, (k+1)*S)``; within a
+    shard, rows sit in bucket order so every batch updates a contiguous
+    LOCAL range (``dynamic_update_slice`` on the shard, never a scatter
+    into the full table).  Every shard carries an IDENTICAL batch
+    schedule — uneven bucket splits are filled with padding rows — so
+    the stacked groups gain a leading mesh axis and ride straight into
+    ``shard_map`` (the TPU replacement for the reference's OpenMP row
+    loop, ``als.cc:148-152``, that also row-shards the tables).
+
+    Returns ``(row_groups, col_groups, row_segments, col_segments,
+    u_newpos, i_newpos, S_u, S_i)``:
+
+    * groups: stacked ``RangeBatch`` pytrees, leading axis = shard
+      (``row_start (D, n)``, ``lens (D, n, B)``, ``cols/vals
+      (D, n, B, L)``); the local ``row_start`` schedule is identical
+      across shards.
+    * segments: ``SegmentBatch`` list with GLOBAL remapped ids — long
+      rows keep scatter semantics and run outside shard_map.
+    * ``*_newpos[old_id] -> global position``; padded table height is
+      ``num_shards * S``.
+    """
+    D = int(num_shards)
+
+    def positions(planner):
+        num = planner.num_rows
+        local = np.full(num, -1, dtype=np.int64)
+        shard = np.zeros(num, dtype=np.int64)
+        plan = []  # (parts per shard, local_start, n_pad, B, L)
+        pos = 0
+        for bucket in planner.buckets:
+            parts = np.array_split(bucket.row_ids, D)
+            n_pad = -(-max(len(p) for p in parts) // MIN_B) * MIN_B
+            B = min(int(bucket.B), n_pad)
+            for k, part in enumerate(parts):
+                shard[part] = k
+                local[part] = pos + np.arange(len(part))
+            plan.append((parts, pos, n_pad, B, int(bucket.L)))
+            pos += n_pad
+        # tail: long (segment) rows then degree-0 rows, round-robin
+        seg = np.asarray([r for p in planner.segment_plans for r in p],
+                         dtype=np.int64)
+        deg0 = np.nonzero(local < 0)[0]
+        if len(seg):
+            deg0 = deg0[~np.isin(deg0, seg)]
+        tail = np.concatenate([seg, deg0])
+        for k in range(D):
+            mine = tail[k::D]
+            shard[mine] = k
+            local[mine] = pos + np.arange(len(mine))
+        S = pos + (-(-len(tail) // D) if len(tail) else 0)
+        S = -(-max(S, MIN_B) // MIN_B) * MIN_B
+        return (shard * S + local), plan, int(S)
+
+    u_newpos, u_plan, S_u = positions(row_planner)
+    i_newpos, i_plan, S_i = positions(col_planner)
+
+    def emit(planner, plan, key, val, self_newpos, other_newpos):
+        key = np.asarray(key, dtype=np.int64)
+        indptr = planner.indptr
+        per_shard: List[List[RangeBatch]] = [[] for _ in range(D)]
+        for parts, start, n_pad, B, L in plan:
+            for lo in range(0, n_pad, B):
+                Bj = min(B, n_pad - lo)
+                for k in range(D):
+                    rows = parts[k][lo:lo + Bj]
+                    lens, cols, vals = _gather_remapped(
+                        indptr, key, val, rows, Bj, L, other_newpos,
+                        vals_dtype)
+                    per_shard[k].append(RangeBatch(
+                        row_start=np.int32(start + lo), lens=lens,
+                        cols=cols, vals=vals))
+        # same-shape stacking within each shard is aligned across
+        # shards by construction; add the shard axis in front
+        stacked = [stack_batches(bs) for bs in per_shard]
+        groups = []
+        for i, g0 in enumerate(stacked[0]):
+            groups.append(type(g0)(*[
+                np.stack([np.asarray(getattr(s[i], f)) for s in stacked])
+                for f in g0._fields]))
+        segments = [_remap_segment(planner, p, key, val, self_newpos,
+                                   other_newpos, vals_dtype)
+                    for p in planner.segment_plans]
+        return groups, segments
+
+    row_groups, row_segments = emit(row_planner, u_plan, row_key, row_val,
+                                    u_newpos, i_newpos)
+    col_groups, col_segments = emit(col_planner, i_plan, col_key, col_val,
+                                    i_newpos, u_newpos)
+    return (row_groups, col_groups, row_segments, col_segments,
+            u_newpos, i_newpos, S_u, S_i)
 
 
 @dataclass

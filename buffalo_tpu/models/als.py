@@ -24,11 +24,13 @@ import numpy as np
 import buffalo_tpu.data
 from buffalo_tpu.data.base import Data
 from buffalo_tpu.data.batching import (DeviceBatcher, build_range_layout,
+                                        build_sharded_range_layout,
                                         stack_batches)
 from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import ALSOption
 from buffalo_tpu.ops.als_kernels import (als_batch_step, als_epoch,
+                                         als_epoch_sharded_range,
                                          als_group_step, gramian_step)
 from buffalo_tpu.utils import log
 from buffalo_tpu import parallelism
@@ -139,6 +141,19 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
 
         opt = self.opt
         kw = self._epoch_kwargs()
+        if getattr(self, "_mesh_range", None) is not None:
+            # mesh path: row-sharded tables, per-shard contiguous range
+            # updates under shard_map (all-gather fixed side + psum
+            # gramian); long rows run as sharded scatter segments
+            mr = self._mesh_range
+            P, Q, nume, deno = als_epoch_sharded_range(
+                P, Q, mr["row_groups"], mr["col_groups"],
+                mr["row_segments"], mr["col_segments"],
+                mesh=mr["mesh"], axis_name="d",
+                reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
+                num_p_rows=mr["num_users"], num_q_rows=mr["num_items"],
+                **kw)
+            return P, Q, float(nume), float(deno)
         if all(batchers[g].resident for g in ("rowwise", "colwise")):
             if getattr(self, "_range", None) is not None:
                 # bucket-order layout: tables are permuted/padded,
@@ -227,29 +242,70 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         def batch_sharding(arr):
             return batch_shard
 
+        sharding_mode = self.opt.get("sharding", "dp")
+        range_opt = bool(self.opt.get("range_layout", True))
+        # tp on a mesh defaults to the sharded range layout: per-shard
+        # contiguous updates under shard_map instead of scatter into
+        # the row-sharded table (the measured ~133 ns/row floor)
+        mesh_range_intent = (mesh is not None and "tp" in sharding_mode
+                             and range_opt)
+
         batchers = {}
         for group in ("rowwise", "colwise"):
+            mesh_batches = mesh is not None and not mesh_range_intent
             batchers[group] = DeviceBatcher(
                 self.data, group,
                 batch_mb=int(self.data.opt.data.get("batch_mb", 1024)),
                 resident_mb=int(self.opt.get("resident_mb", 4096)),
-                row_multiple=(mesh.size if mesh is not None else 1),
-                sharding=batch_sharding if mesh is not None else None,
+                row_multiple=(mesh.size if mesh_batches else 1),
+                sharding=batch_sharding if mesh_batches else None,
                 d=int(self.opt.d))
 
-        sharding_mode = self.opt.get("sharding", "dp")
         table_sharding = row_shard if (
             mesh is not None and "tp" in sharding_mode) else repl
+        resident = all(batchers[g].resident for g in ("rowwise", "colwise"))
+
+        self._range = None
+        self._mesh_range = None
+        if mesh_range_intent and resident:
+            rb = batchers["rowwise"]
+            cb = batchers["colwise"]
+            (row_g, col_g, row_seg, col_seg, u_pos, i_pos, S_u,
+             S_i) = build_sharded_range_layout(
+                rb.planner, cb.planner, rb.key, rb.val, cb.key, cb.val,
+                mesh.size)
+            d = int(self.opt.d)
+            Pp = np.zeros((mesh.size * S_u, d), np.float32)
+            Pp[u_pos] = self.P
+            Qp = np.zeros((mesh.size * S_i, d), np.float32)
+            Qp[i_pos] = self.Q
+
+            def put_sharded(tree):
+                return jax.device_put(
+                    tree, jax.tree.map(lambda _: row_shard, tree))
+
+            def put_repl(tree):
+                return jax.device_put(
+                    tree, jax.tree.map(lambda _: repl, tree))
+
+            self._mesh_range = {
+                "row_groups": tuple(put_sharded(g) for g in row_g),
+                "col_groups": tuple(put_sharded(g) for g in col_g),
+                "row_segments": tuple(put_repl(s) for s in row_seg),
+                "col_segments": tuple(put_repl(s) for s in col_seg),
+                "u_pos": u_pos, "i_pos": i_pos,
+                "num_users": int(self.P.shape[0]),
+                "num_items": int(self.Q.shape[0]),
+                "mesh": mesh,
+            }
+            P = jax.device_put(Pp, row_shard)
+            Q = jax.device_put(Qp, row_shard)
 
         # bucket-order range layout: single-device resident training
         # permutes both tables once so every batch updates a contiguous
         # row range (scatter costs ~133 ns/row at 20M+ rows; a range
         # write is pure bandwidth)
-        self._range = None
-        use_range = (mesh is None
-                     and all(batchers[g].resident
-                             for g in ("rowwise", "colwise"))
-                     and bool(self.opt.get("range_layout", True)))
+        use_range = (mesh is None and resident and range_opt)
         if use_range:
             rb = batchers["rowwise"]
             cb = batchers["colwise"]
@@ -277,15 +333,17 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             }
             P = jax.device_put(Pp)
             Q = jax.device_put(Qp)
-        else:
+        elif self._mesh_range is None:
             P = jax.device_put(self.P, table_sharding)
             Q = jax.device_put(self.Q, table_sharding)
 
         def to_host(P, Q):
-            if self._range is not None:
-                return (np.asarray(P)[self._range["u_pos"]],
-                        np.asarray(Q)[self._range["i_pos"]])
-            return np.asarray(P), np.asarray(Q)
+            Ph = parallelism.host_local_copy(P)
+            Qh = parallelism.host_local_copy(Q)
+            layout = self._range or self._mesh_range
+            if layout is not None:
+                return Ph[layout["u_pos"]], Qh[layout["i_pos"]]
+            return Ph, Qh
 
         best_loss, rmse, self.validation_result = float("inf"), None, {}
         full_st = time.time()
@@ -319,6 +377,7 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
                 break
         self.P, self.Q = to_host(P, Q)
         self._range = None
+        self._mesh_range = None
         self.logger.info(
             f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
         ret = {"train_loss": rmse}

@@ -52,3 +52,47 @@ def replicated(mesh):
 def num_devices() -> int:
     import jax
     return jax.device_count()
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           **kwargs) -> int:
+    """Join a multi-host training job (``jax.distributed.initialize``).
+
+    The reference has no multi-node story at all (SURVEY §2: OpenMP
+    threads + one optional GPU, no NCCL/MPI); this is the TPU-native
+    entry the rebuild adds.  Call once per process before any JAX
+    computation; afterwards ``jax.devices()`` returns the GLOBAL device
+    list and ``get_mesh()`` builds a mesh spanning all hosts, so the
+    same driver code (``sharding="dp+tp"``) trains across hosts with
+    XLA collectives riding ICI within a slice and DCN across slices.
+
+    On TPU pods all arguments are auto-detected from the environment;
+    on CPU/GPU pass ``coordinator_address`` ("host:port"),
+    ``num_processes`` and ``process_id``.  Returns the global device
+    count.  No-op if the distributed runtime is already initialized.
+    """
+    import jax
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id, **kwargs)
+    except RuntimeError as err:  # already initialized
+        if "already initialized" not in str(err):
+            raise
+    return jax.device_count()
+
+
+def host_local_copy(array) -> np.ndarray:
+    """Materialize a (possibly multi-host sharded) array on this host.
+
+    ``np.asarray`` only works when every shard is process-addressable;
+    for cross-host arrays the shards are all-gathered over the wire
+    first (``multihost_utils.process_allgather`` semantics).
+    """
+    import jax
+    if getattr(array, "is_fully_addressable", True):
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(array, tiled=True))

@@ -73,3 +73,70 @@ def test_coo_batcher_fixed_shape(tmp_path):
     chunks = list(coo)
     assert all(len(u) == 4 for u, i, v in chunks)
     assert len(chunks) == 4  # ceil(15 / 4)
+
+
+def test_sharded_range_layout_coverage():
+    """Every real row of both orientations lands exactly once in a
+    range batch (at its shard-local position) or a segment batch, and
+    remapped cols reconstruct the original entries."""
+    from buffalo_tpu.data.batching import build_sharded_range_layout
+
+    rng = np.random.default_rng(9)
+    U, I, D = 57, 33, 4
+    # build a random matrix incl. one long row to force a segment batch
+    mat = (rng.random((U, I)) < 0.25).astype(np.float32)
+    mat[3, :] = 1.0
+    mat *= rng.integers(1, 6, size=(U, I))
+
+    def csr(m):
+        indptr = np.zeros(m.shape[0] + 1, dtype=np.int64)
+        np.cumsum((m > 0).sum(axis=1), out=indptr[1:])
+        key = np.nonzero(m)[1].astype(np.int32)
+        val = m[m > 0].astype(np.float32)
+        return indptr, key, val
+
+    r_indptr, r_key, r_val = csr(mat)
+    c_indptr, c_key, c_val = csr(mat.T)
+    rp = BatchPlanner(r_indptr, entries_per_batch=256, max_len=16)
+    cp = BatchPlanner(c_indptr, entries_per_batch=256, max_len=16)
+    (row_g, col_g, row_seg, col_seg, u_pos, i_pos, S_u,
+     S_i) = build_sharded_range_layout(rp, cp, r_key, r_val, c_key, c_val, D)
+
+    # the permutation is injective into [0, D*S)
+    assert len(np.unique(u_pos)) == U and u_pos.max() < D * S_u
+    assert len(np.unique(i_pos)) == I and i_pos.max() < D * S_i
+
+    inv_u = np.empty(D * S_u, dtype=np.int64)
+    inv_u[u_pos] = np.arange(U)
+    inv_i = np.empty(D * S_i, dtype=np.int64)
+    inv_i[i_pos] = np.arange(I)
+
+    got = np.zeros_like(mat)
+    for g in row_g:
+        Dg, n = g.lens.shape[:2]
+        assert Dg == D
+        for k in range(D):
+            for j in range(n):
+                start = int(g.row_start[k, j])
+                for b in range(g.lens.shape[2]):
+                    ln = int(g.lens[k, j, b])
+                    if ln == 0:
+                        continue
+                    u = inv_u[k * S_u + start + b]
+                    items = inv_i[g.cols[k, j, b, :ln]]
+                    got[u, items] += g.vals[k, j, b, :ln]
+    for sb in row_seg:
+        for ci in range(sb.seg_ids.shape[0]):
+            local = int(sb.seg_ids[ci])
+            if local >= len(sb.rows) or sb.rows[local] >= D * S_u:
+                continue
+            n = int(sb.chunk_lens[ci])
+            u = inv_u[sb.rows[local]]
+            items = inv_i[sb.cols[ci, :n]]
+            got[u, items] += sb.vals[ci, :n]
+    np.testing.assert_allclose(got, mat)
+
+    # all shards carry identical batch schedules (shapes + row_start)
+    for g in row_g + col_g:
+        for k in range(1, D):
+            np.testing.assert_array_equal(g.row_start[k], g.row_start[0])
