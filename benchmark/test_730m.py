@@ -150,7 +150,8 @@ def main():
     def fn(P, Q, rb, cb):
         """Group-per-dispatch epoch: bounds XLA temp live-set (the
         single fused program OOMs at this scale); dispatches pipeline."""
-        FF = gramian_step(Q)
+        n = dn = 0.0  # an empty orientation (e.g. --only colwise) must
+        FF = gramian_step(Q)  # not leave the loss names unbound
         for g in rb:
             P, n, dn = als_group_step(P, Q, FF, g, reg=0.1,
                                       item_axis=False,

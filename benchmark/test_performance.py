@@ -52,9 +52,28 @@ def run_bpr(data, d, num_epochs, optimizer="sgd"):
     return fit_algo(BPRMF, opt, data, num_epochs)
 
 
+def run_eals(data, d, num_epochs, optimizer=None):
+    from buffalo_tpu import EALS
+    from buffalo_tpu.models.options import EALSOption
+    opt = EALSOption().get_default_option()
+    opt.d = d
+    opt.num_iters = num_epochs
+    return fit_algo(EALS, opt, data, num_epochs)
+
+
+def run_plsi(data, d, num_epochs, optimizer=None):
+    from buffalo_tpu import PLSI
+    from buffalo_tpu.models.options import PLSIOption
+    opt = PLSIOption().get_default_option()
+    opt.d = d
+    opt.num_iters = num_epochs
+    return fit_algo(PLSI, opt, data, num_epochs)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--algo", default="als", choices=["als", "bpr", "both"])
+    ap.add_argument("--algo", default="als",
+                    choices=["als", "bpr", "eals", "plsi", "both"])
     ap.add_argument("--dataset", default="ml20m",
                     choices=sorted(DATASET_SHAPES))
     ap.add_argument("--mm", default=None,
@@ -79,12 +98,13 @@ def main():
     data = build_data(mm, db)
 
     algos = ["als", "bpr"] if args.algo == "both" else [args.algo]
+    runners = {"als": run_als, "bpr": run_bpr, "eals": run_eals,
+               "plsi": run_plsi}
     print("| algo | dataset | d | epoch_s | total_s | peak_rss_mb |")
     print("|---|---|---|---|---|---|")
     for algo in algos:
         for d in args.d:
-            r = (run_als if algo == "als" else run_bpr)(
-                data, d, args.epochs)
+            r = runners[algo](data, d, args.epochs)
             r.pop("algo")
             print(f"| {algo} | {args.dataset} | {d} "
                   f"| {r['epoch_s']} | {r['total_s']} | {r['peak_rss_mb']} |")

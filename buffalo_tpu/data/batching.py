@@ -371,7 +371,8 @@ class BatchPlanner:
     def __init__(self, indptr: np.ndarray, batch_mb: int = 1024,
                  entries_per_batch: Optional[int] = None,
                  row_multiple: int = 1, max_len: int = DEFAULT_MAX_L,
-                 max_rows: Optional[int] = None):
+                 max_rows: Optional[int] = None,
+                 matrix_free: bool = True):
         self.indptr = np.asarray(indptr, dtype=np.int64)
         self.num_rows = len(self.indptr) - 1
         degrees = np.diff(self.indptr)
@@ -407,10 +408,14 @@ class BatchPlanner:
                                                       self.row_multiple)
         for L, row_ids in sorted(buckets.items()):
             B = max(bmult, entries_per_batch // L // bmult * bmult)
-            if max_rows is not None and L > MATRIX_FREE_MAX_L:
+            if max_rows is not None and (not matrix_free
+                                         or L > MATRIX_FREE_MAX_L):
                 # the direct solve materializes a lane-padded (B, d, d)
                 # system; bound rows per batch independently of the
-                # entry budget (matrix-free buckets need no such cap)
+                # entry budget.  Matrix-free CG buckets skip the cap
+                # below MATRIX_FREE_MAX_L, but a consumer on a direct
+                # solver (llt/ldlt) materializes the system at EVERY L,
+                # so it passes matrix_free=False to cap all buckets.
                 B = min(B, max(bmult, max_rows // bmult * bmult))
             # don't overshoot tiny buckets: one batch is enough
             B = min(B, -(-len(row_ids) // bmult) * bmult)
@@ -601,7 +606,7 @@ class DeviceBatcher:
     def __init__(self, data, axis: str = "rowwise", batch_mb: int = 1024,
                  resident_mb: int = 4096, row_multiple: int = 1,
                  sharding=None, max_len: int = DEFAULT_MAX_L,
-                 d: Optional[int] = None):
+                 d: Optional[int] = None, matrix_free: bool = True):
         self.logger = log.get_logger("DeviceBatcher")
         self.data = data
         self.axis = axis
@@ -622,7 +627,8 @@ class DeviceBatcher:
         self.planner = BatchPlanner(np.asarray(group["indptr"]),
                                     entries_per_batch=entries,
                                     row_multiple=row_multiple,
-                                    max_len=max_len, max_rows=max_rows)
+                                    max_len=max_len, max_rows=max_rows,
+                                    matrix_free=matrix_free)
         padded_entries = sum(b.B * b.L * math.ceil(len(b.row_ids) / b.B)
                              for b in self.planner.buckets)
         padded_entries += sum(

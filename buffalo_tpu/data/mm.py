@@ -179,31 +179,29 @@ class MatrixMarket(DataBuilder):
             while line.startswith("%"):
                 line = fin.readline()
             num_users, num_items, _ = map(int, line.strip().split())
-            skip = fin.tell()
+            body_start = fin.tell()
 
         def chunk_iter():
-            import pandas as pd
-            reader = pd.read_csv(
-                main, sep=r"\s+", header=None, engine="c",
-                skiprows=0, comment="%", dtype=np.float64,
-                chunksize=chunk_lines,
-                skipinitialspace=True,
-                names=["r", "c", "v"],
-                skip_blank_lines=True,
-                iterator=True,
-                # skip the two header lines by byte offset instead of
-                # skiprows (comment lines already excluded)
-            )
-            first = True
-            for df in reader:
-                if first:
-                    # drop the size line (parsed as a triple)
-                    df = df.iloc[1:]
-                    first = False
-                rows = df["r"].to_numpy(np.int64) - 1
-                cols = df["c"].to_numpy(np.int64) - 1
-                vals = df["v"].fillna(1.0).to_numpy(np.float32) \
-                    if df["v"].isna().any() else df["v"].to_numpy(np.float32)
-                yield rows, cols, vals
+            # stdlib/numpy chunked parser (no pandas dependency): read
+            # `chunk_lines` text lines past the header, parse with
+            # np.fromstring-style splitting; tolerant of 2-column
+            # (implicit value 1.0) and comment lines
+            with open(main) as fin:
+                fin.seek(body_start)
+                while True:
+                    lines = fin.readlines(chunk_lines * 24)
+                    if not lines:
+                        return
+                    arr = np.loadtxt(
+                        [ln for ln in lines
+                         if ln.strip() and not ln.startswith("%")],
+                        dtype=np.float64, ndmin=2)
+                    if arr.size == 0:
+                        continue
+                    rows = arr[:, 0].astype(np.int64) - 1
+                    cols = arr[:, 1].astype(np.int64) - 1
+                    vals = (arr[:, 2].astype(np.float32) if arr.shape[1] > 2
+                            else np.ones(len(rows), np.float32))
+                    yield rows, cols, vals
 
         return num_users, num_items, chunk_iter

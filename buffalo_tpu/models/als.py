@@ -259,7 +259,10 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
                 resident_mb=int(self.opt.get("resident_mb", 4096)),
                 row_multiple=(mesh.size if mesh_batches else 1),
                 sharding=batch_sharding if mesh_batches else None,
-                d=int(self.opt.d))
+                d=int(self.opt.d),
+                # llt/ldlt materialize the (B, d, d) system at every
+                # bucket length; cap rows-per-batch everywhere for them
+                matrix_free=self._optimizer not in ("llt", "ldlt"))
 
         table_sharding = row_shard if (
             mesh is not None and "tp" in sharding_mode) else repl

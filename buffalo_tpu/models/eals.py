@@ -113,6 +113,65 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
         return (self.P[row] * self.Q[col]).sum(axis=1)
 
     # -------------------------------------------------------------- training
+    def _train_state(self):
+        """Stage data on device: range-layout (default) or COO fallback.
+
+        The range layout turns every per-dimension reduction into a
+        dense masked sum over padded (B, L) blocks (no per-nnz
+        segment-sum scatter — the ~133 ns/row floor that made the COO
+        formulation ~180 s/epoch at ML-20M); the COO path
+        (``range_layout=False``) keeps the original per-dimension
+        gather/segment-sum formulation.
+        """
+        import jax
+
+        header = self.data.get_header()
+        num_users = int(header["num_users"])
+        num_items = int(header["num_items"])
+        rw = self.data.get_group("rowwise")
+        rw_indptr = np.asarray(rw["indptr"])
+        u_rows = np.repeat(np.arange(num_users, dtype=np.int32),
+                           np.diff(rw_indptr))
+        u_keys = np.asarray(rw["key"], dtype=np.int32)
+        u_vals = np.asarray(rw["val"], dtype=np.float32)
+        C = self._get_negative_weights()
+
+        if not bool(self.opt.get("range_layout", True)):
+            return {"mode": "coo", "C": C, "u": (u_rows, u_keys, u_vals),
+                    "num_users": num_users, "num_items": num_items}
+
+        from buffalo_tpu.data.batching import (BatchPlanner,
+                                               DeviceBatcher,
+                                               build_range_layout,
+                                               stack_batches)
+        cw = self.data.get_group("colwise")
+        d = int(self.opt.d)
+        batch_mb = int(self.data.opt.data.get("batch_mb", 1024))
+        entries = max(batch_mb * 1024 * 1024 // (8 + 8 * d), 4096)
+        rp = BatchPlanner(rw_indptr, entries_per_batch=entries)
+        cp = BatchPlanner(np.asarray(cw["indptr"]),
+                          entries_per_batch=entries)
+        row_b, col_b, u_pos, i_pos, u_pad, i_pad = build_range_layout(
+            rp, cp, u_keys, np.asarray(rw["val"], np.float32),
+            np.asarray(cw["key"], np.int32),
+            np.asarray(cw["val"], np.float32))
+        C_perm = np.zeros(i_pad, np.float32)
+        C_perm[i_pos] = C
+        return {
+            "mode": "range",
+            "row_groups": tuple(jax.device_put(b)
+                                for b in stack_batches(row_b)),
+            "col_groups": tuple(jax.device_put(b)
+                                for b in stack_batches(col_b)),
+            "C_perm": jax.device_put(C_perm),
+            "u_pos": u_pos, "i_pos": i_pos,
+            "u_pad": u_pad, "i_pad": i_pad,
+            # permuted COO view for the loss pass
+            "u": (u_pos[u_rows].astype(np.int32),
+                  i_pos[u_keys].astype(np.int32), u_vals),
+            "num_users": num_users, "num_items": num_items,
+        }
+
     def train(self, training_callback: Optional[
             Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
         assert self.data, "Data is not set"
@@ -120,62 +179,76 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
         import jax.numpy as jnp
 
         opt = self.opt
-        header = self.data.get_header()
-        num_users = int(header["num_users"])
-        num_items = int(header["num_items"])
-
-        rw = self.data.get_group("rowwise")
-        cw = self.data.get_group("colwise")
-        rw_indptr = np.asarray(rw["indptr"])
-        cw_indptr = np.asarray(cw["indptr"])
-        u_rows = np.repeat(np.arange(num_users, dtype=np.int32),
-                           np.diff(rw_indptr))
-        u_keys = np.asarray(rw["key"], dtype=np.int32)
-        u_vals = np.asarray(rw["val"], dtype=np.float32)
-        i_rows = np.repeat(np.arange(num_items, dtype=np.int32),
-                           np.diff(cw_indptr))
-        i_keys = np.asarray(cw["key"], dtype=np.int32)
-        i_vals = np.asarray(cw["val"], dtype=np.float32)
-        # rowwise position -> colwise position permutation (the
-        # cross-index maps ind_u2i_/ind_i2u_ of eals.cc:83-100)
-        u2i = np.lexsort((u_rows, u_keys))  # order of rowwise idx in colwise
-        i2u = np.empty_like(u2i)
-        i2u[u2i] = np.arange(len(u2i))
-
-        C = jax.device_put(self._get_negative_weights())
-        P = jax.device_put(self.P)
-        Q = jax.device_put(self.Q)
+        st = self._train_state()
+        num_users, num_items = st["num_users"], st["num_items"]
+        u_rows, u_keys, u_vals = st["u"]
         du = (jax.device_put(u_rows), jax.device_put(u_keys),
               jax.device_put(u_vals))
-        di = (jax.device_put(i_rows), jax.device_put(i_keys),
-              jax.device_put(i_vals))
-        u2i_d = jax.device_put(u2i)
-        ones_u = jnp.ones(num_users, jnp.float32)
 
-        vhat_u = K.compute_vhat(P, Q, du[0], du[1])
+        if st["mode"] == "range":
+            d = int(opt.d)
+            Pp = np.zeros((st["u_pad"], d), np.float32)
+            Pp[st["u_pos"]] = self.P
+            Qp = np.zeros((st["i_pad"], d), np.float32)
+            Qp[st["i_pos"]] = self.Q
+            P = jax.device_put(Pp)
+            Q = jax.device_put(Qp)
+            C = st["C_perm"]
+
+            def to_host(P, Q):
+                return (np.asarray(P)[st["u_pos"]],
+                        np.asarray(Q)[st["i_pos"]])
+        else:
+            cw = self.data.get_group("colwise")
+            cw_indptr = np.asarray(cw["indptr"])
+            i_rows = np.repeat(np.arange(num_items, dtype=np.int32),
+                               np.diff(cw_indptr))
+            i_keys = np.asarray(cw["key"], dtype=np.int32)
+            i_vals = np.asarray(cw["val"], dtype=np.float32)
+            # rowwise position -> colwise position permutation (the
+            # cross-index maps ind_u2i_/ind_i2u_ of eals.cc:83-100)
+            u2i = np.lexsort((u_rows, u_keys))
+            di = (jax.device_put(i_rows), jax.device_put(i_keys),
+                  jax.device_put(i_vals))
+            u2i_d = jax.device_put(u2i)
+            ones_u = jnp.ones(num_users, jnp.float32)
+            C = jax.device_put(st["C"])
+            P = jax.device_put(self.P)
+            Q = jax.device_put(self.Q)
+            vhat_u = K.compute_vhat(P, Q, du[0], du[1])
+
+            def to_host(P, Q):
+                return np.asarray(P), np.asarray(Q)
 
         best_loss, loss, self.validation_result = float("inf"), None, {}
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds
         for i in range(opt.num_iters):
             start_t = time.time()
-            # user side: Sq = (C^0.5 Q)^T (C^0.5 Q)
-            CQ = Q * jnp.sqrt(C)[:, None]
-            Sq = jnp.dot(CQ.T, CQ, preferred_element_type=jnp.float32)
-            P, vhat_u = K.eals_half_epoch(
-                P, Q, vhat_u, du[0], du[1], du[2],
-                jnp.take(C, du[1]), ones_u, Sq,
-                num_rows=num_users, alpha=float(opt.alpha),
-                reg=float(opt.reg_u))
-            # item side: permute residuals to colwise order
-            vhat_i = jnp.take(vhat_u, u2i_d)
-            Sp = jnp.dot(P.T, P, preferred_element_type=jnp.float32)
-            Q, vhat_i = K.eals_half_epoch(
-                Q, P, vhat_i, di[0], di[1], di[2],
-                jnp.take(C, di[0]), C, Sp,
-                num_rows=num_items, alpha=float(opt.alpha),
-                reg=float(opt.reg_i))
-            vhat_u = jnp.zeros_like(vhat_u).at[u2i_d].set(vhat_i)
+            if st["mode"] == "range":
+                P, Q = K.eals_epoch(
+                    P, Q, st["row_groups"], st["col_groups"], C,
+                    alpha=float(opt.alpha), reg_u=float(opt.reg_u),
+                    reg_i=float(opt.reg_i))
+                vhat_u = K.compute_vhat(P, Q, du[0], du[1])
+            else:
+                # user side: Sq = (C^0.5 Q)^T (C^0.5 Q)
+                CQ = Q * jnp.sqrt(C)[:, None]
+                Sq = jnp.dot(CQ.T, CQ, preferred_element_type=jnp.float32)
+                P, vhat_u = K.eals_half_epoch(
+                    P, Q, vhat_u, du[0], du[1], du[2],
+                    jnp.take(C, du[1]), ones_u, Sq,
+                    num_rows=num_users, alpha=float(opt.alpha),
+                    reg=float(opt.reg_u))
+                # item side: permute residuals to colwise order
+                vhat_i = jnp.take(vhat_u, u2i_d)
+                Sp = jnp.dot(P.T, P, preferred_element_type=jnp.float32)
+                Q, vhat_i = K.eals_half_epoch(
+                    Q, P, vhat_i, di[0], di[1], di[2],
+                    jnp.take(C, di[0]), C, Sp,
+                    num_rows=num_items, alpha=float(opt.alpha),
+                    reg=float(opt.reg_i))
+                vhat_u = jnp.zeros_like(vhat_u).at[u2i_d].set(vhat_i)
 
             rmse, total_loss = K.eals_loss(
                 P, Q, vhat_u, du[0], du[1], du[2], C,
@@ -188,7 +261,7 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
             if opt.get("validation") and opt.evaluation_on_learning and \
                     self.periodical(opt.evaluation_period, i):
                 start_t = time.time()
-                self.P, self.Q = np.asarray(P), np.asarray(Q)
+                self.P, self.Q = to_host(P, Q)
                 self.validation_result = self.get_validation_results()
                 vali_t = time.time() - start_t
                 val_str = " ".join(f"{k}:{v:0.5f}"
@@ -205,7 +278,7 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
             best_loss = self.save_best_only(loss, best_loss, i)
             if self.early_stopping(loss):
                 break
-        self.P, self.Q = np.asarray(P), np.asarray(Q)
+        self.P, self.Q = to_host(P, Q)
         self.logger.info(
             f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
         ret = {"train_loss": loss}

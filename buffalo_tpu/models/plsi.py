@@ -25,7 +25,7 @@ from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import PLSIOption
 from buffalo_tpu.ops.plsi_kernels import (plsi_accumulate,
                                           plsi_accumulate_segments,
-                                          plsi_epoch,
+                                          plsi_epoch, plsi_epoch_range,
                                           plsi_normalize_swap)
 from buffalo_tpu.utils import log
 
@@ -159,11 +159,71 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
             batch_mb=int(self.data.opt.data.get("batch_mb", 1024)),
             resident_mb=int(opt.get("resident_mb", 4096)),
             d=int(opt.d))
-
-        P = jax.device_put(self.P)
-        Q = jax.device_put(self.Q)
         group = self.data.get_group("rowwise")
         loss_deno = float(np.sum(group["val"], dtype=np.float64))
+
+        # bucket-order range layout over BOTH orientations: contiguous
+        # accumulator writes instead of per-nnz scatter-adds (the
+        # measured epoch bound); needs the colwise group + residency
+        self._range = None
+        if (batcher.resident and self.data.has_group("colwise")
+                and bool(opt.get("range_layout", True))):
+            from buffalo_tpu.data.batching import (build_range_layout,
+                                                   stack_batches)
+            cb = DeviceBatcher(
+                self.data, "colwise",
+                batch_mb=int(self.data.opt.data.get("batch_mb", 1024)),
+                resident_mb=int(opt.get("resident_mb", 4096)),
+                d=int(opt.d))
+            if cb.resident:
+                row_b, col_b, u_pos, i_pos, u_pad, i_pad = \
+                    build_range_layout(batcher.planner, cb.planner,
+                                       batcher.key, batcher.val,
+                                       cb.key, cb.val)
+                from buffalo_tpu.data.batching import (RangeBatch,
+                                                       SegmentBatch)
+
+                def split(batches):
+                    rs = [b for b in stack_batches(batches)
+                          if isinstance(b, RangeBatch)]
+                    segs = [b for b in batches
+                            if isinstance(b, SegmentBatch)]
+                    return (tuple(jax.device_put(b) for b in rs),
+                            tuple(jax.device_put(b) for b in segs))
+
+                p_mask = np.zeros(u_pad, np.float32)
+                p_mask[u_pos] = 1.0
+                q_mask = np.zeros(i_pad, np.float32)
+                q_mask[i_pos] = 1.0
+                rg, rseg = split(row_b)
+                cg, cseg = split(col_b)
+                self._range = {
+                    "row_groups": rg, "row_segments": rseg,
+                    "col_groups": cg, "col_segments": cseg,
+                    "u_pos": u_pos, "i_pos": i_pos,
+                    "p_mask": jax.device_put(p_mask),
+                    "q_mask": jax.device_put(q_mask),
+                    "u_pad": u_pad, "i_pad": i_pad,
+                }
+
+        if self._range is not None:
+            d = int(opt.d)
+            Pp = np.zeros((self._range["u_pad"], d), np.float32)
+            Pp[self._range["u_pos"]] = self.P
+            Qp = np.zeros((self._range["i_pad"], d), np.float32)
+            Qp[self._range["i_pos"]] = self.Q
+            P = jax.device_put(Pp)
+            Q = jax.device_put(Qp)
+
+            def to_host(P, Q):
+                return (np.asarray(P)[self._range["u_pos"]],
+                        np.asarray(Q)[self._range["i_pos"]])
+        else:
+            P = jax.device_put(self.P)
+            Q = jax.device_put(self.Q)
+
+            def to_host(P, Q):
+                return np.asarray(P), np.asarray(Q)
 
         self.logger.info(
             f"Train pLSI, K: {opt.d}, alpha1: {opt.alpha1}, "
@@ -175,7 +235,16 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
 
         for i in range(opt.num_iters):
             start_t = time.time()
-            if batcher.resident:
+            if self._range is not None:
+                rs = self._range
+                P, Q, epoch_loss = plsi_epoch_range(
+                    P, Q, rs["row_groups"], rs["col_groups"],
+                    rs["row_segments"], rs["col_segments"],
+                    rs["p_mask"], rs["q_mask"],
+                    alpha1=float(opt.alpha1), alpha2=float(opt.alpha2),
+                    num_items=int(self.num_items))
+                loss_nume = float(epoch_loss)
+            elif batcher.resident:
                 # whole EM epoch in one dispatch
                 P, Q, epoch_loss = plsi_epoch(
                     P, Q, tuple(batcher.device_batches_stacked()),
@@ -205,7 +274,7 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
             if opt.get("validation") and opt.evaluation_on_learning and \
                     self.periodical(opt.evaluation_period, i):
                 start_t = time.time()
-                self.P, self.Q = np.asarray(P), np.asarray(Q)
+                self.P, self.Q = to_host(P, Q)
                 self.validation_result = self.get_validation_results()
                 vali_t = time.time() - start_t
                 val_str = " ".join(f"{k}:{v:0.5f}"
@@ -221,7 +290,8 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
             best_loss = self.save_best_only(loss, best_loss, i)
             if self.early_stopping(loss):
                 break
-        self.P, self.Q = np.asarray(P), np.asarray(Q)
+        self.P, self.Q = to_host(P, Q)
+        self._range = None
         self.logger.info(
             f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
         ret = {"train_loss": loss}

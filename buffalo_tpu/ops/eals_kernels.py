@@ -68,6 +68,183 @@ def eals_half_epoch(X, Y, vhat, row_ids, keys, vals, c_nnz, c_row, S,
     return jax.lax.fori_loop(0, D, body, (X, vhat))
 
 
+def _eals_dim_sweep(p, F, vals, cvals, c_row, lens, S, *, alpha, reg):
+    """Coordinate descent over all D dimensions for a padded row block.
+
+    p: (B, d) rows being updated; F: (B, L, d) gathered fixed-side
+    rows; cvals: (B, L) per-entry negative weights (broadcastable);
+    c_row: (B,) dense-term weights; S: fixed-side weighted gramian.
+
+    The whole sweep is dense masked arithmetic on (B, L) blocks — the
+    residual cache ``vhat`` lives in registers/HBM as one (B, L) array
+    and every per-row reduction is a lane-wise sum, so the
+    scatter-floor that bound the COO formulation (one segment-sum per
+    dimension over all nnz) never appears.  Math per dimension matches
+    ``eals.cc:202-236``.
+    """
+    B, L = vals.shape
+    D = p.shape[1]
+    mask = (jnp.arange(L, dtype=jnp.int32)[None, :]
+            < lens[:, None]).astype(jnp.float32)
+    w = (1.0 + alpha * vals) * mask
+    wv = w * vals
+    wmc = w - cvals * mask
+    vhat = jnp.einsum("bd,bld->bl", p, F,
+                      preferred_element_type=jnp.float32) * mask
+
+    def body(dim, carry):
+        p, vhat = carry
+        y_d = jax.lax.dynamic_slice_in_dim(F, dim, 1, axis=2)[:, :, 0]
+        x_d = jax.lax.dynamic_slice_in_dim(p, dim, 1, axis=1)[:, 0]
+        vf = vhat - x_d[:, None] * y_d
+        num_nnz = jnp.sum((wv - wmc * vf) * y_d, axis=1)
+        den_nnz = jnp.sum(wmc * y_d * y_d, axis=1)
+        S_col = jax.lax.dynamic_slice_in_dim(S, dim, 1, axis=1)[:, 0]
+        S_dd = jnp.take(S_col, dim)
+        dense = p @ S_col - x_d * S_dd
+        x_new = (num_nnz - c_row * dense) / (den_nnz + c_row * S_dd + reg)
+        vhat = vf + x_new[:, None] * y_d
+        p = jax.lax.dynamic_update_slice_in_dim(p, x_new[:, None], dim,
+                                                axis=1)
+        return p, vhat
+
+    p, _ = jax.lax.fori_loop(0, D, body, (p, vhat))
+    return p
+
+
+def _eals_segment_sweep(p, Q, batch, cvals, c_row, S, *, alpha, reg):
+    """Coordinate descent for long rows arriving as fixed-width chunks.
+
+    Per-row statistics are accumulated with one small segment-sum per
+    dimension over the CHUNKS (a few hundred rows), not over all nnz.
+    """
+    R, D = p.shape
+    Nc, C = batch.vals.shape
+    mask = (jnp.arange(C, dtype=jnp.int32)[None, :]
+            < batch.chunk_lens[:, None]).astype(jnp.float32)
+    F = jnp.take(Q, batch.cols, axis=0)                   # (Nc, C, d)
+    vals = batch.vals
+    w = (1.0 + alpha * vals) * mask
+    wv = w * vals
+    wmc = w - cvals * mask
+    seg = jnp.minimum(batch.seg_ids, R)
+
+    def chunk_rows(x_col):  # (R,) -> (Nc,) via seg gather with pad 0
+        return jnp.take(jnp.append(x_col, 0.0), seg)
+
+    p0_chunk = jnp.take(jnp.vstack([p, jnp.zeros((1, D), p.dtype)]),
+                        seg, axis=0)
+    vhat = jnp.einsum("ncd,nd->nc", F, p0_chunk,
+                      preferred_element_type=jnp.float32) * mask
+
+    def body(dim, carry):
+        p, vhat = carry
+        y_d = jax.lax.dynamic_slice_in_dim(F, dim, 1, axis=2)[:, :, 0]
+        x_row = jax.lax.dynamic_slice_in_dim(p, dim, 1, axis=1)[:, 0]
+        x_d = chunk_rows(x_row)
+        vf = vhat - x_d[:, None] * y_d
+        num = jax.ops.segment_sum(
+            jnp.sum((wv - wmc * vf) * y_d, axis=1), seg,
+            num_segments=R + 1)[:R]
+        den = jax.ops.segment_sum(
+            jnp.sum(wmc * y_d * y_d, axis=1), seg,
+            num_segments=R + 1)[:R]
+        S_col = jax.lax.dynamic_slice_in_dim(S, dim, 1, axis=1)[:, 0]
+        S_dd = jnp.take(S_col, dim)
+        dense = p @ S_col - x_row * S_dd
+        x_new = (num - c_row * dense) / (den + c_row * S_dd + reg)
+        vhat = vf + chunk_rows(x_new)[:, None] * y_d
+        p = jax.lax.dynamic_update_slice_in_dim(p, x_new[:, None], dim,
+                                                axis=1)
+        return p, vhat
+
+    p, _ = jax.lax.fori_loop(0, D, body, (p, vhat))
+    return p
+
+
+def _eals_apply_batch(X, Y, C_other, c_self, S, batch, *, item_axis,
+                      alpha, reg):
+    """Update table X with one RangeBatch/SegmentBatch (permuted space).
+
+    C_other: negative weights in the FIXED side's permuted positions
+    (used by the user pass, gathered per entry); c_self: weights in
+    X's own permuted positions (used by the item pass as the per-row
+    dense/entry weight).  One of the two drives each pass.
+    """
+    from buffalo_tpu.data.batching import RangeBatch, SegmentBatch
+
+    if isinstance(batch, RangeBatch):
+        B = batch.lens.shape[0]
+        p = jax.lax.dynamic_slice_in_dim(X, batch.row_start, B, axis=0)
+        F = jnp.take(Y, batch.cols, axis=0)
+        if item_axis:
+            c_row = jax.lax.dynamic_slice_in_dim(c_self, batch.row_start,
+                                                 B, axis=0)
+            cvals = c_row[:, None] * jnp.ones_like(batch.vals)
+        else:
+            c_row = jnp.ones((B,), jnp.float32)
+            cvals = jnp.take(C_other, batch.cols)
+        x = _eals_dim_sweep(p, F, batch.vals, cvals, c_row, batch.lens, S,
+                            alpha=alpha, reg=reg)
+        return jax.lax.dynamic_update_slice_in_dim(X, x, batch.row_start,
+                                                   axis=0)
+    assert isinstance(batch, SegmentBatch)
+    safe = jnp.minimum(batch.rows, X.shape[0] - 1)
+    p = jnp.take(X, safe, axis=0)
+    if item_axis:
+        c_row = jnp.where(batch.lens > 0, jnp.take(c_self, safe), 0.0)
+        cvals = jnp.take(c_row, jnp.minimum(batch.seg_ids,
+                                            len(batch.rows) - 1))[:, None] \
+            * jnp.ones_like(batch.vals)
+    else:
+        c_row = jnp.ones((p.shape[0],), jnp.float32)
+        cvals = jnp.take(C_other, batch.cols)
+    x = _eals_segment_sweep(p, Y, batch, cvals, c_row, S,
+                            alpha=alpha, reg=reg)
+    return X.at[batch.rows].set(x, mode="drop")
+
+
+def _eals_apply_group(X, Y, C_other, c_self, S, group, **kw):
+    """Scan over a same-shape stack of batches (leading axis)."""
+    from buffalo_tpu.data.batching import RangeBatch
+
+    flat = (group.lens.ndim == 1 if isinstance(group, RangeBatch)
+            else group.rows.ndim == 1)
+    if flat:
+        return _eals_apply_batch(X, Y, C_other, c_self, S, group, **kw)
+
+    def body(X, b):
+        return _eals_apply_batch(X, Y, C_other, c_self, S, b, **kw), None
+
+    X, _ = jax.lax.scan(body, X, group)
+    return X
+
+
+@partial(jax.jit, static_argnames=("alpha", "reg_u", "reg_i"),
+         donate_argnums=(0, 1))
+def eals_epoch(P, Q, row_groups, col_groups, C_perm, *, alpha, reg_u,
+               reg_i):
+    """One full eALS epoch (user pass + item pass) in ONE dispatch.
+
+    Tables and batches live in the bucket-order permuted space of
+    ``build_range_layout``; ``C_perm`` holds the negative weights at
+    the permuted ITEM positions (zero on padding).  ``Sq/Sp`` are
+    recomputed before each half like the reference (``eals.cc:182,
+    240``); the per-nnz residual caches are recomputed per batch from
+    the current factors, which is exactly their invariant.
+    """
+    CQ = Q * jnp.sqrt(C_perm)[:, None]
+    Sq = jnp.dot(CQ.T, CQ, preferred_element_type=jnp.float32)
+    for g in row_groups:
+        P = _eals_apply_group(P, Q, C_perm, None, Sq, g,
+                              item_axis=False, alpha=alpha, reg=reg_u)
+    Sp = jnp.dot(P.T, P, preferred_element_type=jnp.float32)
+    for g in col_groups:
+        Q = _eals_apply_group(Q, P, None, C_perm, Sp, g,
+                              item_axis=True, alpha=alpha, reg=reg_i)
+    return P, Q
+
+
 @partial(jax.jit, static_argnames=("alpha",))
 def eals_loss(P, Q, vhat, row_ids, keys, vals, C, reg_u, reg_i, *, alpha):
     """RMSE + total loss with negative feedback (eals.cc:117-180).

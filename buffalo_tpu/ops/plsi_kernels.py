@@ -108,6 +108,110 @@ def plsi_epoch(P, Q, batches, *, alpha1, alpha2):
     return P, Q, loss
 
 
+def _estep_block(a, f, vals, mask, *, with_loss):
+    """E-step responsibilities for one padded block.
+
+    a: (B, d) rows of the side being accumulated; f: (B, L, d) gathered
+    other-side rows.  ``latent(u,i) = P(z|u) * Q(i|z)`` is symmetric in
+    the two sides, so the same block math serves both orientations.
+    Returns (row_sums (B, d), loss).
+    """
+    latent = jnp.maximum(a[:, None, :] * f, 1e-10)
+    norm = jnp.sum(latent, axis=-1, keepdims=True)
+    w = vals * mask
+    loss = (-jnp.sum(jnp.log(norm[..., 0]) * w) if with_loss
+            else jnp.zeros((), jnp.float32))
+    latent = latent / norm * w[..., None]
+    return jnp.sum(latent, axis=1), loss
+
+
+def _range_accumulate(An, A, Bf, batch, *, with_loss):
+    """Accumulate next-epoch sums for one contiguous row range.
+
+    The write is a dynamic_update_slice (read + add + write of a
+    contiguous block) — the scatter-add over all nnz that bound the
+    single-orientation epoch (~133 ns/row) never happens.
+    """
+    B, L = batch.vals.shape
+    a = jax.lax.dynamic_slice_in_dim(A, batch.row_start, B, axis=0)
+    f = jnp.take(Bf, batch.cols, axis=0)
+    mask = (jnp.arange(L, dtype=jnp.int32)[None, :]
+            < batch.lens[:, None]).astype(jnp.float32)
+    sums, loss = _estep_block(a, f, batch.vals, mask, with_loss=with_loss)
+    cur = jax.lax.dynamic_slice_in_dim(An, batch.row_start, B, axis=0)
+    An = jax.lax.dynamic_update_slice_in_dim(An, cur + sums,
+                                             batch.row_start, axis=0)
+    return An, loss
+
+
+def _segment_accumulate(An, A, Bf, batch, *, with_loss):
+    """One-side accumulation for long rows (scatter over the few
+    chunk rows only)."""
+    R = batch.rows.shape[0]
+    Nc, C = batch.vals.shape
+    padded_rows = jnp.concatenate(
+        [batch.rows, jnp.full((1,), An.shape[0], batch.rows.dtype)])
+    chunk_rows = jnp.take(padded_rows, jnp.minimum(batch.seg_ids, R))
+    a = jnp.take(A, jnp.minimum(chunk_rows, A.shape[0] - 1), axis=0)
+    f = jnp.take(Bf, batch.cols, axis=0)
+    mask = (jnp.arange(C, dtype=jnp.int32)[None, :]
+            < batch.chunk_lens[:, None]).astype(jnp.float32)
+    sums, loss = _estep_block(a, f, batch.vals, mask, with_loss=with_loss)
+    An = An.at[chunk_rows].add(sums, mode="drop")
+    return An, loss
+
+
+def _accumulate_side(An, A, Bf, groups, segments, *, with_loss):
+    loss = jnp.zeros((), jnp.float32)
+    for g in groups:
+        if g.lens.ndim == 2:  # shape-stacked group: scan one body
+            def body(carry, b):
+                An, ls = carry
+                An, l_ = _range_accumulate(An, A, Bf, b,
+                                           with_loss=with_loss)
+                return (An, ls + l_), None
+            (An, loss), _ = jax.lax.scan(body, (An, loss), g)
+        else:
+            An, l_ = _range_accumulate(An, A, Bf, g, with_loss=with_loss)
+            loss = loss + l_
+    for s in segments:
+        An, l_ = _segment_accumulate(An, A, Bf, s, with_loss=with_loss)
+        loss = loss + l_
+    return An, loss
+
+
+@partial(jax.jit, static_argnames=("alpha1", "alpha2", "num_items"))
+def plsi_epoch_range(P, Q, row_groups, col_groups, row_segments,
+                     col_segments, p_mask, q_mask, *, alpha1, alpha2,
+                     num_items):
+    """One EM epoch in the bucket-order permuted layout, ONE dispatch.
+
+    The E-step runs over BOTH orientations: the rowwise pass
+    accumulates Pn (and the loss) with contiguous range writes; the
+    colwise pass recomputes the symmetric responsibilities and
+    accumulates Qn the same way.  The duplicated elementwise latent is
+    ~2x FLOPs but removes every per-nnz scatter-add — the measured
+    epoch bound of the single-orientation formulation
+    (``plsi.cc:72-106`` is a trivially parallel loop; its TPU analog is
+    bandwidth, not scatter).  ``p_mask``/``q_mask`` flag the REAL rows
+    of the padded permuted tables so the M-step smoothing
+    (``plsi.cc:108-125``, ``alpha2 / |I|`` with the REAL item count)
+    and the column normalization stay exactly reference-shaped.
+    """
+    Pn, loss = _accumulate_side(jnp.zeros_like(P), P, Q,
+                                row_groups, row_segments, with_loss=True)
+    Qn, _ = _accumulate_side(jnp.zeros_like(Q), Q, P,
+                             col_groups, col_segments, with_loss=False)
+    d = Pn.shape[1]
+    Pn = Pn + (alpha1 / d) * p_mask[:, None]
+    p_sum = jnp.sum(Pn, axis=1, keepdims=True)
+    Pn = Pn / jnp.where(p_sum > 0, p_sum, 1.0)
+    Qn = Qn + (alpha2 / num_items) * q_mask[:, None]
+    q_sum = jnp.sum(Qn, axis=0, keepdims=True)
+    Qn = Qn / jnp.where(q_sum > 0, q_sum, 1.0)
+    return Pn, Qn, loss
+
+
 @partial(jax.jit, static_argnames=("alpha1", "alpha2"))
 def plsi_normalize_swap(Pn, Qn, *, alpha1, alpha2):
     """M-step smoothing + normalization (plsi.cc:108-125)."""

@@ -81,7 +81,17 @@ def build_bloom(indptr: "np.ndarray", keys: "np.ndarray",
 
     nnz = len(keys)
     log2_bits = max(16, int(np.ceil(np.log2(max(1, nnz * bits_per_entry)))))
-    log2_bits = min(log2_bits, 30)
+    # uint32 hashing supports up to 2^32 bits (512 MB of filter); warn
+    # when the capped size degrades the false-positive rate materially
+    log2_bits = min(log2_bits, 32)
+    if nnz * bits_per_entry > (1 << 32):
+        import logging
+        logging.getLogger("buffalo_tpu.sgd_kernels").warning(
+            "bloom filter capped at 2^32 bits for %d positives; "
+            "false-positive rate ~%.1f%% (valid negatives get resampled "
+            "and the K-attempt fallback may return unverified "
+            "candidates)", nnz,
+            100.0 * (1 - np.exp(-2.0 * nnz / (1 << 32))) ** 2)
     users = np.repeat(
         np.arange(len(indptr) - 1, dtype=np.uint32),
         np.diff(np.asarray(indptr))).astype(np.uint32)

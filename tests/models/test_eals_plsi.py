@@ -71,6 +71,48 @@ def test_eals_rmse_decreases(ml_data):
     assert r8 < r1
 
 
+def test_eals_range_layout_parity(ml_data):
+    """Range-layout coordinate descent == COO formulation (exact same
+    math, different data layout)."""
+    def run(**kw):
+        np.random.seed(11)
+        opt = EALSOption().get_default_option()
+        opt.d = 8
+        opt.num_iters = 4
+        opt.validation = {}
+        for k, v in kw.items():
+            opt[k] = v
+        m = EALS(opt, data=ml_data)
+        m.initialize()
+        r = m.train()
+        return m, r
+
+    m1, r1 = run()
+    m2, r2 = run(range_layout=False)
+    assert r1["train_loss"] == pytest.approx(r2["train_loss"], rel=1e-5)
+    np.testing.assert_allclose(m1.Q, m2.Q, rtol=1e-4, atol=1e-6)
+
+
+def test_plsi_range_layout_parity(ml_data):
+    def run(**kw):
+        np.random.seed(11)
+        opt = PLSIOption().get_default_option()
+        opt.d = 8
+        opt.num_iters = 4
+        opt.validation = {}
+        for k, v in kw.items():
+            opt[k] = v
+        m = PLSI(opt, data=ml_data)
+        m.initialize()
+        r = m.train()
+        return m, r
+
+    m1, r1 = run()
+    m2, r2 = run(range_layout=False)
+    assert r1["train_loss"] == pytest.approx(r2["train_loss"], rel=1e-5)
+    np.testing.assert_allclose(m1.Q, m2.Q, rtol=1e-4, atol=1e-6)
+
+
 def test_eals_serialization(ml_data, tmp_path):
     opt = EALSOption().get_default_option()
     opt.d = 8
