@@ -502,40 +502,8 @@ class BatchPlanner:
 
     def _build_segment_batch(self, plan: Sequence[int], key: np.ndarray,
                              val: Optional[np.ndarray]) -> SegmentBatch:
-        indptr = self.indptr
-        C = self.max_len
-        rows = np.asarray(plan, dtype=np.int64)
-        lens = (indptr[rows + 1] - indptr[rows]).astype(np.int64)
-        n_chunks = np.ceil(lens / C).astype(np.int64)
-        R = max(MIN_B, -(-len(rows) // MIN_B) * MIN_B)
-        Nc = max(MIN_B, -(-int(n_chunks.sum()) // MIN_B) * MIN_B)
-
-        out_rows = np.full(R, self.num_rows, dtype=np.int32)
-        out_rows[:len(rows)] = rows
-        out_lens = np.zeros(R, dtype=np.int32)
-        out_lens[:len(rows)] = lens
-
-        seg_ids = np.full(Nc, R, dtype=np.int32)  # padding chunks -> R
-        chunk_lens = np.zeros(Nc, dtype=np.int32)
-        cols = np.zeros((Nc, C), dtype=np.int32)
-        vals = np.zeros((Nc, C), dtype=np.float32)
-        key = np.asarray(key, dtype=np.int32)
-        pos = 0
-        for local, (r, dlen) in enumerate(zip(rows, lens)):
-            beg = int(indptr[r])
-            for off in range(0, int(dlen), C):
-                n = min(C, int(dlen) - off)
-                seg_ids[pos] = local
-                chunk_lens[pos] = n
-                cols[pos, :n] = key[beg + off:beg + off + n]
-                if val is not None:
-                    vals[pos, :n] = np.asarray(
-                        val[beg + off:beg + off + n], dtype=np.float32)
-                else:
-                    vals[pos, :n] = 1.0
-                pos += 1
-        return SegmentBatch(rows=out_rows, lens=out_lens, seg_ids=seg_ids,
-                            chunk_lens=chunk_lens, cols=cols, vals=vals)
+        return build_segment_batch(self.indptr, key, val, plan,
+                                   self.max_len, self.num_rows)
 
 
 def pad_rows(indptr: np.ndarray, key: np.ndarray, val: Optional[np.ndarray],
@@ -565,6 +533,49 @@ def pad_rows(indptr: np.ndarray, key: np.ndarray, val: Optional[np.ndarray],
     else:
         vals = mask.astype(np.float32)
     return lens, cols.astype(np.int32), vals
+
+
+def build_segment_batch(indptr: np.ndarray, key: np.ndarray,
+                        val: Optional[np.ndarray], plan: Sequence[int],
+                        chunk_width: int, num_rows: int) -> SegmentBatch:
+    """Pack the given rows of a CSR into a SegmentBatch of fixed-width
+    chunks (see SegmentBatch docstring); padding rows point to
+    ``num_rows`` so device scatters drop them."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    C = int(chunk_width)
+    rows = np.asarray(plan, dtype=np.int64)
+    lens = (indptr[rows + 1] - indptr[rows]).astype(np.int64)
+    n_chunks = np.maximum(np.ceil(lens / C).astype(np.int64), 1)
+    R = max(MIN_B, -(-len(rows) // MIN_B) * MIN_B)
+    Nc = max(MIN_B, -(-int(n_chunks.sum()) // MIN_B) * MIN_B)
+
+    out_rows = np.full(R, num_rows, dtype=np.int32)
+    out_rows[:len(rows)] = rows
+    out_lens = np.zeros(R, dtype=np.int32)
+    out_lens[:len(rows)] = lens
+
+    seg_ids = np.full(Nc, R, dtype=np.int32)  # padding chunks -> R
+    chunk_lens = np.zeros(Nc, dtype=np.int32)
+    cols = np.zeros((Nc, C), dtype=np.int32)
+    vals = np.zeros((Nc, C), dtype=np.float32)
+    key = np.asarray(key, dtype=np.int32)
+    pos = 0
+    for local, (r, dlen) in enumerate(zip(rows, lens)):
+        beg = int(indptr[r])
+        for off in range(0, max(int(dlen), 1), C):
+            n = min(C, int(dlen) - off)
+            seg_ids[pos] = local
+            if n > 0:
+                chunk_lens[pos] = n
+                cols[pos, :n] = key[beg + off:beg + off + n]
+                if val is not None:
+                    vals[pos, :n] = np.asarray(
+                        val[beg + off:beg + off + n], dtype=np.float32)
+                else:
+                    vals[pos, :n] = 1.0
+            pos += 1
+    return SegmentBatch(rows=out_rows, lens=out_lens, seg_ids=seg_ids,
+                        chunk_lens=chunk_lens, cols=cols, vals=vals)
 
 
 def stack_batches(batches: Sequence) -> List:

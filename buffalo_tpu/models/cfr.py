@@ -131,32 +131,63 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
                      + ret["sppmi_nnz"])
 
     def _build_batches(self):
-        """Padded batches: rowwise for users, colwise+sppmi (row-
-        synchronized) for items, sppmi for contexts."""
+        """Fixed-shape batches for the three phases.
+
+        Users and contexts: degree-bucketed padded batches, long rows
+        as SegmentBatch chunks (default ``max_len`` — the pin to
+        ``1 << 30`` is gone, so a >100k-degree power-law head row costs
+        O(max_len)-wide chunks, never one padded monster row; the
+        reference's analog is ``fetch_batch_range`` chunk streaming,
+        ``buffered_data.py:120-160``).  Items: colwise padded batches
+        with a row-synchronized SPPMI block; rows long on EITHER side
+        become (SegmentBatch colwise, SegmentBatch sppmi) pairs over
+        one shared row list.
+        """
+        from buffalo_tpu.data.batching import (DEFAULT_MAX_L, PaddedBatch,
+                                               SegmentBatch,
+                                               build_segment_batch)
         batch_mb = int(self.data.opt.data.get("batch_mb", 1024))
+        max_len = int(self.opt.get("max_len", DEFAULT_MAX_L))
         out = {}
         rw = self.data.get_group("rowwise")
         planner = BatchPlanner(np.asarray(rw["indptr"]), batch_mb=batch_mb,
-                               max_len=1 << 30)
+                               max_len=max_len)
         out["user"] = list(planner.iter_batches(rw["key"], rw.get("val")))
 
         cw = self.data.get_group("colwise")
         sp = self.data.get_group("sppmi")
+        cw_indptr = np.asarray(cw["indptr"])
         sp_indptr = np.asarray(sp["indptr"])
-        planner = BatchPlanner(np.asarray(cw["indptr"]), batch_mb=batch_mb,
-                               max_len=1 << 30)
+        cw_deg = np.diff(cw_indptr)
+        sp_deg = np.diff(sp_indptr)
+        # long on either side -> the segment pair path
+        long_mask = (cw_deg > max_len) | (sp_deg > max_len)
+
+        planner = BatchPlanner(cw_indptr, batch_mb=batch_mb,
+                               max_len=max_len)
         item_batches = []
         for b in planner.iter_batches(cw["key"], cw.get("val")):
+            if isinstance(b, SegmentBatch):
+                continue  # cw-long rows take the segment-pair path below
+            # rows that are sppmi-long leave the padded batch (their
+            # slot becomes padding) and join the segment set
+            keep = ~long_mask[np.minimum(b.rows, len(cw_deg) - 1)] \
+                | (b.lens == 0)
+            if not keep.all():
+                b = PaddedBatch(
+                    rows=np.where(keep, b.rows,
+                                  len(cw_deg)).astype(np.int32),
+                    lens=np.where(keep, b.lens, 0).astype(np.int32),
+                    cols=np.where(keep[:, None], b.cols, 0),
+                    vals=np.where(keep[:, None], b.vals, 0.0))
             lens_c, cols_c, vals_c = pad_rows(
                 sp_indptr, sp["key"], sp["val"], b.rows)
             item_batches.append((b, lens_c, cols_c, vals_c))
-        out["item"] = item_batches
         # items with sppmi entries but NO colwise entries still need an
         # item update; the reference loops all rows per range so covers
-        # them — collect the leftovers into extra batches
-        cw_deg = np.diff(np.asarray(cw["indptr"]))
-        sp_deg = np.diff(sp_indptr)
-        leftover = np.nonzero((cw_deg == 0) & (sp_deg > 0))[0]
+        # them — collect the short leftovers into extra padded batches
+        leftover = np.nonzero((cw_deg == 0) & (sp_deg > 0)
+                              & ~long_mask)[0]
         if len(leftover):
             for beg in range(0, len(leftover), 1024):
                 rows = leftover[beg:beg + 1024]
@@ -165,15 +196,41 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
                 rpad[:len(rows)] = rows
                 lens_c, cols_c, vals_c = pad_rows(
                     sp_indptr, sp["key"], sp["val"], rpad)
-                from buffalo_tpu.data.batching import PaddedBatch
                 empty = PaddedBatch(
                     rows=rpad, lens=np.zeros(B, np.int32),
                     cols=np.zeros((B, 8), np.int32),
                     vals=np.zeros((B, 8), np.float32))
                 item_batches.append((empty, lens_c, cols_c, vals_c))
+        # segment pairs: pack long rows bounded by both sides' chunks
+        long_rows = np.nonzero(long_mask)[0]
+        if len(long_rows):
+            budget = max(1, planner.entries_per_batch // max_len)
+            order = np.argsort(-(cw_deg[long_rows] + sp_deg[long_rows]),
+                               kind="stable")
+            cur, cur_chunks = [], 0
+            plans = []
+            for r in long_rows[order]:
+                n = int(np.ceil(cw_deg[r] / max_len)
+                        + np.ceil(max(sp_deg[r], 1) / max_len))
+                if cur and cur_chunks + n > budget:
+                    plans.append(cur)
+                    cur, cur_chunks = [], 0
+                cur.append(int(r))
+                cur_chunks += n
+            if cur:
+                plans.append(cur)
+            for plan in plans:
+                sb_u = build_segment_batch(cw_indptr, cw["key"],
+                                           cw.get("val"), plan, max_len,
+                                           len(cw_deg))
+                sb_c = build_segment_batch(sp_indptr, sp["key"],
+                                           sp["val"], plan, max_len,
+                                           len(sp_deg))
+                item_batches.append((sb_u, sb_c))
+        out["item"] = item_batches
 
         planner = BatchPlanner(sp_indptr, batch_mb=batch_mb,
-                               max_len=1 << 30)
+                               max_len=max_len)
         out["context"] = list(planner.iter_batches(sp["key"], sp["val"]))
         return out
 

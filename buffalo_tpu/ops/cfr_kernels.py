@@ -149,6 +149,177 @@ def _cfr_item_body(I, U, C, Ib, Cb, FF, rows,
     return I, Ib, loss_u + loss_c + loss_reg
 
 
+def _segment_stats(F, vals, mask, seg, R, *, weights=None):
+    """Per-row A = sum w f f^T and masked helpers via segment-sum.
+
+    F: (Nc, C, d) gathered chunks; weights: optional (Nc, C) entry
+    weights for A (defaults to the mask).  Returns A (R, d, d).
+    """
+    Nc, Cw, d = F.shape
+    w = mask if weights is None else weights
+    Fw = F * w[:, :, None]
+    A_chunk = jnp.einsum("ncd,nce->nde", Fw, F,
+                         preferred_element_type=jnp.float32)
+    return jax.ops.segment_sum(A_chunk.reshape(Nc, d * d), seg,
+                               num_segments=R + 1)[:R].reshape(R, d, d)
+
+
+def _seg_rows(x, seg, R):
+    """Gather per-row values to chunks ((R,) or (R,d) -> per-chunk)."""
+    if x.ndim == 1:
+        return jnp.take(jnp.append(x, 0.0), jnp.minimum(seg, R))
+    pad = jnp.zeros((1, x.shape[1]), x.dtype)
+    return jnp.take(jnp.vstack([x, pad]), jnp.minimum(seg, R), axis=0)
+
+
+def _cfr_user_segment_body(U, I, FF, sb, *, alpha, l, reg_u, optimizer,
+                           cg_iters, cg_tol, compute_loss):
+    """User phase for long rows (chunked normal-equation statistics)."""
+    R = sb.rows.shape[0]
+    Nc, Cw = sb.vals.shape
+    mask = (jnp.arange(Cw, dtype=jnp.int32)[None, :]
+            < sb.chunk_lens[:, None]).astype(jnp.float32)
+    row_mask = (sb.lens > 0).astype(jnp.float32)
+    safe_rows = jnp.minimum(sb.rows, U.shape[0] - 1)
+    u = jnp.take(U, safe_rows, axis=0)
+    F = jnp.take(I, sb.cols, axis=0)
+    seg = sb.seg_ids
+
+    w = sb.vals * alpha * mask
+    A_data = _segment_stats(F, sb.vals, mask, seg, R, weights=w)
+    y_chunk = jnp.einsum("ncd,nc->nd", F, (1.0 + w) * mask,
+                         preferred_element_type=jnp.float32)
+    y = jax.ops.segment_sum(y_chunk, seg, num_segments=R + 1)[:R]
+
+    d = U.shape[1]
+    A = l * (FF[None] + A_data) + reg_u * jnp.eye(d, dtype=U.dtype)[None]
+    x = solve(A, l * y, u, optimizer, num_iters=cg_iters, tolerance=cg_tol)
+    x = jnp.where(row_mask[:, None] > 0, x, u)
+    U = U.at[sb.rows].set(x, mode="drop")
+    loss = (reg_u * jnp.sum(row_mask * jnp.sum(x * x, axis=-1))
+            if compute_loss else jnp.zeros((), jnp.float32))
+    return U, loss
+
+
+def _cfr_item_segment_body(I, U, C, Ib, Cb, FF, sb_u, sb_c, *, alpha, l,
+                           reg_i, optimizer, cg_iters, cg_tol,
+                           compute_loss):
+    """Item phase for long rows: both the colwise (implicit) and SPPMI
+    (explicit) sides arrive as chunk sets over the SAME row list."""
+    R = sb_u.rows.shape[0]
+    d = I.shape[1]
+    safe_rows = jnp.minimum(sb_u.rows, I.shape[0] - 1)
+    i_vec = jnp.take(I, safe_rows, axis=0)
+    row_mask = ((sb_u.lens + sb_c.lens) > 0).astype(jnp.float32)
+
+    # implicit user side
+    Nu, Cu = sb_u.vals.shape
+    mask_u = (jnp.arange(Cu, dtype=jnp.int32)[None, :]
+              < sb_u.chunk_lens[:, None]).astype(jnp.float32)
+    Fu = jnp.take(U, sb_u.cols, axis=0)
+    w = sb_u.vals * alpha * mask_u
+    A_u = _segment_stats(Fu, sb_u.vals, mask_u, sb_u.seg_ids, R, weights=w)
+    y_u = jax.ops.segment_sum(
+        jnp.einsum("ncd,nc->nd", Fu, (1.0 + w) * mask_u,
+                   preferred_element_type=jnp.float32),
+        sb_u.seg_ids, num_segments=R + 1)[:R]
+
+    # explicit SPPMI side
+    Nc_, Cc = sb_c.vals.shape
+    mask_c = (jnp.arange(Cc, dtype=jnp.int32)[None, :]
+              < sb_c.chunk_lens[:, None]).astype(jnp.float32)
+    Fc = jnp.take(C, sb_c.cols, axis=0)
+    ib = jnp.take(Ib, safe_rows)
+    ib_c = _seg_rows(ib, sb_c.seg_ids, R)
+    cb = jnp.take(Cb, sb_c.cols)
+    coeff = (sb_c.vals - ib_c[:, None] - cb) * mask_c
+    A_c = _segment_stats(Fc, sb_c.vals, mask_c, sb_c.seg_ids, R)
+    y_c = jax.ops.segment_sum(
+        jnp.einsum("ncd,nc->nd", Fc, coeff,
+                   preferred_element_type=jnp.float32),
+        sb_c.seg_ids, num_segments=R + 1)[:R]
+
+    if compute_loss:
+        i_u = _seg_rows(i_vec, sb_u.seg_ids, R)
+        dots = jnp.einsum("ncd,nd->nc", Fu, i_u,
+                          preferred_element_type=jnp.float32)
+        pos = mask_u * (-dots * dots + (1.0 + w) * (dots - 1.0) ** 2)
+        iFFi = jnp.einsum("rd,de,re->r", i_vec, FF, i_vec,
+                          preferred_element_type=jnp.float32)
+        loss_u = l * (jnp.sum(row_mask * iFFi) + jnp.sum(pos))
+        i_c = _seg_rows(i_vec, sb_c.seg_ids, R)
+        pred = jnp.einsum("ncd,nd->nc", Fc, i_c,
+                          preferred_element_type=jnp.float32)
+        err = (sb_c.vals - pred - ib_c[:, None] - cb) * mask_c
+        loss_c = jnp.sum(err * err)
+        loss_reg = reg_i * jnp.sum(row_mask * jnp.sum(i_vec * i_vec,
+                                                      axis=-1))
+        loss = loss_u + loss_c + loss_reg
+    else:
+        loss = jnp.zeros((), jnp.float32)
+
+    A = l * (FF[None] + A_u) + A_c + reg_i * jnp.eye(d, dtype=I.dtype)[None]
+    y = l * y_u + y_c
+    x = solve(A, y, i_vec, optimizer, num_iters=cg_iters, tolerance=cg_tol)
+    x = jnp.where(row_mask[:, None] > 0, x, i_vec)
+    I = I.at[sb_u.rows].set(x, mode="drop")
+
+    # closed-form bias over SPPMI entries (cfr.cc:243-251)
+    x_c = _seg_rows(x, sb_c.seg_ids, R)
+    pred_new = jnp.einsum("ncd,nd->nc", Fc, x_c,
+                          preferred_element_type=jnp.float32)
+    b = jax.ops.segment_sum(
+        jnp.sum((sb_c.vals - pred_new - cb) * mask_c, axis=1),
+        sb_c.seg_ids, num_segments=R + 1)[:R]
+    new_ib = b / (sb_c.lens.astype(jnp.float32) + 1e-10)
+    new_ib = jnp.where(sb_c.lens > 0, new_ib, ib)
+    Ib = Ib.at[sb_u.rows].set(jnp.where(row_mask > 0, new_ib, ib),
+                              mode="drop")
+    return I, Ib, loss
+
+
+def _cfr_context_segment_body(C, I, Ib, Cb, sb, *, reg_c, optimizer,
+                              cg_iters, cg_tol, compute_loss):
+    """Context phase for long SPPMI rows."""
+    R = sb.rows.shape[0]
+    d = C.shape[1]
+    Nc_, Cw = sb.vals.shape
+    mask = (jnp.arange(Cw, dtype=jnp.int32)[None, :]
+            < sb.chunk_lens[:, None]).astype(jnp.float32)
+    row_mask = (sb.lens > 0).astype(jnp.float32)
+    safe_rows = jnp.minimum(sb.rows, C.shape[0] - 1)
+    c_vec = jnp.take(C, safe_rows, axis=0)
+    seg = sb.seg_ids
+
+    Fi = jnp.take(I, sb.cols, axis=0)
+    cb = jnp.take(Cb, safe_rows)
+    cb_c = _seg_rows(cb, seg, R)
+    ib = jnp.take(Ib, sb.cols)
+    coeff = (sb.vals - cb_c[:, None] - ib) * mask
+    A = _segment_stats(Fi, sb.vals, mask, seg, R) \
+        + reg_c * jnp.eye(d, dtype=C.dtype)[None]
+    y = jax.ops.segment_sum(
+        jnp.einsum("ncd,nc->nd", Fi, coeff,
+                   preferred_element_type=jnp.float32),
+        seg, num_segments=R + 1)[:R]
+    loss = (reg_c * jnp.sum(row_mask * jnp.sum(c_vec * c_vec, axis=-1))
+            if compute_loss else jnp.zeros((), jnp.float32))
+    x = solve(A, y, c_vec, optimizer, num_iters=cg_iters, tolerance=cg_tol)
+    x = jnp.where(row_mask[:, None] > 0, x, c_vec)
+    C = C.at[sb.rows].set(x, mode="drop")
+
+    x_c = _seg_rows(x, seg, R)
+    pred_new = jnp.einsum("ncd,nd->nc", Fi, x_c,
+                          preferred_element_type=jnp.float32)
+    b = jax.ops.segment_sum(
+        jnp.sum((sb.vals - pred_new - ib) * mask, axis=1), seg,
+        num_segments=R + 1)[:R]
+    new_cb = b / (sb.lens.astype(jnp.float32) + 1e-10)
+    Cb = Cb.at[sb.rows].set(jnp.where(row_mask > 0, new_cb, cb),
+                            mode="drop")
+    return C, Cb, loss
+
+
 @partial(jax.jit, static_argnames=("alpha", "l", "reg_u", "reg_i",
                                    "reg_c", "optimizer", "cg_iters",
                                    "cg_tol", "compute_loss"),
@@ -158,31 +329,58 @@ def cfr_epoch(U, I, C, Ib, Cb, user_batches, item_batches,
               optimizer, cg_iters, cg_tol, compute_loss):
     """Full 3-phase CoFactor epoch (cfr.py:128-160) in ONE dispatch.
 
-    ``user_batches``/``context_batches`` are PaddedBatch pytrees;
-    ``item_batches`` are (PaddedBatch colwise, lens_c, cols_c, vals_c)
-    tuples carrying the row-synchronized SPPMI block.
+    ``user_batches``/``context_batches`` are PaddedBatch (short rows)
+    or SegmentBatch (long rows) pytrees; ``item_batches`` are either
+    (PaddedBatch colwise, lens_c, cols_c, vals_c) tuples carrying the
+    row-synchronized SPPMI block, or (SegmentBatch colwise,
+    SegmentBatch sppmi) pairs over the same row list for rows long on
+    either side — the scale path the reference serves with
+    ``fetch_batch_range`` chunk streaming (buffered_data.py:120-160).
     """
+    from buffalo_tpu.data.batching import SegmentBatch
+
     loss = jnp.zeros((), jnp.float32)
     FF = jnp.dot(I.T, I, preferred_element_type=jnp.float32)
     for b in user_batches:
-        U, l_ = _cfr_user_body(U, I, FF, b.rows, b.lens, b.cols, b.vals,
-                               alpha=alpha, l=l, reg_u=reg_u,
-                               optimizer=optimizer, cg_iters=cg_iters,
-                               cg_tol=cg_tol, compute_loss=compute_loss)
+        if isinstance(b, SegmentBatch):
+            U, l_ = _cfr_user_segment_body(
+                U, I, FF, b, alpha=alpha, l=l, reg_u=reg_u,
+                optimizer=optimizer, cg_iters=cg_iters, cg_tol=cg_tol,
+                compute_loss=compute_loss)
+        else:
+            U, l_ = _cfr_user_body(
+                U, I, FF, b.rows, b.lens, b.cols, b.vals,
+                alpha=alpha, l=l, reg_u=reg_u, optimizer=optimizer,
+                cg_iters=cg_iters, cg_tol=cg_tol,
+                compute_loss=compute_loss)
         loss = loss + l_
     FF = jnp.dot(U.T, U, preferred_element_type=jnp.float32)
-    for b, lens_c, cols_c, vals_c in item_batches:
-        I, Ib, l_ = _cfr_item_body(
-            I, U, C, Ib, Cb, FF, b.rows, b.lens, b.cols, b.vals,
-            lens_c, cols_c, vals_c, alpha=alpha, l=l, reg_i=reg_i,
-            optimizer=optimizer, cg_iters=cg_iters, cg_tol=cg_tol,
-            compute_loss=compute_loss)
+    for entry in item_batches:
+        if isinstance(entry[0], SegmentBatch):
+            sb_u, sb_c = entry
+            I, Ib, l_ = _cfr_item_segment_body(
+                I, U, C, Ib, Cb, FF, sb_u, sb_c, alpha=alpha, l=l,
+                reg_i=reg_i, optimizer=optimizer, cg_iters=cg_iters,
+                cg_tol=cg_tol, compute_loss=compute_loss)
+        else:
+            b, lens_c, cols_c, vals_c = entry
+            I, Ib, l_ = _cfr_item_body(
+                I, U, C, Ib, Cb, FF, b.rows, b.lens, b.cols, b.vals,
+                lens_c, cols_c, vals_c, alpha=alpha, l=l, reg_i=reg_i,
+                optimizer=optimizer, cg_iters=cg_iters, cg_tol=cg_tol,
+                compute_loss=compute_loss)
         loss = loss + l_
     for b in context_batches:
-        C, Cb, l_ = _cfr_context_body(
-            C, I, Ib, Cb, b.rows, b.lens, b.cols, b.vals, reg_c=reg_c,
-            optimizer=optimizer, cg_iters=cg_iters, cg_tol=cg_tol,
-            compute_loss=compute_loss)
+        if isinstance(b, SegmentBatch):
+            C, Cb, l_ = _cfr_context_segment_body(
+                C, I, Ib, Cb, b, reg_c=reg_c, optimizer=optimizer,
+                cg_iters=cg_iters, cg_tol=cg_tol,
+                compute_loss=compute_loss)
+        else:
+            C, Cb, l_ = _cfr_context_body(
+                C, I, Ib, Cb, b.rows, b.lens, b.cols, b.vals,
+                reg_c=reg_c, optimizer=optimizer, cg_iters=cg_iters,
+                cg_tol=cg_tol, compute_loss=compute_loss)
         loss = loss + l_
     return U, I, C, Ib, Cb, loss
 
