@@ -35,20 +35,30 @@ from models import build_data
 
 def write_clustered_mm(num_users=943, num_items=1682, clusters=8,
                        per_user=60, seed=7, out_dir=None):
-    """Synthetic matrix with planted preferences (80% in-cluster)."""
+    """Synthetic matrix with planted block preferences.
+
+    Same recipe as the CI fixture (tests/conftest.py ``ml100k_like``)
+    at ML-100k scale: users rate 40-60 in-cluster items at 4-5 and a
+    few out-of-cluster items at 1-2, so both the ranking signal and
+    the value signal point at the planted structure and the metric
+    ceiling sits far above noise (~0.4 NDCG@10 at CI scale).
+    """
     rng = np.random.default_rng(seed)
     out_dir = out_dir or tempfile.mkdtemp(prefix="bt_acc_")
     path = os.path.join(out_dir, "main.mtx")
-    group = num_items // clusters
+    ucl = rng.integers(0, clusters, num_users)
+    icl = rng.integers(0, clusters, num_items)
     lines = []
     for u in range(num_users):
-        c = u % clusters
-        n_in = int(per_user * 0.8)
-        inside = rng.integers(c * group, (c + 1) * group, n_in)
-        outside = rng.integers(0, num_items, per_user - n_in)
-        items = np.unique(np.concatenate([inside, outside]))
-        for i in items:
-            lines.append(f"{u + 1} {int(i) + 1} {rng.integers(1, 6)}")
+        same = np.nonzero(icl == ucl[u])[0]
+        other = np.nonzero(icl != ucl[u])[0]
+        n_in = min(len(same), int(rng.integers(per_user * 2 // 3,
+                                               per_user)))
+        n_out = min(len(other), int(rng.integers(3, 10)))
+        for i in rng.choice(same, n_in, replace=False):
+            lines.append(f"{u + 1} {int(i) + 1} {rng.integers(4, 6)}")
+        for i in rng.choice(other, n_out, replace=False):
+            lines.append(f"{u + 1} {int(i) + 1} {rng.integers(1, 3)}")
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         f.write(f"{num_users} {num_items} {len(lines)}\n")

@@ -189,20 +189,26 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             def staged(b):
                 return (b.device_batches() if b.sharding is not None
                         else b.device_batches_stacked())
+            header = self.data.get_header()
             P, Q, nume, deno = als_epoch(
                 P, Q, tuple(staged(batchers["rowwise"])),
                 tuple(staged(batchers["colwise"])),
-                reg_u=float(opt.reg_u), reg_i=float(opt.reg_i), **kw)
+                reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
+                num_p_rows=int(header["num_users"]),
+                num_q_rows=int(header["num_items"]), **kw)
             return P, Q, float(nume), float(deno)
 
         nume = deno = 0.0
+        header = self.data.get_header()
         for group in ("rowwise", "colwise"):
             item_axis = group == "colwise"
             A, Bf = (P, Q) if group == "rowwise" else (Q, P)
             reg = opt.reg_i if item_axis else opt.reg_u
+            n_fixed = int(header["num_items" if not item_axis
+                                 else "num_users"])
             FF = jnp.dot(Bf.T, Bf, preferred_element_type=jnp.float32)
             step = partial(als_batch_step, reg=float(reg),
-                           item_axis=item_axis, num_fixed_rows=Bf.shape[0],
+                           item_axis=item_axis, num_fixed_rows=n_fixed,
                            **kw)
             numes, denos = [], []
             st = time.time()
@@ -270,6 +276,7 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
 
         self._range = None
         self._mesh_range = None
+        self._table_pad = False
         if mesh_range_intent and resident:
             rb = batchers["rowwise"]
             cb = batchers["colwise"]
@@ -337,8 +344,21 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             P = jax.device_put(Pp)
             Q = jax.device_put(Qp)
         elif self._mesh_range is None:
-            P = jax.device_put(self.P, table_sharding)
-            Q = jax.device_put(self.Q, table_sharding)
+            if mesh is not None and table_sharding is row_shard:
+                # row-sharded tables must divide evenly over the mesh;
+                # pad with zero rows (never referenced by batches)
+                def mesh_pad(T):
+                    pad = (-T.shape[0]) % mesh.size
+                    if pad:
+                        T = np.vstack(
+                            [T, np.zeros((pad, T.shape[1]), T.dtype)])
+                    return T
+                self._table_pad = True
+                P = jax.device_put(mesh_pad(self.P), table_sharding)
+                Q = jax.device_put(mesh_pad(self.Q), table_sharding)
+            else:
+                P = jax.device_put(self.P, table_sharding)
+                Q = jax.device_put(self.Q, table_sharding)
 
         def to_host(P, Q):
             Ph = parallelism.host_local_copy(P)
@@ -346,6 +366,10 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             layout = self._range or self._mesh_range
             if layout is not None:
                 return Ph[layout["u_pos"]], Qh[layout["i_pos"]]
+            if getattr(self, "_table_pad", False):
+                header = self.data.get_header()
+                return (Ph[:header["num_users"]],
+                        Qh[:header["num_items"]])
             return Ph, Qh
 
         best_loss, rmse, self.validation_result = float("inf"), None, {}

@@ -232,6 +232,17 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         resident = (self.num_nnz * 8) <= resident_mb * 1024 * 1024
         if resident:
             users_c, items_c, nnz = self._stage_epoch_chunks(batch_size)
+            # random_positive (bpr.cu:53): per-slot uniform positive
+            # draw needs the CSR positive lists on device
+            if bool(opt.get("random_positive")):
+                rw = self.data.get_group("rowwise")
+                self._pos_indptr = jax.device_put(
+                    np.asarray(rw["indptr"], dtype=np.int32))
+                self._pos_keys = jax.device_put(
+                    np.asarray(rw["key"], dtype=np.int32))
+            else:
+                self._pos_indptr = jnp.zeros(2, jnp.int32)
+                self._pos_keys = jnp.zeros(1, jnp.int32)
             opt_state = {}
             if deferred:
                 opt_state = {"mP": jnp.zeros_like(self._P),
@@ -242,6 +253,14 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                     opt_state["mQb"] = jnp.zeros_like(self._Qb)
                     opt_state["vQb"] = jnp.zeros_like(self._Qb)
         else:
+            if bool(opt.get("random_positive")):
+                # reference parity: only the accelerator path honors
+                # random_positive (options.py:216 "only implemented in
+                # cuda mode"); the streaming fallback walks CSR order
+                self.logger.warning(
+                    "random_positive is honored on the fused "
+                    "device-resident path only; streaming epochs walk "
+                    "positives in CSR order")
             coo = COOBatcher(self.data, chunk_size=batch_size,
                              shuffle=True, seed=int(opt.random_seed))
             if deferred:
@@ -272,7 +291,9 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                 self._P, self._Q, self._Qb, opt_state = K.bpr_epoch(
                     self._P, self._Q, self._Qb, opt_state,
                     users_c, items_c, bloom, cum_table, sub,
-                    jnp.int32(i), optimizer=optimizer,
+                    jnp.int32(i), self._pos_indptr, self._pos_keys,
+                    random_positive=bool(opt.get("random_positive")),
+                    optimizer=optimizer,
                     bloom_log2=bloom_log2,
                     per_coordinate_normalize=pcn, lr=float(opt.lr),
                     min_lr=float(opt.min_lr), beta1=float(opt.beta1),

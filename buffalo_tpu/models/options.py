@@ -258,6 +258,12 @@ class W2VOption(AlgoOption):
         :ivar int min_count: vocabulary frequency floor.
         :ivar float sample: frequent-word subsampling threshold.
         :ivar int num_negative_samples: negatives per (center, context).
+        :ivar float max_step_norm: TPU-only — per-row L2 cap on each
+            megabatch's aggregated update (0 disables).  The sequential
+            hogwild reference interleaves a frequent word's updates
+            with sigmoid saturation; the fused megabatch stacks them,
+            which diverges once lr*count > 1.  A/B on the synthetic
+            analogy gate picked capped (0.1) as default.
         """
         opt = super().get_default_option()
         opt.update({
@@ -271,6 +277,7 @@ class W2VOption(AlgoOption):
             "num_negative_samples": 5,
             "lr": 0.025,
             "min_lr": 0.0001,
+            "max_step_norm": 0.1,
             "batch_size": 0,
             "model_path": "",
             "data_opt": {},

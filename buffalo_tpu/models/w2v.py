@@ -254,7 +254,8 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         processed_words = 0.0
         statics = dict(num_negatives=int(opt.num_negative_samples),
                        vocab_size=V,
-                       compute_loss=bool(opt.compute_loss_on_training))
+                       compute_loss=bool(opt.compute_loss_on_training),
+                       max_step_norm=float(opt.get("max_step_norm", 0.1)))
         loss = None
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds

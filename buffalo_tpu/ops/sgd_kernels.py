@@ -299,13 +299,15 @@ def bpr_sgd_step(P, Q, Qb, users, positives, bloom_words, cum_table,
     "optimizer", "num_items", "num_negatives", "use_bias", "update_i",
     "update_j", "verify_neg", "use_cum_table", "per_coordinate_normalize",
     "lr", "min_lr", "beta1", "beta2", "reg_u", "reg_i", "reg_j", "reg_b",
-    "num_valid", "total_samples", "bloom_log2"), donate_argnums=(0, 1, 2, 3))
+    "num_valid", "total_samples", "bloom_log2", "random_positive"),
+    donate_argnums=(0, 1, 2, 3))
 def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
-              cum_table, rng_key, step, *, optimizer, num_items,
+              cum_table, rng_key, step, pos_indptr=None, pos_keys=None,
+              *, optimizer, num_items,
               num_negatives, use_bias, update_i, update_j, verify_neg,
               use_cum_table, bloom_log2, per_coordinate_normalize, lr,
               min_lr, beta1, beta2, reg_u, reg_i, reg_j, reg_b, num_valid,
-              total_samples):
+              total_samples, random_positive=False):
     """One full BPR epoch in ONE dispatch: lax.scan over resident chunks.
 
     ``users``/``positives`` are the epoch's positives pre-reshaped to
@@ -324,6 +326,18 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
     def chunk_forward(P, Q, Qb, u_chunk, pos_chunk, cidx, key):
         base = cidx * N
         valid = (base + jnp.arange(N, dtype=jnp.int32)) < num_valid
+        if random_positive:
+            # draw each slot's positive uniformly from the user's list
+            # instead of walking CSR order (bpr.cu:53; the reference
+            # implements this on its accelerator path only)
+            lo = jnp.take(pos_indptr, u_chunk).astype(jnp.int32)
+            deg = jnp.take(pos_indptr, u_chunk + 1).astype(jnp.int32) - lo
+            r = jax.random.randint(jax.random.fold_in(key, 0x9e3779b1),
+                                   u_chunk.shape, 0, 1 << 30,
+                                   dtype=jnp.int32)
+            pos_chunk = jnp.take(
+                pos_keys, lo + r % jnp.maximum(deg, 1)).astype(
+                    pos_chunk.dtype)
         u = jnp.repeat(u_chunk, num_negatives)
         pos = jnp.repeat(pos_chunk, num_negatives)
         mask = jnp.repeat(valid, num_negatives).astype(jnp.float32)

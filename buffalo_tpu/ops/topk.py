@@ -77,6 +77,91 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
     return out_keys, out_scores
 
 
+@partial(jax.jit, static_argnames=("k", "mesh", "axis_name"))
+def sharded_matmul_topk(p, Q, Qb, k: int, *, mesh, axis_name: str = "d"):
+    """Distributed MIPS top-k: per-shard local top-k + O(k) merge.
+
+    The mesh analog of ``parallel::dot_topn`` (``_core.hpp:88-142``):
+    ``Q`` (and ``Qb``) are row-sharded over the mesh; each shard scores
+    its slice with one MXU matmul and keeps a local top-k with global
+    indices, then the ``(n_shards * k)`` candidates are all-gathered
+    and merged with one more ``top_k`` — O(k) cross-shard traffic per
+    query instead of O(items).  ``Q`` must be padded to a multiple of
+    the mesh size with ``Qb = -inf`` rows so padding never wins.
+
+    Returns (scores f32[B, k], indices int32[B, k]) replicated.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    n_shards = mesh.shape[axis_name]
+
+    def body(p, Q_loc, Qb_loc):
+        scores = jnp.dot(p, Q_loc.T, preferred_element_type=jnp.float32) \
+            + Qb_loc[None, :]
+        S = Q_loc.shape[0]
+        k_loc = min(k, S)
+        v, i = jax.lax.top_k(scores, k_loc)
+        gi = i + jax.lax.axis_index(axis_name) * S
+        vg = jax.lax.all_gather(v, axis_name, axis=0)   # (D, B, k_loc)
+        ig = jax.lax.all_gather(gi, axis_name, axis=0)
+        B = p.shape[0]
+        vg = jnp.transpose(vg, (1, 0, 2)).reshape(B, n_shards * k_loc)
+        ig = jnp.transpose(ig, (1, 0, 2)).reshape(B, n_shards * k_loc)
+        vm, sel = jax.lax.top_k(vg, min(k, n_shards * k_loc))
+        im = jnp.take_along_axis(ig, sel, axis=1)
+        return vm, im.astype(jnp.int32)
+
+    run = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(PS(), PS(axis_name), PS(axis_name)),
+        out_specs=(PS(), PS()))
+    return run(p, Q, Qb)
+
+
+def batch_topn_sharded(p, Q, topk: int, mesh, Qb=None, chunk: int = 2048,
+                       axis_name: str = "d"):
+    """Bulk sharded MIPS retrieval over a device mesh.
+
+    Mesh variant of ``batch_topn``: the candidate table is row-sharded
+    once (padded to a mesh multiple with -inf bias) and every query
+    chunk runs the local-top-k + O(k)-merge kernel.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    p = np.ascontiguousarray(np.asarray(p, dtype=np.float32))
+    Q = np.asarray(Q, dtype=np.float32)
+    n_items, d = Q.shape
+    D = mesh.shape[axis_name]
+    pad = (-n_items) % D
+    Qb_full = np.zeros(n_items, np.float32) if Qb is None \
+        else np.asarray(Qb, dtype=np.float32)
+    if pad:
+        Q = np.vstack([Q, np.zeros((pad, d), np.float32)])
+        Qb_full = np.concatenate(
+            [Qb_full, np.full(pad, -np.inf, np.float32)])
+    row_shard = NamedSharding(mesh, PS(axis_name))
+    repl = NamedSharding(mesh, PS())
+    Q_d = jax.device_put(Q, row_shard)
+    Qb_d = jax.device_put(Qb_full, row_shard)
+
+    k_eff = min(topk, n_items)
+    B = p.shape[0]
+    out_keys = np.full((B, topk), -1, dtype=np.int32)
+    out_scores = np.zeros((B, topk), dtype=np.float32)
+    for beg in range(0, B, chunk):
+        pc = p[beg:beg + chunk]
+        n = pc.shape[0]
+        if n < chunk:
+            pc = np.vstack([pc, np.zeros((chunk - n, d), np.float32)])
+        vals, idx = sharded_matmul_topk(
+            jax.device_put(pc, repl), Q_d, Qb_d, k_eff, mesh=mesh,
+            axis_name=axis_name)
+        out_keys[beg:beg + n, :k_eff] = np.asarray(idx)[:n]
+        out_scores[beg:beg + n, :k_eff] = np.asarray(vals)[:n]
+    return out_keys, out_scores
+
+
 def topk(scores, k: int, sorted: bool = True, num_threads: int = 0
          ) -> np.ndarray:
     """Row-parallel top-k over a host score matrix (quickselect analog).

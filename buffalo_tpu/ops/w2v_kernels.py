@@ -33,11 +33,12 @@ def _g(label, f):
 
 @partial(jax.jit, static_argnames=("num_negatives", "vocab_size",
                                    "compute_loss", "lr", "min_lr",
-                                   "total_words", "words_per_chunk"),
+                                   "total_words", "words_per_chunk",
+                                   "max_step_norm"),
          donate_argnums=(0, 1))
 def w2v_epoch(L0, L1, inputs, targets, dist, rng_key, processed0,
               *, num_negatives, vocab_size, compute_loss, lr, min_lr,
-              total_words, words_per_chunk):
+              total_words, words_per_chunk, max_step_norm=0.1):
     """One full epoch in ONE dispatch: lax.scan over (nchunks, N)
     pair chunks staged on device, with the reference's linear lr decay
     by processed-word progress inside the scan (w2v.cc:349-359).
@@ -59,7 +60,7 @@ def w2v_epoch(L0, L1, inputs, targets, dist, rng_key, processed0,
         L0, L1, l, c = _w2v_step_body(
             L0, L1, bi, bt, dist, sub, lr_t,
             num_negatives=num_negatives, vocab_size=vocab_size,
-            compute_loss=compute_loss)
+            compute_loss=compute_loss, max_step_norm=max_step_norm)
         return (L0, L1, loss + l, cnt + c), None
 
     init = (L0, L1, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
@@ -69,10 +70,11 @@ def w2v_epoch(L0, L1, inputs, targets, dist, rng_key, processed0,
 
 
 @partial(jax.jit, static_argnames=("num_negatives", "vocab_size",
-                                   "compute_loss"),
+                                   "compute_loss", "max_step_norm"),
          donate_argnums=(0, 1))
 def w2v_step(L0, L1, inputs, targets, dist, rng_key, lr,
-             *, num_negatives, vocab_size, compute_loss):
+             *, num_negatives, vocab_size, compute_loss,
+             max_step_norm=0.1):
     """One pair-chunk update.  Returns (L0, L1, loss_sum, pair_count).
 
     inputs/targets: int32[B] vocab indices; padding carries
@@ -80,11 +82,13 @@ def w2v_step(L0, L1, inputs, targets, dist, rng_key, lr,
     """
     return _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
                           num_negatives=num_negatives,
-                          vocab_size=vocab_size, compute_loss=compute_loss)
+                          vocab_size=vocab_size, compute_loss=compute_loss,
+                          max_step_norm=max_step_norm)
 
 
 def _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
-                   *, num_negatives, vocab_size, compute_loss):
+                   *, num_negatives, vocab_size, compute_loss,
+                   max_step_norm=0.1):
     B = inputs.shape[0]
     d = L0.shape[1]
     valid = (inputs < vocab_size).astype(jnp.float32)
@@ -117,17 +121,22 @@ def _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
     else:
         loss = jnp.zeros((), jnp.float32)
 
-    # Sum-accumulated scatter updates with a per-row step-norm cap.
-    # In the sequential hogwild reference a frequent word's updates
-    # interleave with sigmoid saturation; a megabatch stacks them
-    # uncapped, which diverges geometrically once lr * count > 1.
-    # Capping each row's step norm keeps the update self-limiting
-    # while preserving full-magnitude steps for rare words.
+    # Sum-accumulated scatter updates with a per-row step-norm cap
+    # (``max_step_norm`` option; 0 disables).  In the sequential
+    # hogwild reference a frequent word's updates interleave with
+    # sigmoid saturation; a megabatch stacks them uncapped, which
+    # diverges geometrically once lr * count > 1.  Capping each row's
+    # step norm keeps the update self-limiting while preserving
+    # full-magnitude steps for rare words.  A/B on the synthetic
+    # analogy gate (benchmark/accuracy.md): capped >= uncapped at the
+    # default lr and strictly safer at high lr, so capped is default.
     def _clipped_apply(T, dT, cap):
+        if not cap:
+            return T + dT
         norms = jnp.sqrt(jnp.sum(dT * dT, axis=-1, keepdims=True))
         return T + dT * jnp.minimum(1.0, cap / jnp.maximum(norms, 1e-20))
 
-    step_cap = 0.1
+    step_cap = max_step_norm
     dL1 = jnp.zeros_like(L1)
     dL1 = dL1.at[targets].add(lr * g_pos[:, None] * l0, mode="drop")
     dL1 = dL1.at[negs.reshape(-1)].add(

@@ -21,7 +21,7 @@ from buffalo_tpu.models.bpr import BPRMF
 from buffalo_tpu.models.cfr import CFR
 from buffalo_tpu.models.eals import EALS
 from buffalo_tpu.models.w2v import W2V
-from buffalo_tpu.ops.topk import batch_topn
+from buffalo_tpu.ops.topk import batch_topn, batch_topn_sharded
 
 
 class Parallel(abc.ABC):
@@ -32,6 +32,12 @@ class Parallel(abc.ABC):
         self.algo = algo
         self.num_workers = int(kwargs["num_workers"])
         self._ann_index = None
+        # optional device mesh: retrieval shards the candidate table
+        # and merges per-shard top-k (ops.topk.sharded_matmul_topk)
+        self.mesh = kwargs.get("mesh")
+        if self.mesh is None and int(kwargs.get("num_devices", 0)) > 1:
+            from buffalo_tpu import parallelism
+            self.mesh = parallelism.get_mesh(int(kwargs["num_devices"]))
 
     def set_ann_index(self, index):
         """Optional ANN hook (the reference's n2/HNSW path,
@@ -58,21 +64,28 @@ class Parallel(abc.ABC):
             raise RuntimeError("pool is empty")
         return pool.astype(np.int32)
 
+    def _scan(self, queries, Factor, topk, pool, Qb=None):
+        """Exact MIPS scan: sharded over the mesh when one is set and
+        no pool restricts the candidates, single-device otherwise."""
+        if self.mesh is not None and pool is None:
+            return batch_topn_sharded(queries, Factor, topk, self.mesh,
+                                      Qb=Qb)
+        return batch_topn(queries, Factor, topk, pool=pool, Qb=Qb)
+
     def _most_similar(self, group, indexes, Factor, topk, pool):
         if self._ann_index is not None and pool is None:
             return self._ann_index.search(np.asarray(Factor)[indexes],
                                           topk)
-        return batch_topn(np.asarray(Factor)[indexes], Factor, topk,
-                          pool=pool)
+        return self._scan(np.asarray(Factor)[indexes], Factor, topk, pool)
 
     def _topk_recommendation(self, indexes, FactorP, FactorQ, topk, pool):
-        return batch_topn(np.asarray(FactorP)[indexes], FactorQ, topk,
-                          pool=pool)
+        return self._scan(np.asarray(FactorP)[indexes], FactorQ, topk,
+                          pool)
 
     def _topk_recommendation_bias(self, indexes, FactorP, FactorQ,
                                   FactorQb, topk, pool):
-        return batch_topn(np.asarray(FactorP)[indexes], FactorQ, topk,
-                          pool=pool, Qb=FactorQb)
+        return self._scan(np.asarray(FactorP)[indexes], FactorQ, topk,
+                          pool, Qb=FactorQb)
 
     @abc.abstractmethod
     def most_similar(self, keys, topk=10, group="item", pool=None,

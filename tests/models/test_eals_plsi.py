@@ -40,8 +40,8 @@ def test_eals_accuracy_floor(ml_data):
     m = EALS(opt, data=ml_data)
     m.initialize()
     r = m.train()
-    assert r["val_ndcg"] > 0.06
-    assert r["val_map"] > 0.04
+    assert r["val_ndcg"] > 0.25
+    assert r["val_map"] > 0.15
 
 
 def test_eals_rmse_decreases(ml_data):

@@ -210,3 +210,76 @@ def test_cfr_segment_scale_parity(cfr_data):
                                                  rel=1e-3)
     np.testing.assert_allclose(m_wide.I, m_seg.I, rtol=1e-2, atol=1e-4)
     np.testing.assert_allclose(m_wide.Ib, m_seg.Ib, rtol=1e-2, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def analogy_data(tmp_path_factory):
+    """Synthetic compositional vocabulary: pairs (a_i, b_i) share a
+    family context f_i; all a's share roleA contexts, all b's roleB —
+    so the offset b - a is consistent and ``a_i : b_i :: a_j : b_j``
+    analogies are recoverable (the reference gates text8
+    question-words the same way, tests/algo/test_w2v.py:62-70)."""
+    root = tmp_path_factory.mktemp("analogy")
+    rng = np.random.default_rng(0)
+    M, S = 12, 80
+    fill = [f"x{j}" for j in range(20)]
+    lines = []
+    for i in range(M):
+        for _ in range(S):
+            for word, role in ((f"a{i}", "roleA"), (f"b{i}", "roleB")):
+                s = [word, f"f{i}", f"{role}{rng.integers(3)}"] + \
+                    list(rng.choice(fill, 3))
+                rng.shuffle(s)
+                lines.append(" ".join(s))
+    rng.shuffle(lines)
+    (root / "corpus.txt").write_text("\n".join(lines) + "\n")
+    opt = StreamOptions().get_default_option()
+    opt.input.main = str(root / "corpus.txt")
+    opt.data.path = str(root / "w.bfo")
+    opt.data.tmp_dir = str(root / "tmp")
+    opt.data.validation = {}
+    data = load(opt)
+    data.create()
+    return data, M
+
+
+def _train_w2v_analogy(data, **kw):
+    np.random.seed(7)
+    opt = W2VOption().get_default_option()
+    opt.d = 16
+    opt.num_iters = 10
+    opt.window = 4
+    opt.min_count = 1
+    opt.sample = 0.0
+    for k, v in kw.items():
+        opt[k] = v
+    m = W2V(opt, data=data)
+    m.initialize()
+    m.train()
+    return m
+
+
+def _analogy_acc(m, M, topk=3):
+    hits = n = 0
+    for i in range(M):
+        for j in range(M):
+            if i == j:
+                continue
+            res = m.analogy(f"a{i}", f"b{i}", f"a{j}", topk=topk)
+            if res:
+                n += 1
+                hits += f"b{j}" in [k for k, _ in res]
+    return hits / max(n, 1)
+
+
+def test_w2v_analogy_gate(analogy_data):
+    """Accuracy gate (VERDICT r1 #6): with the default step-norm cap
+    the compositional analogies resolve; uncapped megabatch updates
+    diverge (the A/B that made the cap the default)."""
+    data, M = analogy_data
+    m = _train_w2v_analogy(data)
+    acc = _analogy_acc(m, M)
+    assert acc > 0.8, acc
+    m_uncapped = _train_w2v_analogy(data, max_step_norm=0.0)
+    acc_uncapped = _analogy_acc(m_uncapped, M)
+    assert acc > acc_uncapped

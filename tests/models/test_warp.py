@@ -44,8 +44,8 @@ def test_default_option():
 
 def test_accuracy_floor_dot(ml_data):
     _, r = _train(ml_data, num_iters=30)
-    assert r["val_ndcg"] > 0.06
-    assert r["val_map"] > 0.04
+    assert r["val_ndcg"] > 0.25
+    assert r["val_map"] > 0.15
 
 
 def test_l2_cml_variant(ml_data):

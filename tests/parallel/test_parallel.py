@@ -126,3 +126,42 @@ def test_normalized_factors_rejected(als, bpr):
 def test_wrong_algo_type_rejected():
     with pytest.raises(ValueError):
         ParALS(object())
+
+
+def test_sharded_retrieval_matches_single(ml_data):
+    """Mesh retrieval (per-shard top-k + O(k) merge) == exact scan."""
+    from buffalo_tpu import parallelism
+    from buffalo_tpu.parallel import ParALS
+
+    # fresh model: earlier tests normalize the shared fixture's factors,
+    # which makes topk_recommendation refuse to run
+    opt = ALSOption().get_default_option()
+    opt.d = 16
+    opt.num_iters = 4
+    opt.validation = {}
+    als = ALS(opt, data=ml_data)
+    als.initialize()
+    als.train()
+    als.build_itemid_map()
+    als.build_userid_map()
+
+    mesh = parallelism.get_mesh(8)
+    par1 = ParALS(als)
+    par8 = ParALS(als, mesh=mesh)
+    keys = [als._idmanager.userids[i] for i in range(7)]
+    def assert_equivalent(t1, s1, t8, s8):
+        # identical ranking up to ties: where the picked index differs,
+        # the scores at that rank must be (tied and) equal
+        np.testing.assert_allclose(s1, s8, rtol=1e-5, atol=1e-6)
+        differs = t1 != t8
+        assert np.all(~differs | np.isclose(s1, s8, rtol=1e-5, atol=1e-6))
+
+    k1, t1, s1 = par1.topk_recommendation(keys, topk=5)
+    k8, t8, s8 = par8.topk_recommendation(keys, topk=5)
+    assert k1 == k8
+    assert_equivalent(t1, s1, t8, s8)
+
+    q = [als._idmanager.itemids[i] for i in range(5)]
+    m1, v1 = par1.most_similar(q, topk=4)
+    m8, v8 = par8.most_similar(q, topk=4)
+    assert_equivalent(m1, v1, m8, v8)
