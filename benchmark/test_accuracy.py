@@ -33,15 +33,18 @@ import numpy as np
 from models import build_data
 
 
-def write_clustered_mm(num_users=943, num_items=1682, clusters=8,
-                       per_user=60, seed=7, out_dir=None):
+def write_clustered_mm(num_users=943, num_items=1682, clusters=32,
+                       per_user=40, seed=7, out_dir=None):
     """Synthetic matrix with planted block preferences.
 
     Same recipe as the CI fixture (tests/conftest.py ``ml100k_like``)
-    at ML-100k scale: users rate 40-60 in-cluster items at 4-5 and a
-    few out-of-cluster items at 1-2, so both the ranking signal and
-    the value signal point at the planted structure and the metric
-    ceiling sits far above noise (~0.4 NDCG@10 at CI scale).
+    at ML-100k scale: users rate most of their ~52-item cluster at 4-5
+    and a few out-of-cluster items at 1-2.  The metric ceiling is set
+    by how much of a user's UNSEEN in-cluster set fits in top-k —
+    clusters must be small relative to per_user + topk for the ceiling
+    to be reachable (with 8 clusters of ~210 items the ceiling is
+    ~0.05 NDCG@10 no matter how good the model; with 32 clusters it is
+    several times higher).
     """
     rng = np.random.default_rng(seed)
     out_dir = out_dir or tempfile.mkdtemp(prefix="bt_acc_")
@@ -72,7 +75,7 @@ def main():
     ap.add_argument("--d", type=int, default=40)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--topk", type=int, default=10)
-    ap.add_argument("--clusters", type=int, default=8)
+    ap.add_argument("--clusters", type=int, default=32)
     ap.add_argument("--algos", nargs="+",
                     default=["als", "bpr", "warp"],
                     choices=["als", "bpr", "warp", "eals"])

@@ -84,9 +84,85 @@ def build_csr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     return indptr, key, val
 
 
+def _row_chunks(indptr: np.ndarray, max_entries: int):
+    """Yield (row_beg, row_end) covering all rows, each chunk holding
+    at most ~max_entries nnz (single rows may exceed it)."""
+    n_rows = len(indptr) - 1
+    beg = 0
+    while beg < n_rows:
+        end = int(np.searchsorted(indptr, indptr[beg] + max_entries,
+                                  side="right")) - 1
+        end = min(max(end, beg + 1), n_rows)
+        yield beg, end
+        beg = end
+
+
+def _numpy_sppmi_parts(indptr, keys, num_items, window, k, head_chunk,
+                       chunk_entries=1 << 22):
+    """Bounded-memory fallback: pair counting partitioned by head item.
+
+    Peak memory is one partition's distinct pairs plus one row-chunk's
+    window-shifted pair arrays — never the full pair stream (which is
+    ~2 GB at KakaoBrunch scale in the old all-at-once formulation).
+    """
+    indptr = np.asarray(indptr, dtype=np.int64)
+    keys = np.asarray(keys)
+    n_rows = len(indptr) - 1
+    degrees = np.diff(indptr)
+
+    def chunk_pairs(r0, r1):
+        sl = slice(int(indptr[r0]), int(indptr[r1]))
+        kk = keys[sl]
+        rid = np.repeat(np.arange(r0, r1, dtype=np.int64), degrees[r0:r1])
+        for off in range(1, window + 1):
+            if off >= len(kk):
+                break
+            same = rid[:-off] == rid[off:]
+            yield kk[:-off][same].astype(np.int64), \
+                kk[off:][same].astype(np.int64)
+
+    occ = np.zeros(num_items, dtype=np.float64)
+    d_total = 0.0
+    for r0, r1 in _row_chunks(indptr, chunk_entries):
+        for a, b in chunk_pairs(r0, r1):
+            occ += np.bincount(a, minlength=num_items)
+            occ += np.bincount(b, minlength=num_items)
+            d_total += 2.0 * len(a)
+    if d_total == 0:
+        return []
+
+    parts = []
+    logk = np.log(float(k))
+    for beg in range(0, num_items, head_chunk):
+        end = min(num_items, beg + head_chunk)
+        codes = []
+        for r0, r1 in _row_chunks(indptr, chunk_entries):
+            for a, b in chunk_pairs(r0, r1):
+                m = (a >= beg) & (a < end)
+                codes.append(a[m] * num_items + b[m])
+                m = (b >= beg) & (b < end)
+                codes.append(b[m] * num_items + a[m])
+        if not codes:
+            continue
+        lin = np.concatenate(codes)
+        if len(lin) == 0:
+            continue
+        uniq, counts = np.unique(lin, return_counts=True)
+        rr = uniq // num_items
+        cc = uniq % num_items
+        sppmi = np.log(counts.astype(np.float64) * d_total
+                       / (occ[rr] * occ[cc])) - logk
+        keep = sppmi > 0
+        parts.append((rr[keep].astype(np.int32),
+                      cc[keep].astype(np.int32),
+                      sppmi[keep].astype(np.float32)))
+    return parts
+
+
 def build_sppmi(indptr: np.ndarray, keys: np.ndarray, num_items: int,
-                window: int = 5, k: int = 1,
-                logger=None) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+                window: int = 5, k: int = 1, logger=None,
+                max_pairs_in_memory: int = 1 << 26
+                ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Build the shifted-positive-PMI co-occurrence matrix from streams.
 
     Same math as the reference (``fileio.hpp:109-250``): for every row
@@ -95,41 +171,31 @@ def build_sppmi(indptr: np.ndarray, keys: np.ndarray, num_items: int,
     ``sppmi = max(0, log(#(w,c) * D / (#w * #c)) - log k)`` and only
     positive entries are kept.  Returns CSR (indptr, key, val) over
     ``num_items`` rows, or None when no pair survives.
-    """
-    n_rows = len(indptr) - 1
-    keys = np.asarray(keys)
-    row_ids = np.repeat(np.arange(n_rows, dtype=np.int64),
-                        np.diff(np.asarray(indptr)))
-    pair_rows = []
-    pair_cols = []
-    for off in range(1, window + 1):
-        if off >= len(keys):
-            break
-        same_row = row_ids[:-off] == row_ids[off:]
-        pair_rows.append(keys[:-off][same_row])
-        pair_cols.append(keys[off:][same_row])
-    if not pair_rows:
-        return None
-    a = np.concatenate(pair_rows).astype(np.int64)
-    b = np.concatenate(pair_cols).astype(np.int64)
-    if len(a) == 0:
-        return None
-    # symmetric counting: (a, b) and (b, a)
-    rows = np.concatenate([a, b])
-    cols = np.concatenate([b, a])
 
-    lin = rows * num_items + cols
-    uniq, counts = np.unique(lin, return_counts=True)
-    rr = (uniq // num_items).astype(np.int64)
-    cc = (uniq % num_items).astype(np.int64)
-    d_total = float(len(rows))
-    occ = np.bincount(rows, minlength=num_items).astype(np.float64)
-    pmi = np.log(counts.astype(np.float64) * d_total / (occ[rr] * occ[cc]))
-    sppmi = pmi - np.log(float(k))
-    keep = sppmi > 0
-    if not np.any(keep):
+    Bounded memory: the pair space is partitioned by head item
+    (``max_pairs_in_memory`` pairs per pass), with the C++/OpenMP
+    kernel (``native/fileio.cc``) doing the counting when available
+    and a chunked numpy path otherwise — the reference's chunked
+    two-pass C++ builder is the model for both.
+    """
+    from buffalo_tpu.data import native
+
+    nnz = len(keys)
+    est_total = 2 * window * max(nnz, 1)
+    n_parts = max(1, -(-est_total // max_pairs_in_memory))
+    head_chunk = max(1, -(-num_items // n_parts))
+
+    parts = native.build_sppmi_native(indptr, keys, num_items, window, k,
+                                      head_chunk)
+    if parts is None:
+        parts = _numpy_sppmi_parts(indptr, keys, num_items, window, k,
+                                   head_chunk)
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
         return None
-    rr, cc, vv = rr[keep], cc[keep], sppmi[keep].astype(np.float32)
+    rr = np.concatenate([p[0] for p in parts]).astype(np.int64)
+    cc = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    vv = np.concatenate([p[2] for p in parts])
     order = np.lexsort((cc, rr))
     rr, cc, vv = rr[order], cc[order], vv[order]
     out_indptr = np.zeros(num_items + 1, dtype=np.int64)

@@ -17,9 +17,11 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 #include <fcntl.h>
@@ -241,6 +243,87 @@ int fileio_build_csr(int64_t nnz, const int64_t* rows, const int64_t* cols,
         }
     }
     return 0;
+}
+
+// ---------------------------------------------------------------- SPPMI
+// Bounded-memory shifted-positive-PMI builder (counterpart of the
+// reference's chunked two-pass kernel, fileio.hpp:109-250).  The pair
+// space is partitioned by HEAD item id: each call counts only pairs
+// whose head falls in [head_beg, head_end), so peak memory is the
+// distinct-pair count of one partition, never the full pair stream.
+
+// Pass 0: per-item appearance counts over all symmetric pairs.
+// Returns the total number of symmetric pairs (D).
+int64_t fileio_sppmi_occ(int64_t n_rows, const int64_t* indptr,
+                         const int32_t* keys, int64_t num_items,
+                         int64_t window, double* occ) {
+    for (int64_t i = 0; i < num_items; ++i) occ[i] = 0.0;
+    int64_t total = 0;
+#pragma omp parallel
+    {
+        std::vector<double> local(num_items, 0.0);
+        int64_t my_total = 0;
+#pragma omp for schedule(dynamic, 256)
+        for (int64_t r = 0; r < n_rows; ++r) {
+            int64_t beg = indptr[r], end = indptr[r + 1];
+            for (int64_t i = beg; i < end; ++i) {
+                int64_t hi = std::min(end, i + 1 + window);
+                for (int64_t j = i + 1; j < hi; ++j) {
+                    local[keys[i]] += 1.0;
+                    local[keys[j]] += 1.0;
+                    my_total += 2;  // (a,b) and (b,a)
+                }
+            }
+        }
+#pragma omp critical
+        {
+            for (int64_t i = 0; i < num_items; ++i) occ[i] += local[i];
+            total += my_total;
+        }
+    }
+    return total;
+}
+
+// One partition: count pairs with head in [head_beg, head_end), emit
+// entries with pmi - log k > 0 as triples.  Returns the number of
+// surviving entries; if it exceeds `cap`, nothing is written and the
+// needed size is returned as a negative number (caller re-allocates).
+int64_t fileio_sppmi_part(int64_t n_rows, const int64_t* indptr,
+                          const int32_t* keys, int64_t num_items,
+                          int64_t window, double logk, const double* occ,
+                          double d_total, int64_t head_beg,
+                          int64_t head_end, int32_t* out_rows,
+                          int32_t* out_cols, float* out_vals,
+                          int64_t cap) {
+    std::unordered_map<int64_t, int64_t> counts;
+    counts.reserve(1 << 16);
+    for (int64_t r = 0; r < n_rows; ++r) {
+        int64_t beg = indptr[r], end = indptr[r + 1];
+        for (int64_t i = beg; i < end; ++i) {
+            int64_t hi = std::min(end, i + 1 + window);
+            for (int64_t j = i + 1; j < hi; ++j) {
+                int64_t a = keys[i], b = keys[j];
+                if (a >= head_beg && a < head_end)
+                    ++counts[a * num_items + b];
+                if (b >= head_beg && b < head_end)
+                    ++counts[b * num_items + a];
+            }
+        }
+    }
+    int64_t n_out = 0;
+    for (const auto& kv : counts) {
+        int64_t a = kv.first / num_items, b = kv.first % num_items;
+        double pmi = std::log(static_cast<double>(kv.second) * d_total /
+                              (occ[a] * occ[b]));
+        if (pmi - logk <= 0) continue;
+        if (n_out < cap) {
+            out_rows[n_out] = static_cast<int32_t>(a);
+            out_cols[n_out] = static_cast<int32_t>(b);
+            out_vals[n_out] = static_cast<float>(pmi - logk);
+        }
+        ++n_out;
+    }
+    return n_out <= cap ? n_out : -n_out;
 }
 
 }  // extern "C"

@@ -57,3 +57,55 @@ def test_csr_unsorted_option_preserves_order():
     # input order within each row preserved (stream semantics)
     assert key.tolist() == [5, 7, 9, 2]
     assert val.tolist() == [2.0, 4.0, 1.0, 3.0]
+
+
+def test_sppmi_partitioned_matches_oracle():
+    """Bounded-memory SPPMI (native + numpy fallback, forced into many
+    head partitions) must match a brute-force per-pair oracle."""
+    from collections import Counter
+
+    from buffalo_tpu.data import native
+    from buffalo_tpu.data.fileio import build_sppmi
+
+    def oracle(indptr, keys, num_items, window, k):
+        cnt = Counter()
+        occ = np.zeros(num_items)
+        d = 0
+        for r in range(len(indptr) - 1):
+            row = keys[indptr[r]:indptr[r + 1]]
+            for i in range(len(row)):
+                for j in range(i + 1, min(len(row), i + 1 + window)):
+                    a, b = int(row[i]), int(row[j])
+                    cnt[(a, b)] += 1
+                    cnt[(b, a)] += 1
+                    occ[a] += 1
+                    occ[b] += 1
+                    d += 2
+        return {(a, b): np.log(c * d / (occ[a] * occ[b])) - np.log(k)
+                for (a, b), c in cnt.items()
+                if np.log(c * d / (occ[a] * occ[b])) - np.log(k) > 0}
+
+    rng = np.random.default_rng(0)
+    num_items = 37
+    degs = rng.integers(2, 30, 60)
+    indptr = np.zeros(61, np.int64)
+    np.cumsum(degs, out=indptr[1:])
+    keys = rng.integers(0, num_items, int(indptr[-1])).astype(np.int32)
+    want = oracle(indptr, keys, num_items, 4, 2)
+
+    for force_fallback in (False, True):
+        saved = (native._lib, native._build_failed)
+        if force_fallback:
+            native._lib, native._build_failed = None, True
+        try:
+            res = build_sppmi(indptr, keys, num_items, window=4, k=2,
+                              max_pairs_in_memory=64)
+        finally:
+            native._lib, native._build_failed = saved
+        oi, okey, oval = res
+        got = {(r, int(okey[p])): float(oval[p])
+               for r in range(num_items)
+               for p in range(oi[r], oi[r + 1])}
+        assert set(got) == set(want)
+        for pair, v in got.items():
+            assert abs(v - want[pair]) < 1e-5
