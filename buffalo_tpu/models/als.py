@@ -190,6 +190,25 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
                 return (b.device_batches() if b.sharding is not None
                         else b.device_batches_stacked())
             header = self.data.get_header()
+            if getattr(self, "_scatter_group_dispatch", False):
+                # beyond ~100M padded entries the single fused program
+                # OOMs on XLA temps (730M lesson); dispatch per stacked
+                # group instead — the dispatches pipeline
+                nume = deno = 0.0
+                FF = gramian_step(Q)
+                for g in staged(batchers["rowwise"]):
+                    P, n, dn = als_group_step(
+                        P, Q, FF, g, reg=float(opt.reg_u),
+                        item_axis=False,
+                        num_fixed_rows=int(header["num_items"]), **kw)
+                    nume, deno = nume + n, deno + dn
+                FF = gramian_step(P)
+                for g in staged(batchers["colwise"]):
+                    Q, n, dn = als_group_step(
+                        Q, P, FF, g, reg=float(opt.reg_i), item_axis=True,
+                        num_fixed_rows=int(header["num_users"]), **kw)
+                    nume, deno = nume + n, deno + dn
+                return P, Q, float(nume), float(deno)
             P, Q, nume, deno = als_epoch(
                 P, Q, tuple(staged(batchers["rowwise"])),
                 tuple(staged(batchers["colwise"])),
@@ -277,6 +296,7 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         self._range = None
         self._mesh_range = None
         self._table_pad = False
+        self._scatter_group_dispatch = False
         if mesh_range_intent and resident:
             rb = batchers["rowwise"]
             cb = batchers["colwise"]
@@ -316,11 +336,30 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         # row range (scatter costs ~133 ns/row at 20M+ rows; a range
         # write is pure bandwidth)
         use_range = (mesh is None and resident and range_opt)
+        dispatch_pref = str(self.opt.get("epoch_dispatch", "auto"))
+
+        def planned_padded_entries():
+            return sum(
+                b.B * b.L * -(-len(b.row_ids) // b.B)
+                for g in ("rowwise", "colwise")
+                for b in batchers[g].planner.buckets)
+
+        def pick_vals_dtype(padded_entries):
+            """bf16 confidence values at scale (730M lesson: halves the
+            gathered-batch HBM footprint, accuracy unaffected — the
+            solve math upcasts to f32)."""
+            choice = str(self.opt.get("vals_dtype", "auto"))
+            if choice == "auto":
+                choice = ("bfloat16" if padded_entries > (100 << 20)
+                          else "float32")
+            return np.dtype(choice)
+
         if use_range:
             rb = batchers["rowwise"]
             cb = batchers["colwise"]
             row_b, col_b, u_pos, i_pos, u_pad, i_pad = build_range_layout(
-                rb.planner, cb.planner, rb.key, rb.val, cb.key, cb.val)
+                rb.planner, cb.planner, rb.key, rb.val, cb.key, cb.val,
+                vals_dtype=pick_vals_dtype(planned_padded_entries()))
             d = int(self.opt.d)
             Pp = np.zeros((u_pad, d), np.float32)
             Pp[u_pos] = self.P
@@ -328,9 +367,8 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             Qp[i_pos] = self.Q
             padded_entries = sum(
                 int(np.prod(b.cols.shape)) for b in row_b + col_b)
-            dispatch = str(self.opt.get("epoch_dispatch", "auto"))
-            group_dispatch = (dispatch == "group") or (
-                dispatch == "auto" and padded_entries > (100 << 20))
+            group_dispatch = (dispatch_pref == "group") or (
+                dispatch_pref == "auto" and padded_entries > (100 << 20))
             self._range = {
                 "row_groups": tuple(jax.device_put(b)
                                     for b in stack_batches(row_b)),
@@ -344,6 +382,10 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             P = jax.device_put(Pp)
             Q = jax.device_put(Qp)
         elif self._mesh_range is None:
+            self._scatter_group_dispatch = (
+                dispatch_pref == "group"
+                or (dispatch_pref == "auto" and resident
+                    and planned_padded_entries() > (100 << 20)))
             if mesh is not None and table_sharding is row_shard:
                 # row-sharded tables must divide evenly over the mesh;
                 # pad with zero rows (never referenced by batches)

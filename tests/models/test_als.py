@@ -197,3 +197,27 @@ def test_group_dispatch_parity(ml_data):
     _, r_group = _train(ml_data, d=10, num_iters=3, num_devices=1,
                         epoch_dispatch="group")
     assert abs(r_fused["train_loss"] - r_group["train_loss"]) < 1e-4
+
+
+def test_scatter_group_dispatch_parity(ml_data):
+    """epoch_dispatch='group' on the scatter (non-range) path must
+    train identically to the fused scatter epoch (730M auto-selection
+    now lives in the driver)."""
+    np.random.seed(8)
+    _, r_fused = _train(ml_data, d=10, num_iters=3, num_devices=1,
+                        range_layout=False)
+    np.random.seed(8)
+    _, r_group = _train(ml_data, d=10, num_iters=3, num_devices=1,
+                        range_layout=False, epoch_dispatch="group")
+    assert abs(r_fused["train_loss"] - r_group["train_loss"]) < 1e-4
+
+
+def test_bf16_vals_training(ml_data):
+    """vals_dtype='bfloat16' (the at-scale default) trains to the same
+    quality; solve math upcasts to f32."""
+    np.random.seed(9)
+    _, r32 = _train(ml_data, d=10, num_iters=4, num_devices=1)
+    np.random.seed(9)
+    _, r16 = _train(ml_data, d=10, num_iters=4, num_devices=1,
+                    vals_dtype="bfloat16")
+    assert abs(r32["train_loss"] - r16["train_loss"]) < 5e-3
