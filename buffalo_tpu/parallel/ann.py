@@ -1,0 +1,137 @@
+"""Approximate nearest-neighbor retrieval: an IVF (inverted-file) index.
+
+The reference wires an optional external HNSW library (n2) for
+sublinear ``most_similar`` (``examples/example_als.py:56-76``,
+0.098-0.22 s for 10k queries vs 21-64 s exact on its CPU box).  Here
+the ANN hook is backed by a TPU-native IVF index instead: spherical
+k-means partitions the item vectors into ``n_clusters`` cells (a few
+jitted Lloyd iterations — one matmul + argmax + segment-sum each), and
+a query scores only the ``n_probe`` nearest cells.  Both phases are
+MXU matmuls, so the index needs no native library, serializes with
+numpy, and the accuracy/speed trade is the standard IVF recall curve
+(probing all cells is exact).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class IVFIndex:
+    """Inverted-file MIPS index over a (N, d) float32 table.
+
+    Build with :meth:`build`; query with :meth:`search` (the
+    ``Parallel.set_ann_index`` contract: ``search(queries, topk) ->
+    (ids int32[B, topk] (-1 padded), scores f32[B, topk])``).
+    """
+
+    def __init__(self, centroids: np.ndarray, assignments: np.ndarray,
+                 table: np.ndarray, n_probe: int = 8):
+        self.centroids = np.asarray(centroids, dtype=np.float32)
+        order = np.argsort(assignments, kind="stable")
+        self.ids = order.astype(np.int32)           # rows grouped by cell
+        counts = np.bincount(assignments, minlength=len(centroids))
+        self.cell_ptr = np.zeros(len(centroids) + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.cell_ptr[1:])
+        self.table = np.ascontiguousarray(
+            np.asarray(table, dtype=np.float32)[order])
+        self.n_probe = int(n_probe)
+
+    # ----------------------------------------------------------------- build
+    @classmethod
+    def build(cls, table: np.ndarray, n_clusters: Optional[int] = None,
+              n_probe: int = 8, n_iters: int = 10, seed: int = 0
+              ) -> "IVFIndex":
+        """Spherical k-means over the (normalized) table rows."""
+        import jax
+        import jax.numpy as jnp
+
+        table = np.asarray(table, dtype=np.float32)
+        N, d = table.shape
+        if n_clusters is None:
+            n_clusters = max(1, int(np.sqrt(N)))
+        n_clusters = min(n_clusters, N)
+        rng = np.random.default_rng(seed)
+        norms = np.linalg.norm(table, axis=1, keepdims=True)
+        unit = table / np.maximum(norms, 1e-12)
+        cent = unit[rng.choice(N, n_clusters, replace=False)]
+
+        @jax.jit
+        def lloyd(cent, unit):
+            assign = jnp.argmax(
+                jnp.dot(unit, cent.T,
+                        preferred_element_type=jnp.float32), axis=1)
+            sums = jax.ops.segment_sum(unit, assign,
+                                       num_segments=cent.shape[0])
+            cnt = jax.ops.segment_sum(jnp.ones(unit.shape[0]), assign,
+                                      num_segments=cent.shape[0])
+            new = jnp.where(cnt[:, None] > 0,
+                            sums / jnp.maximum(cnt[:, None], 1.0), cent)
+            return new / jnp.maximum(
+                jnp.linalg.norm(new, axis=1, keepdims=True), 1e-12), assign
+
+        unit_d = jax.device_put(unit)
+        cent_d = jax.device_put(cent)
+        assign = None
+        for _ in range(n_iters):
+            cent_d, assign = lloyd(cent_d, unit_d)
+        return cls(np.asarray(cent_d), np.asarray(assign), table,
+                   n_probe=n_probe)
+
+    # ---------------------------------------------------------------- search
+    def search(self, queries: np.ndarray, topk: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Probe the ``n_probe`` nearest cells per query, exact-scan
+        their members, return global top-k (ids -1-padded)."""
+        import jax
+        import jax.numpy as jnp
+
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        B = queries.shape[0]
+        n_probe = min(self.n_probe, len(self.centroids))
+
+        qn = queries / np.maximum(
+            np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        cell_scores = qn @ self.centroids.T
+        probes = np.argsort(-cell_scores, axis=1)[:, :n_probe]
+
+        # fixed candidate width keeps the scoring shape static: pad
+        # each query's candidate list to the max probed population
+        cand_counts = (self.cell_ptr[probes + 1]
+                       - self.cell_ptr[probes]).sum(axis=1)
+        width = int(max(cand_counts.max(), topk))
+        cand = np.zeros((B, width), dtype=np.int64)  # positions in table
+        mask = np.zeros((B, width), dtype=bool)
+        for b in range(B):
+            pos = 0
+            for c in probes[b]:
+                lo, hi = int(self.cell_ptr[c]), int(self.cell_ptr[c + 1])
+                cand[b, pos:pos + hi - lo] = np.arange(lo, hi)
+                mask[b, pos:pos + hi - lo] = True
+                pos += hi - lo
+
+        @jax.jit
+        def score(queries, table, cand, mask):
+            gathered = jnp.take(table, cand, axis=0)      # (B, W, d)
+            s = jnp.einsum("bd,bwd->bw", queries, gathered,
+                           preferred_element_type=jnp.float32)
+            return jnp.where(mask, s, -jnp.inf)
+
+        scores = np.asarray(score(queries, self.table, cand, mask))
+        k = min(topk, width)
+        top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        top_scores = np.take_along_axis(scores, top, axis=1)
+        order = np.argsort(-top_scores, axis=1)
+        top = np.take_along_axis(top, order, axis=1)
+        top_scores = np.take_along_axis(top_scores, order, axis=1)
+
+        ids = np.full((B, topk), -1, dtype=np.int32)
+        out_scores = np.zeros((B, topk), dtype=np.float32)
+        valid = np.isfinite(top_scores)
+        picked = self.ids[np.take_along_axis(cand, top, axis=1)]
+        ids[:, :k] = np.where(valid, picked, -1)
+        out_scores[:, :k] = np.where(valid, top_scores, 0.0)
+        return ids, out_scores

@@ -165,3 +165,29 @@ def test_sharded_retrieval_matches_single(ml_data):
     m1, v1 = par1.most_similar(q, topk=4)
     m8, v8 = par8.most_similar(q, topk=4)
     assert_equivalent(m1, v1, m8, v8)
+
+
+def test_ivf_ann_index(als):
+    """IVF ANN hook: recall vs exact scan on normalized factors."""
+    from buffalo_tpu.parallel import ParALS
+    from buffalo_tpu.parallel.ann import IVFIndex
+
+    par = ParALS(als)
+    keys = [als._idmanager.itemids[i] for i in range(20)]
+    exact, _ = par.most_similar(keys, topk=5)
+
+    als.normalize("item")
+    index = IVFIndex.build(als.Q, n_clusters=16, n_probe=8)
+    par.set_ann_index(index)
+    approx, scores = par.most_similar(keys, topk=5)
+    # with half the cells probed, recall@5 should be high
+    recall = np.mean([len(set(a) & set(e)) / len(set(e))
+                      for a, e in zip(np.asarray(approx), np.asarray(exact))])
+    assert recall > 0.7, recall
+    # probing every cell is exact
+    index_full = IVFIndex.build(als.Q, n_clusters=16, n_probe=16)
+    par.set_ann_index(index_full)
+    full, _ = par.most_similar(keys, topk=5)
+    same = np.mean([len(set(a) & set(e)) / len(set(e))
+                    for a, e in zip(np.asarray(full), np.asarray(exact))])
+    assert same > 0.95, same
