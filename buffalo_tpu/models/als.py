@@ -116,8 +116,16 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
     # -------------------------------------------------------------- training
     def _resolve_optimizer(self) -> str:
         optimizer = self.opt.optimizer
-        if self.opt.d >= 128:  # auto iALS++, als.cc:46
+        if self.opt.d >= 128 and optimizer != "ialspp":
+            # auto iALS++ (als.cc:46).  TPU block-size note: einsums
+            # over a sub-128 block contract on a lane-padded axis —
+            # measured ML-20M d=160 epochs: b32 1.49s, b64 1.09s,
+            # b128 0.89s, b160 0.80s (manual_cg 0.89s).  When the user
+            # left block_size at the reference default (32, tuned for
+            # CPU cache lines), auto-select the full dimension.
             optimizer = "ialspp"
+            if int(self.opt.block_size) == 32:
+                self.opt.block_size = int(self.opt.d)
         return optimizer
 
     def _epoch_kwargs(self):
