@@ -157,8 +157,15 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
             np.asarray(cw["val"], np.float32))
         C_perm = np.zeros(i_pad, np.float32)
         C_perm[i_pos] = C
+        padded_entries = sum(
+            int(np.prod(b.cols.shape)) for b in row_b + col_b)
+        dispatch = str(self.opt.get("epoch_dispatch", "auto"))
         return {
             "mode": "range",
+            # beyond ~100M padded entries the single fused program OOMs
+            # on XLA temps (same lesson as ALS at 730M scale)
+            "group_dispatch": (dispatch == "group") or (
+                dispatch == "auto" and padded_entries > (100 << 20)),
             "row_groups": tuple(jax.device_put(b)
                                 for b in stack_batches(row_b)),
             "col_groups": tuple(jax.device_put(b)
@@ -226,10 +233,22 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
         for i in range(opt.num_iters):
             start_t = time.time()
             if st["mode"] == "range":
-                P, Q = K.eals_epoch(
-                    P, Q, st["row_groups"], st["col_groups"], C,
-                    alpha=float(opt.alpha), reg_u=float(opt.reg_u),
-                    reg_i=float(opt.reg_i))
+                if st["group_dispatch"]:
+                    Sq = K.eals_gramian(Q, C)
+                    for g in st["row_groups"]:
+                        P = K.eals_group_step(
+                            P, Q, C, Sq, g, item_axis=False,
+                            alpha=float(opt.alpha), reg=float(opt.reg_u))
+                    Sp = K.eals_gramian(P)
+                    for g in st["col_groups"]:
+                        Q = K.eals_group_step(
+                            Q, P, C, Sp, g, item_axis=True,
+                            alpha=float(opt.alpha), reg=float(opt.reg_i))
+                else:
+                    P, Q = K.eals_epoch(
+                        P, Q, st["row_groups"], st["col_groups"], C,
+                        alpha=float(opt.alpha), reg_u=float(opt.reg_u),
+                        reg_i=float(opt.reg_i))
                 vhat_u = K.compute_vhat(P, Q, du[0], du[1])
             else:
                 # user side: Sq = (C^0.5 Q)^T (C^0.5 Q)

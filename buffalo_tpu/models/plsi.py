@@ -24,9 +24,11 @@ from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import PLSIOption
 from buffalo_tpu.ops.plsi_kernels import (plsi_accumulate,
+                                          plsi_accumulate_group,
                                           plsi_accumulate_segments,
                                           plsi_epoch, plsi_epoch_range,
-                                          plsi_normalize_swap)
+                                          plsi_mstep, plsi_normalize_swap,
+                                          plsi_segment_group)
 from buffalo_tpu.utils import log
 
 
@@ -197,6 +199,9 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
                 q_mask[i_pos] = 1.0
                 rg, rseg = split(row_b)
                 cg, cseg = split(col_b)
+                padded_entries = sum(
+                    int(np.prod(b.cols.shape)) for b in row_b + col_b)
+                dispatch = str(opt.get("epoch_dispatch", "auto"))
                 self._range = {
                     "row_groups": rg, "row_segments": rseg,
                     "col_groups": cg, "col_segments": cseg,
@@ -204,6 +209,11 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
                     "p_mask": jax.device_put(p_mask),
                     "q_mask": jax.device_put(q_mask),
                     "u_pad": u_pad, "i_pad": i_pad,
+                    # beyond ~100M padded entries the fused epoch OOMs
+                    # on XLA temps (ALS 730M lesson)
+                    "group_dispatch": (dispatch == "group") or (
+                        dispatch == "auto"
+                        and padded_entries > (100 << 20)),
                 }
 
         if self._range is not None:
@@ -237,13 +247,38 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
             start_t = time.time()
             if self._range is not None:
                 rs = self._range
-                P, Q, epoch_loss = plsi_epoch_range(
-                    P, Q, rs["row_groups"], rs["col_groups"],
-                    rs["row_segments"], rs["col_segments"],
-                    rs["p_mask"], rs["q_mask"],
-                    alpha1=float(opt.alpha1), alpha2=float(opt.alpha2),
-                    num_items=int(self.num_items))
-                loss_nume = float(epoch_loss)
+                if rs["group_dispatch"]:
+                    Pn = jnp.zeros_like(P)
+                    loss_nume = 0.0
+                    for g in rs["row_groups"]:
+                        Pn, l_ = plsi_accumulate_group(Pn, P, Q, g,
+                                                       with_loss=True)
+                        loss_nume += float(l_)
+                    for s in rs["row_segments"]:
+                        Pn, l_ = plsi_segment_group(Pn, P, Q, s,
+                                                    with_loss=True)
+                        loss_nume += float(l_)
+                    Qn = jnp.zeros_like(Q)
+                    for g in rs["col_groups"]:
+                        Qn, _ = plsi_accumulate_group(Qn, Q, P, g,
+                                                      with_loss=False)
+                    for s in rs["col_segments"]:
+                        Qn, _ = plsi_segment_group(Qn, Q, P, s,
+                                                   with_loss=False)
+                    P, Q = plsi_mstep(
+                        Pn, Qn, rs["p_mask"], rs["q_mask"],
+                        alpha1=float(opt.alpha1),
+                        alpha2=float(opt.alpha2),
+                        num_items=int(self.num_items))
+                else:
+                    P, Q, epoch_loss = plsi_epoch_range(
+                        P, Q, rs["row_groups"], rs["col_groups"],
+                        rs["row_segments"], rs["col_segments"],
+                        rs["p_mask"], rs["q_mask"],
+                        alpha1=float(opt.alpha1),
+                        alpha2=float(opt.alpha2),
+                        num_items=int(self.num_items))
+                    loss_nume = float(epoch_loss)
             elif batcher.resident:
                 # whole EM epoch in one dispatch
                 P, Q, epoch_loss = plsi_epoch(

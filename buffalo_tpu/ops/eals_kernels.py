@@ -220,6 +220,25 @@ def _eals_apply_group(X, Y, C_other, c_self, S, group, **kw):
     return X
 
 
+@partial(jax.jit, static_argnames=("item_axis", "alpha", "reg"),
+         donate_argnums=(0,))
+def eals_group_step(X, Y, C_perm, S, group, *, item_axis, alpha, reg):
+    """One stacked same-shape group per dispatch (the 730M-scale
+    variant: bounds XLA temp live-set like ALS's als_group_step)."""
+    return _eals_apply_group(
+        X, Y, None if item_axis else C_perm,
+        C_perm if item_axis else None, S, group,
+        item_axis=item_axis, alpha=alpha, reg=reg)
+
+
+@jax.jit
+def eals_gramian(T, C_perm=None):
+    """Sq = (C^0.5 Q)^T (C^0.5 Q) or Sp = P^T P as one dispatch."""
+    if C_perm is not None:
+        T = T * jnp.sqrt(C_perm)[:, None]
+    return jnp.dot(T.T, T, preferred_element_type=jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("alpha", "reg_u", "reg_i"),
          donate_argnums=(0, 1))
 def eals_epoch(P, Q, row_groups, col_groups, C_perm, *, alpha, reg_u,

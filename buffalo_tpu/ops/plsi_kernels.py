@@ -180,6 +180,36 @@ def _accumulate_side(An, A, Bf, groups, segments, *, with_loss):
     return An, loss
 
 
+@partial(jax.jit, static_argnames=("with_loss",), donate_argnums=(0,))
+def plsi_accumulate_group(An, A, Bf, group, *, with_loss):
+    """One stacked range group per dispatch (730M-scale variant)."""
+    return _accumulate_side(An, A, Bf, (group,), (), with_loss=with_loss)
+
+
+@partial(jax.jit, static_argnames=("with_loss",), donate_argnums=(0,))
+def plsi_segment_group(An, A, Bf, seg, *, with_loss):
+    return _segment_accumulate(An, A, Bf, seg, with_loss=with_loss)
+
+
+def _mstep(Pn, Qn, p_mask, q_mask, alpha1, alpha2, num_items):
+    """M-step smoothing + normalization over the permuted tables
+    (masked to real rows; padding rows stay zero)."""
+    d = Pn.shape[1]
+    Pn = Pn + (alpha1 / d) * p_mask[:, None]
+    p_sum = jnp.sum(Pn, axis=1, keepdims=True)
+    Pn = Pn / jnp.where(p_sum > 0, p_sum, 1.0)
+    Qn = Qn + (alpha2 / num_items) * q_mask[:, None]
+    q_sum = jnp.sum(Qn, axis=0, keepdims=True)
+    Qn = Qn / jnp.where(q_sum > 0, q_sum, 1.0)
+    return Pn, Qn
+
+
+@partial(jax.jit, static_argnames=("alpha1", "alpha2", "num_items"),
+         donate_argnums=(0, 1))
+def plsi_mstep(Pn, Qn, p_mask, q_mask, *, alpha1, alpha2, num_items):
+    return _mstep(Pn, Qn, p_mask, q_mask, alpha1, alpha2, num_items)
+
+
 @partial(jax.jit, static_argnames=("alpha1", "alpha2", "num_items"))
 def plsi_epoch_range(P, Q, row_groups, col_groups, row_segments,
                      col_segments, p_mask, q_mask, *, alpha1, alpha2,
@@ -202,13 +232,7 @@ def plsi_epoch_range(P, Q, row_groups, col_groups, row_segments,
                                 row_groups, row_segments, with_loss=True)
     Qn, _ = _accumulate_side(jnp.zeros_like(Q), Q, P,
                              col_groups, col_segments, with_loss=False)
-    d = Pn.shape[1]
-    Pn = Pn + (alpha1 / d) * p_mask[:, None]
-    p_sum = jnp.sum(Pn, axis=1, keepdims=True)
-    Pn = Pn / jnp.where(p_sum > 0, p_sum, 1.0)
-    Qn = Qn + (alpha2 / num_items) * q_mask[:, None]
-    q_sum = jnp.sum(Qn, axis=0, keepdims=True)
-    Qn = Qn / jnp.where(q_sum > 0, q_sum, 1.0)
+    Pn, Qn = _mstep(Pn, Qn, p_mask, q_mask, alpha1, alpha2, num_items)
     return Pn, Qn, loss
 
 

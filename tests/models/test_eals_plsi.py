@@ -197,3 +197,42 @@ def test_plsi_inherit(ml_data, tmp_path):
     m2 = PLSI(opt2, data=ml_data)
     m2.initialize()
     np.testing.assert_allclose(m2.P, m.P, rtol=1e-5)
+
+
+def test_eals_group_dispatch_parity(ml_data):
+    """epoch_dispatch='group' (the at-scale mode) == fused epoch."""
+    def run(**kw):
+        np.random.seed(11)
+        opt = EALSOption().get_default_option()
+        opt.d = 8
+        opt.num_iters = 3
+        opt.validation = {}
+        for k, v in kw.items():
+            opt[k] = v
+        m = EALS(opt, data=ml_data)
+        m.initialize()
+        return m, m.train()
+
+    m1, r1 = run()
+    m2, r2 = run(epoch_dispatch="group")
+    assert r1["train_loss"] == pytest.approx(r2["train_loss"], rel=1e-5)
+    np.testing.assert_allclose(m1.Q, m2.Q, rtol=1e-4, atol=1e-6)
+
+
+def test_plsi_group_dispatch_parity(ml_data):
+    def run(**kw):
+        np.random.seed(11)
+        opt = PLSIOption().get_default_option()
+        opt.d = 8
+        opt.num_iters = 3
+        opt.validation = {}
+        for k, v in kw.items():
+            opt[k] = v
+        m = PLSI(opt, data=ml_data)
+        m.initialize()
+        return m, m.train()
+
+    m1, r1 = run()
+    m2, r2 = run(epoch_dispatch="group")
+    assert r1["train_loss"] == pytest.approx(r2["train_loss"], rel=1e-5)
+    np.testing.assert_allclose(m1.Q, m2.Q, rtol=1e-4, atol=1e-6)
