@@ -93,7 +93,10 @@ class Evaluable:
     def _evaluate_ranking_metrics(self):
         if not hasattr(self.data, "vali_data"):
             self.prepare_evaluation()
-        batch_size = self.opt.validation.get("batch", 128)
+        # our per-batch cost is one device dispatch (~20-30 ms over a
+        # tunneled chip), not CPU memory, so the default batch is much
+        # larger than the reference's 128; "batch" still overrides
+        batch_size = self.opt.validation.get("batch", 1024)
         topk = self.opt.validation.topk
         num_items = self.data.get_header()["num_items"]
         max_seen = self.data.vali_data["validation_max_seen_size"]
