@@ -15,7 +15,7 @@ import numpy as np
 import scipy.io
 import scipy.sparse
 
-from buffalo_tpu.data.base import Data, DataBuilder, DataOption
+from buffalo_tpu.data.base import DataBuilder, DataOption
 from buffalo_tpu.data.fileio import parse_triples_file
 from buffalo_tpu.utils import Option
 

@@ -238,7 +238,6 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
             Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
         assert self.is_initialized, "embedding matrix is not initialized"
         import jax
-        import jax.numpy as jnp
 
         opt = self.opt
         batches = self._build_batches()

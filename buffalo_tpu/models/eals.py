@@ -141,7 +141,6 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
                     "num_users": num_users, "num_items": num_items}
 
         from buffalo_tpu.data.batching import (BatchPlanner,
-                                               DeviceBatcher,
                                                build_range_layout,
                                                stack_batches)
         cw = self.data.get_group("colwise")

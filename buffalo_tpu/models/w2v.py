@@ -27,7 +27,7 @@ from buffalo_tpu.data.base import Data
 from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import W2VOption
-from buffalo_tpu.ops.w2v_kernels import w2v_epoch, w2v_step
+from buffalo_tpu.ops.w2v_kernels import w2v_epoch
 from buffalo_tpu.utils import Option, log
 
 

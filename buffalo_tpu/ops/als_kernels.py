@@ -21,9 +21,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from buffalo_tpu.data.batching import (MATRIX_FREE_MAX_L, PaddedBatch,
-                                        RangeBatch, SegmentBatch)
-from buffalo_tpu.ops.solve import solve, solve_cg
+from buffalo_tpu.data.batching import (MATRIX_FREE_MAX_L, RangeBatch,
+                                        SegmentBatch)
+from buffalo_tpu.ops.solve import solve
 
 
 def _row_stats(F: jax.Array, vals: jax.Array, mask: jax.Array,
