@@ -28,6 +28,26 @@ class AlgoOption(InputOptions):
         :ivar int save_period: save_best cadence in epochs.
         :ivar int random_seed: seed for factor init and sampling.
         :ivar dict validation: validation options (topk, batch, eval_samples).
+
+        TPU-specific keys:
+
+        :ivar int num_devices: mesh size (0 = all visible devices when
+            more than one exists; 1 forces single-device).
+        :ivar str sharding: "dp" (batch sharding) or "dp+tp" (also
+            row-shard the factor tables; training then uses the
+            shard_map range-layout epoch).
+        :ivar int resident_mb: HBM budget for keeping the whole epoch's
+            batches device-resident (beyond it, streaming fallbacks).
+        :ivar bool range_layout: permute tables into bucket order so
+            updates are contiguous ranges (default True; False falls
+            back to scatter updates — mainly for parity testing).
+        :ivar str epoch_dispatch: "auto" | "fused" | "group" — one XLA
+            program per epoch vs one per stacked shape group (auto
+            switches to group past ~100M padded entries, where the
+            fused program OOMs on XLA temporaries).
+        :ivar str vals_dtype: "auto" | "float32" | "bfloat16" for
+            staged confidence values (auto -> bf16 at scale; solve math
+            always upcasts to f32).
         """
         return Option({
             "evaluation_on_learning": True,
@@ -42,6 +62,9 @@ class AlgoOption(InputOptions):
             "num_devices": 0,
             "sharding": "dp",
             "resident_mb": 4096,
+            "range_layout": True,
+            "epoch_dispatch": "auto",
+            "vals_dtype": "auto",
         })
 
     def is_valid_option(self, opt) -> bool:
