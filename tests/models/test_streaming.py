@@ -1,0 +1,95 @@
+"""Streaming (non-resident) fallbacks: forcing resident_mb=0 must give
+the same training results as the device-resident fused epochs — the
+reference's bounded-memory ``batch_mb`` contract
+(``buffered_data.py:85-118``)."""
+import numpy as np
+import pytest
+
+from buffalo_tpu.data import MatrixMarketOptions, load
+from buffalo_tpu.models import ALS, BPRMF, PLSI
+from buffalo_tpu.models.options import (ALSOption, BPRMFOption,
+                                        PLSIOption)
+
+
+@pytest.fixture(scope="module")
+def ml_data(ml100k_like, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_fallback")
+    opt = MatrixMarketOptions().get_default_option()
+    opt.input.main = ml100k_like["path"]
+    opt.data.path = str(root / "ml.bfo")
+    opt.data.tmp_dir = str(root / "tmp")
+    opt.data.validation = {}
+    data = load(opt)
+    data.create()
+    return data
+
+
+def test_als_streaming_parity(ml_data):
+    def run(**kw):
+        np.random.seed(31)
+        opt = ALSOption().get_default_option()
+        opt.d = 8
+        opt.num_iters = 3
+        opt.validation = {}
+        opt.num_devices = 1
+        for k, v in kw.items():
+            opt[k] = v
+        m = ALS(opt, data=ml_data)
+        m.initialize()
+        return m, m.train()
+
+    m_res, r_res = run()
+    m_str, r_str = run(resident_mb=0)
+    assert r_res["train_loss"] == pytest.approx(r_str["train_loss"],
+                                                rel=1e-4)
+    np.testing.assert_allclose(m_res.Q, m_str.Q, rtol=1e-3, atol=1e-5)
+
+
+def test_bpr_streaming_trains(ml_data):
+    np.random.seed(32)
+    opt = BPRMFOption().get_default_option()
+    opt.d = 8
+    opt.num_iters = 6
+    opt.optimizer = "adagrad"
+    opt.validation = {}
+    opt.resident_mb = 0
+    m = BPRMF(opt, data=ml_data)
+    m.initialize()
+    r1 = m.train()
+    assert np.isfinite(r1["train_loss"]) and r1["train_loss"] < 0.7
+
+
+def test_plsi_streaming_parity(ml_data):
+    def run(**kw):
+        np.random.seed(33)
+        opt = PLSIOption().get_default_option()
+        opt.d = 8
+        opt.num_iters = 3
+        opt.validation = {}
+        for k, v in kw.items():
+            opt[k] = v
+        m = PLSI(opt, data=ml_data)
+        m.initialize()
+        return m, m.train()
+
+    m_res, r_res = run()
+    m_str, r_str = run(resident_mb=0)
+    assert r_res["train_loss"] == pytest.approx(r_str["train_loss"],
+                                                rel=1e-4)
+    np.testing.assert_allclose(m_res.Q, m_str.Q, rtol=1e-3, atol=1e-5)
+
+
+def test_warp_streaming_trains(ml_data):
+    from buffalo_tpu.models import WARP
+    from buffalo_tpu.models.options import WARPOption
+
+    np.random.seed(34)
+    opt = WARPOption().get_default_option()
+    opt.d = 8
+    opt.num_iters = 6
+    opt.validation = {}
+    opt.resident_mb = 0
+    m = WARP(opt, data=ml_data)
+    m.initialize()
+    r = m.train()
+    assert np.isfinite(r["train_loss"]) and r["train_loss"] <= 1.0
