@@ -578,6 +578,31 @@ def build_segment_batch(indptr: np.ndarray, key: np.ndarray,
                         chunk_lens=chunk_lens, cols=cols, vals=vals)
 
 
+# past this many padded entries a single fused epoch program OOMs on
+# XLA temporaries (730M lesson) — drivers switch to group dispatch
+GROUP_DISPATCH_ENTRIES = 100 << 20
+
+
+def padded_entry_count(batches: Sequence) -> int:
+    """Total padded (cols) entries across a list of staged batches."""
+    return sum(int(np.prod(np.asarray(b.cols).shape)) for b in batches)
+
+
+def choose_group_dispatch(opt, padded_entries: int) -> bool:
+    """Resolve the shared ``epoch_dispatch`` option (auto|fused|group)."""
+    dispatch = str(opt.get("epoch_dispatch", "auto"))
+    return dispatch == "group" or (
+        dispatch == "auto" and padded_entries > GROUP_DISPATCH_ENTRIES)
+
+
+def permute_table(T: np.ndarray, pos: np.ndarray, padded_rows: int
+                  ) -> np.ndarray:
+    """Place table rows at their range-layout positions (zero padding)."""
+    out = np.zeros((int(padded_rows), T.shape[1]), T.dtype)
+    out[pos] = T
+    return out
+
+
 def stack_batches(batches: Sequence) -> List:
     """Group same-shape batches and stack each field (leading axis n).
 

@@ -25,6 +25,8 @@ import buffalo_tpu.data
 from buffalo_tpu.data.base import Data
 from buffalo_tpu.data.batching import (DeviceBatcher, build_range_layout,
                                         build_sharded_range_layout,
+                                        choose_group_dispatch,
+                                        padded_entry_count, permute_table,
                                         stack_batches)
 from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
@@ -116,16 +118,18 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
     # -------------------------------------------------------------- training
     def _resolve_optimizer(self) -> str:
         optimizer = self.opt.optimizer
-        if self.opt.d >= 128 and optimizer != "ialspp":
+        if self.opt.d >= 128:
             # auto iALS++ (als.cc:46).  TPU block-size note: einsums
             # over a sub-128 block contract on a lane-padded axis —
             # measured ML-20M d=160 epochs: b32 1.49s, b64 1.09s,
-            # b128 0.89s, b160 0.80s (manual_cg 0.89s).  When the user
-            # left block_size at the reference default (32, tuned for
-            # CPU cache lines), auto-select the full dimension.
+            # b128 0.89s, b160 0.80s (manual_cg 0.89s).  When
+            # block_size sits at the reference default (32, tuned for
+            # CPU cache lines), auto-select the full dimension —
+            # whether ialspp was auto-chosen or user-requested.
             optimizer = "ialspp"
-            if int(self.opt.block_size) == 32:
-                self.opt.block_size = int(self.opt.d)
+        if optimizer == "ialspp" and self.opt.d >= 128 \
+                and int(self.opt.block_size) == 32:
+            self.opt.block_size = int(self.opt.d)
         return optimizer
 
     def _epoch_kwargs(self):
@@ -283,10 +287,8 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         mesh_range_intent = (mesh is not None and "tp" in sharding_mode
                              and range_opt)
 
-        batchers = {}
-        for group in ("rowwise", "colwise"):
-            mesh_batches = mesh is not None and not mesh_range_intent
-            batchers[group] = DeviceBatcher(
+        def make_batchers(mesh_batches):
+            return {group: DeviceBatcher(
                 self.data, group,
                 batch_mb=int(self.data.opt.data.get("batch_mb", 1024)),
                 resident_mb=int(self.opt.get("resident_mb", 4096)),
@@ -296,10 +298,20 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
                 # llt/ldlt materialize the (B, d, d) system at every
                 # bucket length; cap rows-per-batch everywhere for them
                 matrix_free=self._optimizer not in ("llt", "ldlt"))
+                for group in ("rowwise", "colwise")}
+
+        batchers = make_batchers(mesh is not None and not mesh_range_intent)
+        resident = all(batchers[g].resident for g in ("rowwise", "colwise"))
+        if mesh_range_intent and not resident:
+            # the sharded range layout needs residency; fall back to the
+            # mesh streaming path, whose batches must carry the batch
+            # sharding (a plain device_put would pin them to one device
+            # and clash with the row-sharded tables)
+            mesh_range_intent = False
+            batchers = make_batchers(mesh is not None)
 
         table_sharding = row_shard if (
             mesh is not None and "tp" in sharding_mode) else repl
-        resident = all(batchers[g].resident for g in ("rowwise", "colwise"))
 
         self._range = None
         self._mesh_range = None
@@ -312,11 +324,8 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
              S_i) = build_sharded_range_layout(
                 rb.planner, cb.planner, rb.key, rb.val, cb.key, cb.val,
                 mesh.size)
-            d = int(self.opt.d)
-            Pp = np.zeros((mesh.size * S_u, d), np.float32)
-            Pp[u_pos] = self.P
-            Qp = np.zeros((mesh.size * S_i, d), np.float32)
-            Qp[i_pos] = self.Q
+            Pp = permute_table(self.P, u_pos, mesh.size * S_u)
+            Qp = permute_table(self.Q, i_pos, mesh.size * S_i)
 
             def put_sharded(tree):
                 return jax.device_put(
@@ -368,15 +377,10 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             row_b, col_b, u_pos, i_pos, u_pad, i_pad = build_range_layout(
                 rb.planner, cb.planner, rb.key, rb.val, cb.key, cb.val,
                 vals_dtype=pick_vals_dtype(planned_padded_entries()))
-            d = int(self.opt.d)
-            Pp = np.zeros((u_pad, d), np.float32)
-            Pp[u_pos] = self.P
-            Qp = np.zeros((i_pad, d), np.float32)
-            Qp[i_pos] = self.Q
-            padded_entries = sum(
-                int(np.prod(b.cols.shape)) for b in row_b + col_b)
-            group_dispatch = (dispatch_pref == "group") or (
-                dispatch_pref == "auto" and padded_entries > (100 << 20))
+            Pp = permute_table(self.P, u_pos, u_pad)
+            Qp = permute_table(self.Q, i_pos, i_pad)
+            group_dispatch = choose_group_dispatch(
+                self.opt, padded_entry_count(row_b + col_b))
             self._range = {
                 "row_groups": tuple(jax.device_put(b)
                                     for b in stack_batches(row_b)),
@@ -390,10 +394,8 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             P = jax.device_put(Pp)
             Q = jax.device_put(Qp)
         elif self._mesh_range is None:
-            self._scatter_group_dispatch = (
-                dispatch_pref == "group"
-                or (dispatch_pref == "auto" and resident
-                    and planned_padded_entries() > (100 << 20)))
+            self._scatter_group_dispatch = resident and \
+                choose_group_dispatch(self.opt, planned_padded_entries())
             if mesh is not None and table_sharding is row_shard:
                 # row-sharded tables must divide evenly over the mesh;
                 # pad with zero rows (never referenced by batches)

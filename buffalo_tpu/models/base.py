@@ -176,7 +176,11 @@ class Algo(abc.ABC):
         pairs = zip(self._decode(picked, "item"), scores)
         if query_is_vector:
             return list(pairs)
-        return [(k, s) for (i, (k, s)) in zip(picked, pairs) if i != query]
+        # the internal call over-fetches one candidate assuming the
+        # query ranks first; when it doesn't (e.g. a pool that excludes
+        # it), trim back to the requested k after filtering
+        return [(k, s) for (i, (k, s)) in zip(picked, pairs)
+                if i != query][:topk]
 
     def _get_most_similar_item(self, col, topk, Factor, nrz, pool):
         """Similarity scan: dot product, or cosine when not pre-normalized."""

@@ -142,6 +142,9 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
 
         from buffalo_tpu.data.batching import (BatchPlanner,
                                                build_range_layout,
+                                               choose_group_dispatch,
+                                               padded_entry_count,
+                                               permute_table,
                                                stack_batches)
         cw = self.data.get_group("colwise")
         d = int(self.opt.d)
@@ -156,15 +159,10 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
             np.asarray(cw["val"], np.float32))
         C_perm = np.zeros(i_pad, np.float32)
         C_perm[i_pos] = C
-        padded_entries = sum(
-            int(np.prod(b.cols.shape)) for b in row_b + col_b)
-        dispatch = str(self.opt.get("epoch_dispatch", "auto"))
         return {
             "mode": "range",
-            # beyond ~100M padded entries the single fused program OOMs
-            # on XLA temps (same lesson as ALS at 730M scale)
-            "group_dispatch": (dispatch == "group") or (
-                dispatch == "auto" and padded_entries > (100 << 20)),
+            "group_dispatch": choose_group_dispatch(
+                self.opt, padded_entry_count(row_b + col_b)),
             "row_groups": tuple(jax.device_put(b)
                                 for b in stack_batches(row_b)),
             "col_groups": tuple(jax.device_put(b)
@@ -192,11 +190,9 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
               jax.device_put(u_vals))
 
         if st["mode"] == "range":
-            d = int(opt.d)
-            Pp = np.zeros((st["u_pad"], d), np.float32)
-            Pp[st["u_pos"]] = self.P
-            Qp = np.zeros((st["i_pad"], d), np.float32)
-            Qp[st["i_pos"]] = self.Q
+            from buffalo_tpu.data.batching import permute_table
+            Pp = permute_table(self.P, st["u_pos"], st["u_pad"])
+            Qp = permute_table(self.Q, st["i_pos"], st["i_pad"])
             P = jax.device_put(Pp)
             Q = jax.device_put(Qp)
             C = st["C_perm"]

@@ -171,6 +171,8 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
         if (batcher.resident and self.data.has_group("colwise")
                 and bool(opt.get("range_layout", True))):
             from buffalo_tpu.data.batching import (build_range_layout,
+                                                   choose_group_dispatch,
+                                                   padded_entry_count,
                                                    stack_batches)
             cb = DeviceBatcher(
                 self.data, "colwise",
@@ -199,9 +201,7 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
                 q_mask[i_pos] = 1.0
                 rg, rseg = split(row_b)
                 cg, cseg = split(col_b)
-                padded_entries = sum(
-                    int(np.prod(b.cols.shape)) for b in row_b + col_b)
-                dispatch = str(opt.get("epoch_dispatch", "auto"))
+
                 self._range = {
                     "row_groups": rg, "row_segments": rseg,
                     "col_groups": cg, "col_segments": cseg,
@@ -209,19 +209,16 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
                     "p_mask": jax.device_put(p_mask),
                     "q_mask": jax.device_put(q_mask),
                     "u_pad": u_pad, "i_pad": i_pad,
-                    # beyond ~100M padded entries the fused epoch OOMs
-                    # on XLA temps (ALS 730M lesson)
-                    "group_dispatch": (dispatch == "group") or (
-                        dispatch == "auto"
-                        and padded_entries > (100 << 20)),
+                    "group_dispatch": choose_group_dispatch(
+                        opt, padded_entry_count(row_b + col_b)),
                 }
 
         if self._range is not None:
-            d = int(opt.d)
-            Pp = np.zeros((self._range["u_pad"], d), np.float32)
-            Pp[self._range["u_pos"]] = self.P
-            Qp = np.zeros((self._range["i_pad"], d), np.float32)
-            Qp[self._range["i_pos"]] = self.Q
+            from buffalo_tpu.data.batching import permute_table
+            Pp = permute_table(self.P, self._range["u_pos"],
+                               self._range["u_pad"])
+            Qp = permute_table(self.Q, self._range["i_pos"],
+                               self._range["i_pad"])
             P = jax.device_put(Pp)
             Q = jax.device_put(Qp)
 
@@ -249,15 +246,17 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
                 rs = self._range
                 if rs["group_dispatch"]:
                     Pn = jnp.zeros_like(P)
-                    loss_nume = 0.0
+                    # keep the loss a device scalar so the group
+                    # dispatches pipeline; one host readback per epoch
+                    losses = []
                     for g in rs["row_groups"]:
                         Pn, l_ = plsi_accumulate_group(Pn, P, Q, g,
                                                        with_loss=True)
-                        loss_nume += float(l_)
+                        losses.append(l_)
                     for s in rs["row_segments"]:
                         Pn, l_ = plsi_segment_group(Pn, P, Q, s,
                                                     with_loss=True)
-                        loss_nume += float(l_)
+                        losses.append(l_)
                     Qn = jnp.zeros_like(Q)
                     for g in rs["col_groups"]:
                         Qn, _ = plsi_accumulate_group(Qn, Q, P, g,
@@ -270,6 +269,8 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
                         alpha1=float(opt.alpha1),
                         alpha2=float(opt.alpha2),
                         num_items=int(self.num_items))
+                    loss_nume = float(np.sum([np.asarray(x)
+                                              for x in losses]))
                 else:
                     P, Q, epoch_loss = plsi_epoch_range(
                         P, Q, rs["row_groups"], rs["col_groups"],

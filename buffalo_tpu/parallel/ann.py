@@ -99,10 +99,13 @@ class IVFIndex:
         probes = np.argsort(-cell_scores, axis=1)[:, :n_probe]
 
         # fixed candidate width keeps the scoring shape static: pad
-        # each query's candidate list to the max probed population
+        # each query's candidate list to the max probed population,
+        # rounded up to a power of two so the jitted scorer compiles
+        # once per bucket instead of once per data-dependent width
         cand_counts = (self.cell_ptr[probes + 1]
                        - self.cell_ptr[probes]).sum(axis=1)
         width = int(max(cand_counts.max(), topk))
+        width = 1 << max(0, int(np.ceil(np.log2(max(width, 1)))))
         cand = np.zeros((B, width), dtype=np.int64)  # positions in table
         mask = np.zeros((B, width), dtype=bool)
         for b in range(B):

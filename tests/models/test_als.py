@@ -221,3 +221,13 @@ def test_bf16_vals_training(ml_data):
     _, r16 = _train(ml_data, d=10, num_iters=4, num_devices=1,
                     vals_dtype="bfloat16")
     assert abs(r32["train_loss"] - r16["train_loss"]) < 5e-3
+
+
+def test_most_similar_pool_excluding_query(ml_data):
+    """A pool that excludes the query must still return exactly topk
+    results (the internal over-fetch is trimmed)."""
+    als, _ = _train(ml_data, d=8, num_iters=3)
+    pool = ["i2", "i3", "i4", "i5", "i6", "i7"]
+    sims = als.most_similar("i1", topk=3, pool=pool)
+    assert len(sims) == 3
+    assert all(k in pool for k, _ in sims)

@@ -93,3 +93,23 @@ def test_warp_streaming_trains(ml_data):
     m.initialize()
     r = m.train()
     assert np.isfinite(r["train_loss"]) and r["train_loss"] <= 1.0
+
+
+def test_als_dp_tp_streaming_fallback(ml_data):
+    """dp+tp with non-resident data must fall back to mesh streaming
+    with batch-sharded chunks (code-review r2 finding: the range-intent
+    batchers lacked the mesh sharding and clashed with row-sharded
+    tables)."""
+    np.random.seed(35)
+    opt = ALSOption().get_default_option()
+    opt.d = 8
+    opt.num_iters = 2
+    opt.validation = {}
+    opt.num_devices = 8
+    opt.sharding = "dp+tp"
+    opt.resident_mb = 0
+    m = ALS(opt, data=ml_data)
+    m.initialize()
+    r = m.train()
+    assert np.isfinite(r["train_loss"]) and r["train_loss"] < 1.0
+    assert m._mesh_range is None
