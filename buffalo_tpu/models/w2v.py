@@ -271,19 +271,46 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                 targets = np.concatenate(
                     [targets, np.full(pad, V, dtype=np.int32)])
             rng, sub = jax.random.split(rng)
-            # whole epoch in one dispatch: scan over resident chunks,
-            # lr decays by word progress inside the scan
             wpc = n_words / max(nchunks, 1)
-            L0, L1, loss_sum, pair_cnt = w2v_epoch(
-                L0, L1,
-                jax.device_put(inputs.reshape(nchunks, chunk)),
-                jax.device_put(targets.reshape(nchunks, chunk)),
-                dist, sub, jnp.float32(processed_words),
-                lr=float(opt.lr), min_lr=float(opt.min_lr),
-                total_words=float(total_words), words_per_chunk=float(wpc),
-                **statics)
+            resident = (len(inputs) * 8) <= int(
+                opt.get("resident_mb", 4096)) * 1024 * 1024
+            if resident:
+                # whole epoch in one dispatch: scan over resident
+                # chunks, lr decays by word progress inside the scan
+                L0, L1, loss_sum, pair_cnt = w2v_epoch(
+                    L0, L1,
+                    jax.device_put(inputs.reshape(nchunks, chunk)),
+                    jax.device_put(targets.reshape(nchunks, chunk)),
+                    dist, sub, jnp.float32(processed_words),
+                    lr=float(opt.lr), min_lr=float(opt.min_lr),
+                    total_words=float(total_words),
+                    words_per_chunk=float(wpc), **statics)
+                loss = float(loss_sum) / max(float(pair_cnt), 1.0)
+            else:
+                # streaming fallback: one dispatch per pair chunk with
+                # host-side lr decay (the reference's bounded-memory
+                # job-queue contract); loss scalars stay on device
+                # until the epoch ends
+                from buffalo_tpu.ops.w2v_kernels import w2v_step
+                losses, counts = [], []
+                for ci in range(nchunks):
+                    sl = slice(ci * chunk, (ci + 1) * chunk)
+                    progress = min(
+                        (processed_words + ci * wpc)
+                        / max(total_words, 1.0), 1.0)
+                    lr_t = max(opt.lr - (opt.lr - opt.min_lr) * progress,
+                               opt.min_lr)
+                    L0, L1, l_, c_ = w2v_step(
+                        L0, L1, jax.device_put(inputs[sl]),
+                        jax.device_put(targets[sl]), dist,
+                        jax.random.fold_in(sub, ci),
+                        jnp.float32(lr_t), **statics)
+                    losses.append(l_)
+                    counts.append(c_)
+                loss_sum = float(np.sum([np.asarray(x) for x in losses]))
+                pair_cnt = float(np.sum([np.asarray(x) for x in counts]))
+                loss = loss_sum / max(pair_cnt, 1.0)
             processed_words += n_words
-            loss = float(loss_sum) / max(float(pair_cnt), 1.0)
             self.iteration_times.append(time.time() - start_t)
             self.logger.info(
                 "Iteration %d: Loss %.5f (%d pairs) Elapsed %.3f secs"

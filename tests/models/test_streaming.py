@@ -5,7 +5,7 @@ reference's bounded-memory ``batch_mb`` contract
 import numpy as np
 import pytest
 
-from buffalo_tpu.data import MatrixMarketOptions, load
+from buffalo_tpu.data import MatrixMarketOptions, StreamOptions, load
 from buffalo_tpu.models import ALS, BPRMF, PLSI
 from buffalo_tpu.models.options import (ALSOption, BPRMFOption,
                                         PLSIOption)
@@ -113,3 +113,33 @@ def test_als_dp_tp_streaming_fallback(ml_data):
     r = m.train()
     assert np.isfinite(r["train_loss"]) and r["train_loss"] < 1.0
     assert m._mesh_range is None
+
+
+def test_w2v_streaming_trains(ml100k_like, tmp_path_factory):
+    from buffalo_tpu.data import StreamOptions
+    from buffalo_tpu.models import W2V
+    from buffalo_tpu.models.options import W2VOption
+
+    root = tmp_path_factory.mktemp("w2v_stream")
+    rng = np.random.default_rng(5)
+    lines = [" ".join(f"t{int(x)}" for x in rng.integers(0, 40, 12))
+             for _ in range(200)]
+    (root / "c.txt").write_text("\n".join(lines))
+    sopt = StreamOptions().get_default_option()
+    sopt.input.main = str(root / "c.txt")
+    sopt.data.path = str(root / "s.bfo")
+    sopt.data.tmp_dir = str(root / "tmp")
+    sopt.data.validation = {}
+    sdata = load(sopt)
+    sdata.create()
+
+    np.random.seed(36)
+    opt = W2VOption().get_default_option()
+    opt.d = 8
+    opt.num_iters = 3
+    opt.min_count = 1
+    opt.resident_mb = 0  # force per-chunk streaming dispatches
+    m = W2V(opt, data=sdata)
+    m.initialize()
+    r = m.train()
+    assert np.isfinite(r["train_loss"]) and r["train_loss"] > 0
