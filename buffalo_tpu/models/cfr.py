@@ -234,6 +234,59 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
         out["context"] = list(planner.iter_batches(sp["key"], sp["val"]))
         return out
 
+    def _streaming_epoch(self, U, I, C, Ib, Cb, batches, com):
+        """Per-batch dispatches for beyond-``resident_mb`` data — the
+        reference's bounded-memory chunk loop (cfr.py:128-160); loss
+        scalars stay on device until the epoch ends."""
+        import jax
+        import jax.numpy as jnp
+
+        from buffalo_tpu.data.batching import SegmentBatch
+        opt = self.opt
+        losses = []
+        FF = jnp.dot(I.T, I, preferred_element_type=jnp.float32)
+        for b in batches["user"]:
+            b = jax.device_put(b)
+            if isinstance(b, SegmentBatch):
+                U, l_ = K.cfr_user_segment_step(
+                    U, I, FF, b, alpha=float(opt.alpha), l=float(opt.l),
+                    reg_u=float(opt.reg_u), **com)
+            else:
+                U, l_ = K.cfr_user_step(
+                    U, I, FF, b.rows, b.lens, b.cols, b.vals,
+                    alpha=float(opt.alpha), l=float(opt.l),
+                    reg_u=float(opt.reg_u), **com)
+            losses.append(l_)
+        FF = jnp.dot(U.T, U, preferred_element_type=jnp.float32)
+        for entry in batches["item"]:
+            entry = jax.device_put(entry)
+            if isinstance(entry[0], SegmentBatch):
+                sb_u, sb_c = entry
+                I, Ib, l_ = K.cfr_item_segment_step(
+                    I, U, C, Ib, Cb, FF, sb_u, sb_c,
+                    alpha=float(opt.alpha), l=float(opt.l),
+                    reg_i=float(opt.reg_i), **com)
+            else:
+                b, lens_c, cols_c, vals_c = entry
+                I, Ib, l_ = K.cfr_item_step(
+                    I, U, C, Ib, Cb, FF, b.rows, b.lens, b.cols, b.vals,
+                    lens_c, cols_c, vals_c, alpha=float(opt.alpha),
+                    l=float(opt.l), reg_i=float(opt.reg_i), **com)
+            losses.append(l_)
+        for b in batches["context"]:
+            b = jax.device_put(b)
+            if isinstance(b, SegmentBatch):
+                C, Cb, l_ = K.cfr_context_segment_step(
+                    C, I, Ib, Cb, b, reg_c=float(opt.reg_c), **com)
+            else:
+                C, Cb, l_ = K.cfr_context_step(
+                    C, I, Ib, Cb, b.rows, b.lens, b.cols, b.vals,
+                    reg_c=float(opt.reg_c), **com)
+            losses.append(l_)
+        total = float(np.sum([np.asarray(x) for x in losses])) \
+            if losses else 0.0
+        return U, I, C, Ib, Cb, total
+
     def train(self, training_callback: Optional[
             Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
         assert self.is_initialized, "embedding matrix is not initialized"
@@ -255,18 +308,38 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
         best_loss, loss, self.validation_result = float("inf"), None, {}
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds
-        # stage all three phases' batches on device once; the whole
-        # 3-phase epoch then runs as a single XLA dispatch
-        user_b = tuple(jax.device_put(b) for b in batches["user"])
-        item_b = tuple(jax.device_put(b) for b in batches["item"])
-        ctx_b = tuple(jax.device_put(b) for b in batches["context"])
+
+        def entry_arrays(entry):
+            if isinstance(entry, tuple):
+                out = []
+                for part in entry:
+                    out.extend(part if hasattr(part, "_fields") else [part])
+                return out
+            return list(entry)
+
+        padded_entries = sum(
+            int(np.prod(np.asarray(a).shape))
+            for phase in batches.values() for e in phase
+            for a in entry_arrays(e))
+        resident = (padded_entries * 8) <= int(
+            opt.get("resident_mb", 4096)) * 1024 * 1024
+        if resident:
+            # stage all three phases' batches on device once; the whole
+            # 3-phase epoch then runs as a single XLA dispatch
+            user_b = tuple(jax.device_put(b) for b in batches["user"])
+            item_b = tuple(jax.device_put(b) for b in batches["item"])
+            ctx_b = tuple(jax.device_put(b) for b in batches["context"])
         for i in range(opt.num_iters):
             start_t = time.time()
-            U, I, C, Ib, Cb, epoch_loss = K.cfr_epoch(
-                U, I, C, Ib, Cb, user_b, item_b, ctx_b,
-                alpha=float(opt.alpha), l=float(opt.l),
-                reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
-                reg_c=float(opt.reg_c), **com)
+            if resident:
+                U, I, C, Ib, Cb, epoch_loss = K.cfr_epoch(
+                    U, I, C, Ib, Cb, user_b, item_b, ctx_b,
+                    alpha=float(opt.alpha), l=float(opt.l),
+                    reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
+                    reg_c=float(opt.reg_c), **com)
+            else:
+                U, I, C, Ib, Cb, epoch_loss = self._streaming_epoch(
+                    U, I, C, Ib, Cb, batches, com)
             loss = float(epoch_loss) / scale
             train_t = time.time() - start_t
             self.iteration_times.append(train_t)

@@ -320,6 +320,41 @@ def _cfr_context_segment_body(C, I, Ib, Cb, sb, *, reg_c, optimizer,
     return C, Cb, loss
 
 
+@partial(jax.jit, static_argnames=("alpha", "l", "reg_u", "optimizer",
+                                   "cg_iters", "cg_tol", "compute_loss"),
+         donate_argnums=(0,))
+def cfr_user_segment_step(U, I, FF, sb, *, alpha, l, reg_u, optimizer,
+                          cg_iters, cg_tol, compute_loss):
+    """Streaming-mode user update for one SegmentBatch."""
+    return _cfr_user_segment_body(
+        U, I, FF, sb, alpha=alpha, l=l, reg_u=reg_u, optimizer=optimizer,
+        cg_iters=cg_iters, cg_tol=cg_tol, compute_loss=compute_loss)
+
+
+@partial(jax.jit, static_argnames=("alpha", "l", "reg_i", "optimizer",
+                                   "cg_iters", "cg_tol", "compute_loss"),
+         donate_argnums=(0, 3))
+def cfr_item_segment_step(I, U, C, Ib, Cb, FF, sb_u, sb_c, *, alpha, l,
+                          reg_i, optimizer, cg_iters, cg_tol,
+                          compute_loss):
+    """Streaming-mode item update for one segment pair."""
+    return _cfr_item_segment_body(
+        I, U, C, Ib, Cb, FF, sb_u, sb_c, alpha=alpha, l=l, reg_i=reg_i,
+        optimizer=optimizer, cg_iters=cg_iters, cg_tol=cg_tol,
+        compute_loss=compute_loss)
+
+
+@partial(jax.jit, static_argnames=("reg_c", "optimizer", "cg_iters",
+                                   "cg_tol", "compute_loss"),
+         donate_argnums=(0, 3))
+def cfr_context_segment_step(C, I, Ib, Cb, sb, *, reg_c, optimizer,
+                             cg_iters, cg_tol, compute_loss):
+    """Streaming-mode context update for one SegmentBatch."""
+    return _cfr_context_segment_body(
+        C, I, Ib, Cb, sb, reg_c=reg_c, optimizer=optimizer,
+        cg_iters=cg_iters, cg_tol=cg_tol, compute_loss=compute_loss)
+
+
 @partial(jax.jit, static_argnames=("alpha", "l", "reg_u", "reg_i",
                                    "reg_c", "optimizer", "cg_iters",
                                    "cg_tol", "compute_loss"),

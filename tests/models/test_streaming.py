@@ -143,3 +143,41 @@ def test_w2v_streaming_trains(ml100k_like, tmp_path_factory):
     m.initialize()
     r = m.train()
     assert np.isfinite(r["train_loss"]) and r["train_loss"] > 0
+
+
+def test_cfr_streaming_parity(tmp_path_factory):
+    from buffalo_tpu.models import CFR
+    from buffalo_tpu.models.options import CFROption
+
+    root = tmp_path_factory.mktemp("cfr_stream")
+    rng = np.random.default_rng(6)
+    lines = [" ".join(f"i{int(x)}" for x in rng.integers(0, 30, 10))
+             for _ in range(120)]
+    (root / "c.txt").write_text("\n".join(lines))
+    sopt = StreamOptions().get_default_option()
+    sopt.input.main = str(root / "c.txt")
+    sopt.data.path = str(root / "s.bfo")
+    sopt.data.tmp_dir = str(root / "tmp")
+    sopt.data.internal_data_type = "matrix"
+    sopt.data.sppmi = {"windows": 3, "k": 1}
+    sopt.data.validation = {}
+    sdata = load(sopt)
+    sdata.create()
+
+    def run(**kw):
+        np.random.seed(37)
+        opt = CFROption().get_default_option()
+        opt.d = 8
+        opt.num_iters = 3
+        opt.validation = {}
+        for k, v in kw.items():
+            opt[k] = v
+        m = CFR(opt, data=sdata)
+        m.initialize()
+        return m, m.train()
+
+    m_res, r_res = run()
+    m_str, r_str = run(resident_mb=0)
+    assert r_res["train_loss"] == pytest.approx(r_str["train_loss"],
+                                                rel=1e-4)
+    np.testing.assert_allclose(m_res.I, m_str.I, rtol=1e-3, atol=1e-5)
