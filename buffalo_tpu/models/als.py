@@ -14,14 +14,12 @@ Feedback Datasets; iALS++ (arXiv 2110.14044).
 """
 from __future__ import annotations
 
-import json
 import time
 from functools import partial
 from typing import Callable, Dict, Optional
 
 import numpy as np
 
-import buffalo_tpu.data
 from buffalo_tpu.data.base import Data
 from buffalo_tpu.data.batching import (DeviceBatcher, build_range_layout,
                                         build_sharded_range_layout,
@@ -46,24 +44,7 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         ALSOption.__init__(self, *args, **kwargs)
         Evaluable.__init__(self, *args, **kwargs)
         Serializable.__init__(self, *args, **kwargs)
-        if opt_path is None:
-            opt_path = ALSOption().get_default_option()
-        self.logger = log.get_logger("ALS")
-        self.opt, self.opt_path = self.get_option(opt_path)
-
-        self.data = None
-        data = kwargs.get("data")
-        data_opt = self.opt.get("data_opt")
-        data_opt = kwargs.get("data_opt", data_opt)
-        if data_opt:
-            self.data = buffalo_tpu.data.load(data_opt)
-            self.data.create()
-        elif isinstance(data, Data):
-            self.data = data
-        self.logger.info("ALS(%s)" % json.dumps(self.opt.to_dict(), indent=2))
-        if self.data:
-            self.logger.info(self.data.show_info())
-            assert self.data.data_type in ["matrix"]
+        self._setup_driver(opt_path, ALSOption, "ALS", ["matrix"], kwargs)
 
     @staticmethod
     def new(path, data_fields=[]):

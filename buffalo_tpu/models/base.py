@@ -52,6 +52,39 @@ class Algo(abc.ABC):
         self.is_valid_option(opt)
         return Option(opt), opt_source
 
+    def _setup_driver(self, opt_path, opt_cls, name, data_types,
+                      kwargs):
+        """Shared driver construction: options, logger, data binding.
+
+        Every model driver runs the same sequence — default options,
+        validation, logger, then bind ``data``/``data_opt`` (building
+        the database when an option tree is given).
+        """
+        from buffalo_tpu.utils import log as _log
+
+        if opt_path is None:
+            opt_path = opt_cls().get_default_option()
+        self.logger = _log.get_logger(name)
+        self.opt, self.opt_path = self.get_option(opt_path)
+
+        self.data = None
+        data = kwargs.get("data")
+        data_opt = kwargs.get("data_opt", self.opt.get("data_opt"))
+        if data_opt:
+            import buffalo_tpu.data as _data
+            self.data = _data.load(data_opt)
+            self.data.create()
+        elif data is not None:
+            from buffalo_tpu.data.base import Data
+            assert isinstance(data, Data), f"Wrong instance: {type(data)}"
+            self.data = data
+        import json as _json
+        self.logger.info("%s(%s)" % (
+            name, _json.dumps(self.opt.to_dict(), indent=2)))
+        if self.data:
+            self.logger.info(self.data.show_info())
+            assert self.data.data_type in data_types
+
     # Kept as a staticmethod named ``_normalize`` for API parity with the
     # per-model ``normalize(group=...)`` entry points that call it.
     _normalize = staticmethod(l2_normalize)

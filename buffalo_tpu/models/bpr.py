@@ -16,13 +16,11 @@ Implicit Feedback (UAI 2009).
 """
 from __future__ import annotations
 
-import json
 import time
 from typing import Callable, Dict, Optional
 
 import numpy as np
 
-import buffalo_tpu.data
 from buffalo_tpu.data.base import Data
 from buffalo_tpu.data.batching import COOBatcher
 from buffalo_tpu.evaluate import Evaluable
@@ -40,24 +38,7 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         BPRMFOption.__init__(self, *args, **kwargs)
         Evaluable.__init__(self, *args, **kwargs)
         Serializable.__init__(self, *args, **kwargs)
-        if opt_path is None:
-            opt_path = BPRMFOption().get_default_option()
-        self.logger = log.get_logger("BPRMF")
-        self.opt, self.opt_path = self.get_option(opt_path)
-
-        self.data = None
-        data = kwargs.get("data")
-        data_opt = self.opt.get("data_opt")
-        data_opt = kwargs.get("data_opt", data_opt)
-        if data_opt:
-            self.data = buffalo_tpu.data.load(data_opt)
-            self.data.create()
-        elif isinstance(data, Data):
-            self.data = data
-        self.logger.info("BPRMF(%s)" % json.dumps(self.opt.to_dict(), indent=2))
-        if self.data:
-            self.logger.info(self.data.show_info())
-            assert self.data.data_type in ["matrix"]
+        self._setup_driver(opt_path, BPRMFOption, "BPRMF", ["matrix"], kwargs)
 
     @staticmethod
     def new(path, data_fields=[]):

@@ -18,13 +18,11 @@ Reference: Liang et al., Factorization Meets the Item Embedding
 """
 from __future__ import annotations
 
-import json
 import time
 from typing import Callable, Dict, Optional
 
 import numpy as np
 
-import buffalo_tpu.data
 from buffalo_tpu.data.base import Data
 from buffalo_tpu.data.batching import BatchPlanner, pad_rows
 from buffalo_tpu.evaluate import Evaluable
@@ -42,25 +40,9 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
         CFROption.__init__(self, *args, **kwargs)
         Evaluable.__init__(self, *args, **kwargs)
         Serializable.__init__(self, *args, **kwargs)
-        if opt_path is None:
-            opt_path = CFROption().get_default_option()
-        self.logger = log.get_logger("CFR")
-        self.opt, self.opt_path = self.get_option(opt_path)
-
-        self.data = None
-        data = kwargs.get("data")
-        data_opt = self.opt.get("data_opt")
-        data_opt = kwargs.get("data_opt", data_opt)
-        if data_opt:
-            self.data = buffalo_tpu.data.load(data_opt)
-            self.data.create()
-        elif isinstance(data, Data):
-            self.data = data
+        self._setup_driver(opt_path, CFROption, "CFR", ["stream"], kwargs)
         self.is_initialized = False
-        self.logger.info("CFR(%s)" % json.dumps(self.opt.to_dict(), indent=2))
         if self.data:
-            self.logger.info(self.data.show_info())
-            assert self.data.data_type in ["stream"]
             assert self.data.has_group("sppmi"), \
                 "CFR requires SPPMI data (set data.sppmi options)"
             assert self.data.has_group("colwise"), \

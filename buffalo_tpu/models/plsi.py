@@ -11,13 +11,11 @@ Reference: Hofmann, Probabilistic Latent Semantic Indexing (SIGIR 99).
 """
 from __future__ import annotations
 
-import json
 import time
 from typing import Callable, Dict, Optional
 
 import numpy as np
 
-import buffalo_tpu.data
 from buffalo_tpu.data.base import Data
 from buffalo_tpu.data.batching import DeviceBatcher
 from buffalo_tpu.evaluate import Evaluable
@@ -40,24 +38,7 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
         PLSIOption.__init__(self, *args, **kwargs)
         Evaluable.__init__(self, *args, **kwargs)
         Serializable.__init__(self, *args, **kwargs)
-        if opt_path is None:
-            opt_path = PLSIOption().get_default_option()
-        self.logger = log.get_logger("PLSI")
-        self.opt, self.opt_path = self.get_option(opt_path)
-
-        self.data = None
-        data = kwargs.get("data")
-        data_opt = self.opt.get("data_opt")
-        data_opt = kwargs.get("data_opt", data_opt)
-        if data_opt:
-            self.data = buffalo_tpu.data.load(data_opt)
-            self.data.create()
-        elif isinstance(data, Data):
-            self.data = data
-        self.logger.info("PLSI(%s)" % json.dumps(self.opt.to_dict(), indent=2))
-        if self.data:
-            self.logger.info(self.data.show_info())
-            assert self.data.data_type in ["matrix", "stream"]
+        self._setup_driver(opt_path, PLSIOption, "PLSI", ["matrix", "stream"], kwargs)
 
     @staticmethod
     def new(path, data_fields=[]):

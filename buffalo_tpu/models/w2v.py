@@ -16,13 +16,11 @@ Phrases and their Compositionality (NIPS 2013).
 """
 from __future__ import annotations
 
-import json
 import time
 from typing import Callable, Dict, Optional
 
 import numpy as np
 
-import buffalo_tpu.data
 from buffalo_tpu.data.base import Data
 from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
@@ -39,25 +37,7 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         W2VOption.__init__(self, *args, **kwargs)
         Evaluable.__init__(self, *args, **kwargs)
         Serializable.__init__(self, *args, **kwargs)
-        if opt_path is None:
-            opt_path = W2VOption().get_default_option()
-        self.logger = log.get_logger("W2V")
-        self.opt, self.opt_path = self.get_option(opt_path)
-
-        self.data = None
-        data = kwargs.get("data")
-        data_opt = self.opt.get("data_opt")
-        data_opt = kwargs.get("data_opt", data_opt)
-        if data_opt:
-            self.data = buffalo_tpu.data.load(data_opt)
-            assert self.data.data_type == "stream"
-            self.data.create()
-        elif isinstance(data, Data):
-            self.data = data
-        self.logger.info("W2V(%s)" % json.dumps(self.opt.to_dict(), indent=2))
-        if self.data:
-            self.logger.info(self.data.show_info())
-            assert self.data.data_type in ["stream"]
+        self._setup_driver(opt_path, W2VOption, "W2V", ["stream"], kwargs)
         self._vocab = Option({"size": 0, "index": None, "inv_index": None,
                               "scale": None, "dist": None,
                               "total_word_count": 0})
