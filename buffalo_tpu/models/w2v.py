@@ -295,6 +295,8 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             self.logger.info(
                 "Iteration %d: Loss %.5f (%d pairs) Elapsed %.3f secs"
                 % (i + 1, loss, n_pairs, time.time() - start_t))
+            if training_callback is not None and callable(training_callback):
+                training_callback(i, {"train_loss": loss})
         self.L0 = np.asarray(L0)
         self.L1 = np.asarray(L1)
         self.logger.info(
