@@ -12,17 +12,27 @@ deterministic vectorized sampling.
 """
 from __future__ import annotations
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from buffalo_tpu.data import (MatrixMarket, MatrixMarketOptions,  # noqa: F401
                               Stream, StreamOptions)
 from buffalo_tpu.models import (ALS, BPRMF, CFR, EALS, PLSI, W2V,  # noqa: F401
                                 WARP)
+from buffalo_tpu.models.base import Algo  # noqa: F401
+from buffalo_tpu.models.options import AlgoOption  # noqa: F401
 from buffalo_tpu.models.options import (ALSOption, BPRMFOption,  # noqa: F401
                                         CFROption, EALSOption, PLSIOption,
                                         W2VOption, WARPOption)
-from buffalo_tpu.parallel import (ParALS, ParBPRMF, ParCFR,  # noqa: F401
-                                  ParEALS, ParW2V)
+from buffalo_tpu.parallel import (IVFIndex, ParALS, ParBPRMF,  # noqa: F401
+                                  ParCFR, ParEALS, ParW2V)
+
+# Reference-API compatibility flags (buffalo/__init__.py exports
+# inited_CUALS/inited_CUBPR to signal its optional CUDA extensions).
+# There is no second accelerator backend here — the JAX compute path
+# IS the accelerator — so drop-in callers that branch on these flags
+# take their portable code path.
+inited_CUALS = False
+inited_CUBPR = False
 from buffalo_tpu.utils import Option  # noqa: F401
 from buffalo_tpu.utils import log  # noqa: F401
 from buffalo_tpu import utils as aux  # noqa: F401  (reference alias)
@@ -33,6 +43,8 @@ __all__ = [
     "ALSOption", "BPRMFOption", "CFROption", "EALSOption", "PLSIOption",
     "W2VOption", "WARPOption",
     "MatrixMarket", "MatrixMarketOptions", "Stream", "StreamOptions",
-    "ParALS", "ParBPRMF", "ParCFR", "ParEALS", "ParW2V",
+    "ParALS", "ParBPRMF", "ParCFR", "ParEALS", "ParW2V", "IVFIndex",
+    "Algo", "AlgoOption",
     "Option", "set_log_level", "get_log_level", "aux", "log",
+    "inited_CUALS", "inited_CUBPR",
 ]
