@@ -1,0 +1,126 @@
+"""W2V + CFR at KakaoBrunch12M scale (306k users x 506k items, 12M
+tokens of stream data) — the BASELINE.md "W2V+CFR on
+KakaoBrunch-scale stream data" config.
+
+The corpus is synthesized with the published shape: 306,291 lines
+whose lengths follow the nnz budget and whose tokens follow a zipfian
+item popularity (real text/stream statistics are shape-level here —
+epoch time depends on nnz, vocab size and degree distribution, not
+token identities).
+
+Usage:
+  python benchmark/test_stream_scale.py --algo w2v --epochs 3
+  python benchmark/test_stream_scale.py --algo cfr --epochs 2
+"""
+from __future__ import annotations
+
+import argparse
+import sys as _sys
+from pathlib import Path as _Path
+
+_here = _Path(__file__).resolve().parent
+_sys.path.insert(0, str(_here))
+_sys.path.insert(0, str(_here.parent))
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+USERS, ITEMS, NNZ = 306_291, 505_926, 12_000_000
+
+
+def write_synth_stream(out_dir=None, seed=7):
+    rng = np.random.default_rng(seed)
+    out_dir = out_dir or tempfile.mkdtemp(prefix="bt_stream_")
+    path = os.path.join(out_dir, "main.txt")
+    if os.path.isfile(path):
+        return path
+    # zipfian item popularity, log-normal-ish line lengths
+    pop = 1.0 / np.arange(1, ITEMS + 1) ** 0.8
+    pop /= pop.sum()
+    lens = np.maximum(1, rng.poisson(NNZ / USERS, USERS))
+    scale = NNZ / lens.sum()
+    lens = np.maximum(1, (lens * scale).astype(np.int64))
+    items = rng.choice(ITEMS, size=int(lens.sum()), p=pop)
+    with open(path, "w") as f:
+        pos = 0
+        for n in lens:
+            f.write(" ".join(map(str, items[pos:pos + n])) + "\n")
+            pos += n
+    return path
+
+
+def build(stream_path, db, internal="stream", sppmi=None):
+    from buffalo_tpu.data import StreamOptions, load
+    opt = StreamOptions().get_default_option()
+    opt.input.main = stream_path
+    opt.data.path = db
+    opt.data.tmp_dir = os.path.join(tempfile.gettempdir(), "bt_stream_tmp")
+    opt.data.internal_data_type = internal
+    opt.data.validation = {}
+    opt.data.use_cache = True
+    if sppmi:
+        opt.data.sppmi = sppmi
+    data = load(opt)
+    data.create()
+    return data
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", default="w2v", choices=["w2v", "cfr"])
+    ap.add_argument("--d", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=3)
+    args = ap.parse_args()
+
+    stream = write_synth_stream(
+        os.path.join(tempfile.gettempdir(), "bt_stream_corpus"))
+    if args.algo == "w2v":
+        from buffalo_tpu.models import W2V
+        from buffalo_tpu.models.options import W2VOption
+        data = build(stream,
+                     os.path.join(tempfile.gettempdir(), "bt_stream_w2v"))
+        opt = W2VOption().get_default_option()
+        opt.d = args.d
+        opt.num_iters = args.epochs + 1
+        opt.min_count = 2
+        model = W2V(opt, data=data)
+    else:
+        from buffalo_tpu.models import CFR
+        from buffalo_tpu.models.options import CFROption
+        data = build(stream,
+                     os.path.join(tempfile.gettempdir(), "bt_stream_cfr"),
+                     internal="matrix", sppmi={"windows": 5, "k": 10})
+        opt = CFROption().get_default_option()
+        opt.d = args.d
+        opt.num_iters = args.epochs + 1
+        opt.validation = {}
+        model = CFR(opt, data=data)
+
+    np.random.seed(0)
+    model.initialize()
+    st = time.perf_counter()
+    model.train()
+    total = time.perf_counter() - st
+    times = getattr(model, "iteration_times", [])[1:]
+    epoch_s = float(np.median(times)) if times else total / args.epochs
+    print(json.dumps({"algo": args.algo, "dataset": "kakaobrunch12m-shape",
+                      "d": args.d, "epoch_s": round(epoch_s, 4),
+                      "total_s": round(total, 3)}))
+
+    # top-k MIPS retrieval over the trained factors
+    from buffalo_tpu.parallel import ParALS, ParW2V
+    model.build_itemid_map()
+    keys = [model._idmanager.itemids[i] for i in range(0, 10_000, 1)]
+    par = ParW2V(model) if args.algo == "w2v" else ParALS(model)
+    par.most_similar(keys[:64], topk=10)  # warm + normalize
+    st = time.perf_counter()
+    par.most_similar(keys, topk=10)
+    print(json.dumps({"retrieval_10k_s": round(time.perf_counter() - st,
+                                               3)}))
+
+
+if __name__ == "__main__":
+    main()
