@@ -34,6 +34,7 @@ USERS, ITEMS, NNZ = 306_291, 505_926, 12_000_000
 def write_synth_stream(out_dir=None, seed=7):
     rng = np.random.default_rng(seed)
     out_dir = out_dir or tempfile.mkdtemp(prefix="bt_stream_")
+    os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "main.txt")
     if os.path.isfile(path):
         return path
