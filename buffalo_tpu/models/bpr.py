@@ -211,6 +211,9 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         # device-resident fused epoch unless the COO exceeds the budget
         resident_mb = int(opt.get("resident_mb", 4096))
         resident = (self.num_nnz * 8) <= resident_mb * 1024 * 1024
+        # "split" issues negative sampling as its own dispatch before
+        # each update epoch (bit-identical factors; ~2x dispatch count)
+        split_neg = str(opt.get("epoch_dispatch") or "auto") == "split"
         if resident:
             users_c, items_c, nnz = self._stage_epoch_chunks(batch_size)
             # random_positive (bpr.cu:53): per-slot uniform positive
@@ -269,10 +272,23 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
             start_t = time.time()
             if resident:
                 rng, sub = jax.random.split(rng)
+                negs = None
+                if split_neg:
+                    # dispatch 1: verified negatives only (gather/probe
+                    # graph); dispatch 2 below consumes them and is pure
+                    # scatter/update — the two graphs never fuse
+                    negs = K.bpr_sample_negatives_epoch(
+                        users_c, bloom, cum_table, sub,
+                        num_items=statics["num_items"],
+                        num_negatives=statics["num_negatives"],
+                        verify_neg=statics["verify_neg"],
+                        use_cum_table=statics["use_cum_table"],
+                        bloom_log2=bloom_log2)
                 self._P, self._Q, self._Qb, opt_state = K.bpr_epoch(
                     self._P, self._Q, self._Qb, opt_state,
                     users_c, items_c, bloom, cum_table, sub,
                     jnp.int32(i), self._pos_indptr, self._pos_keys,
+                    negs, precomputed_neg=split_neg,
                     random_positive=bool(opt.get("random_positive")),
                     optimizer=optimizer,
                     bloom_log2=bloom_log2,

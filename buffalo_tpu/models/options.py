@@ -200,6 +200,13 @@ class BPRMFOption(AlgoOption):
         :ivar int batch_size: sampled triplets per device step (TPU
             addition; the deterministic megabatch replacing the
             reference's hogwild job queue).
+        :ivar str epoch_dispatch: "auto" | "fused" | "split" (TPU
+            addition).  "fused" (= "auto") runs the whole epoch as one
+            XLA program; "split" issues negative sampling+verification
+            as a separate dispatch whose output feeds the update
+            program — bit-identical factors, one extra dispatch per
+            epoch, and the bloom-probe gathers never share a program
+            with the gradient scatter-adds.
         """
         opt = super().get_default_option()
         opt.update({
@@ -228,6 +235,7 @@ class BPRMFOption(AlgoOption):
             "verify_neg": True,
             "random_positive": False,
             "batch_size": 0,
+            "epoch_dispatch": "auto",
             "model_path": "",
             "data_opt": {},
         })

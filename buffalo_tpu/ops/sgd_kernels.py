@@ -296,18 +296,53 @@ def bpr_sgd_step(P, Q, Qb, users, positives, bloom_words, cum_table,
 
 
 @partial(jax.jit, static_argnames=(
+    "num_items", "num_negatives", "verify_neg", "use_cum_table",
+    "bloom_log2"))
+def bpr_sample_negatives_epoch(users, bloom_words, cum_table, rng_key, *,
+                               num_items, num_negatives, verify_neg,
+                               use_cum_table, bloom_log2):
+    """Dispatch 1 of the split epoch: every chunk's verified negatives.
+
+    Key derivation matches ``bpr_epoch``'s fused path exactly
+    (``fold_in(rng_key, chunk_index)``), so feeding the result back via
+    ``bpr_epoch(..., negatives=..., precomputed_neg=True)`` reproduces
+    the fused epoch bit-for-bit.  The point of the split: this program
+    is pure gather/probe (bloom verification, no scatter-add), and the
+    consumer program is pure update (scatter-add, no verification) —
+    the two never coexist in one XLA program.
+    """
+    nchunks, _ = users.shape
+    ct = cum_table if use_cum_table else None
+
+    def body(carry, xs):
+        u_chunk, cidx = xs
+        key = jax.random.fold_in(rng_key, cidx)
+        u = jnp.repeat(u_chunk, num_negatives)
+        neg = sample_verified_negatives(key, u, num_items, ct,
+                                       bloom_words, bloom_log2,
+                                       verify_neg)
+        return carry, neg
+
+    _, negs = jax.lax.scan(body, None,
+                           (users, jnp.arange(nchunks)))
+    return negs  # (nchunks, N * num_negatives) int32
+
+
+@partial(jax.jit, static_argnames=(
     "optimizer", "num_items", "num_negatives", "use_bias", "update_i",
     "update_j", "verify_neg", "use_cum_table", "per_coordinate_normalize",
     "lr", "min_lr", "beta1", "beta2", "reg_u", "reg_i", "reg_j", "reg_b",
-    "num_valid", "total_samples", "bloom_log2", "random_positive"),
+    "num_valid", "total_samples", "bloom_log2", "random_positive",
+    "precomputed_neg"),
     donate_argnums=(0, 1, 2, 3))
 def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
               cum_table, rng_key, step, pos_indptr=None, pos_keys=None,
-              *, optimizer, num_items,
+              negatives=None, *, optimizer, num_items,
               num_negatives, use_bias, update_i, update_j, verify_neg,
               use_cum_table, bloom_log2, per_coordinate_normalize, lr,
               min_lr, beta1, beta2, reg_u, reg_i, reg_j, reg_b, num_valid,
-              total_samples, random_positive=False):
+              total_samples, random_positive=False,
+              precomputed_neg=False):
     """One full BPR epoch in ONE dispatch: lax.scan over resident chunks.
 
     ``users``/``positives`` are the epoch's positives pre-reshaped to
@@ -323,7 +358,7 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
     deferred = optimizer != "sgd"
     ct = cum_table if use_cum_table else None
 
-    def chunk_forward(P, Q, Qb, u_chunk, pos_chunk, cidx, key):
+    def chunk_forward(P, Q, Qb, u_chunk, pos_chunk, neg_chunk, cidx, key):
         base = cidx * N
         valid = (base + jnp.arange(N, dtype=jnp.int32)) < num_valid
         if random_positive:
@@ -341,19 +376,34 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
         u = jnp.repeat(u_chunk, num_negatives)
         pos = jnp.repeat(pos_chunk, num_negatives)
         mask = jnp.repeat(valid, num_negatives).astype(jnp.float32)
-        neg = sample_verified_negatives(key, u, num_items, ct,
-                                        bloom_words, bloom_log2,
-                                        verify_neg)
+        if neg_chunk is None:
+            neg = sample_verified_negatives(key, u, num_items, ct,
+                                            bloom_words, bloom_log2,
+                                            verify_neg)
+        else:
+            neg = neg_chunk
         p, qi, qj, logit = _bpr_forward(P, Q, Qb, u, pos, neg, use_bias)
         return u, pos, neg, mask, p, qi, qj, logit * mask
+
+    if precomputed_neg:
+        xs_all = (users, positives, negatives, jnp.arange(nchunks))
+    else:
+        xs_all = (users, positives, jnp.arange(nchunks))
+
+    def unpack(xs):
+        if precomputed_neg:
+            u_chunk, pos_chunk, neg_chunk, cidx = xs
+        else:
+            (u_chunk, pos_chunk, cidx), neg_chunk = xs, None
+        return u_chunk, pos_chunk, neg_chunk, cidx
 
     if deferred:
         def body(carry, xs):
             gP, gQ, gQb, cP, cQ = carry
-            u_chunk, pos_chunk, cidx = xs
+            u_chunk, pos_chunk, neg_chunk, cidx = unpack(xs)
             key = jax.random.fold_in(rng_key, cidx)
             u, pos, neg, mask, p, qi, qj, logit = chunk_forward(
-                P, Q, Qb, u_chunk, pos_chunk, cidx, key)
+                P, Q, Qb, u_chunk, pos_chunk, neg_chunk, cidx, key)
             gP = gP.at[u].add(logit[:, None] * (qi - qj))
             item_deriv = logit[:, None] * p
             if update_i:
@@ -373,8 +423,7 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
         init = (jnp.zeros_like(P), jnp.zeros_like(Q), jnp.zeros_like(Qb),
                 jnp.zeros(P.shape[0], jnp.float32),
                 jnp.zeros(Q.shape[0], jnp.float32))
-        (gP, gQ, gQb, cP, cQ), _ = jax.lax.scan(
-            body, init, (users, positives, jnp.arange(nchunks)))
+        (gP, gQ, gQb, cP, cQ), _ = jax.lax.scan(body, init, xs_all)
 
         def apply(param, grad, m, v, counts, reg):
             if per_coordinate_normalize:
@@ -399,10 +448,10 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
 
     def body(carry, xs):
         P, Q, Qb = carry
-        u_chunk, pos_chunk, cidx = xs
+        u_chunk, pos_chunk, neg_chunk, cidx = unpack(xs)
         key = jax.random.fold_in(rng_key, cidx)
         u, pos, neg, mask, p, qi, qj, logit = chunk_forward(
-            P, Q, Qb, u_chunk, pos_chunk, cidx, key)
+            P, Q, Qb, u_chunk, pos_chunk, neg_chunk, cidx, key)
         progress = (step.astype(jnp.float32) * num_valid
                     + cidx.astype(jnp.float32) * N) / total_samples
         lr_t = jnp.maximum(lr - (lr - min_lr) * progress, min_lr)
@@ -421,8 +470,7 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
                     lr_t * mask * (-logit - reg_b * jnp.take(Qb, neg)))
         return (P, Q, Qb), None
 
-    (P, Q, Qb), _ = jax.lax.scan(
-        body, (P, Q, Qb), (users, positives, jnp.arange(nchunks)))
+    (P, Q, Qb), _ = jax.lax.scan(body, (P, Q, Qb), xs_all)
     return P, Q, Qb, opt_state
 
 

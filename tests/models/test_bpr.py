@@ -99,6 +99,24 @@ def test_topk_includes_bias(ml_data):
     assert len(recs) == 5
 
 
+def test_split_dispatch_parity(ml_data):
+    """epoch_dispatch="split" presamples negatives in a separate XLA
+    program with the same fold_in(key, chunk) derivation — factors must
+    match the fused epoch bit-for-bit (sgd and deferred paths)."""
+    for optimizer in ("sgd", "adagrad"):
+        def run(dispatch):
+            np.random.seed(7)
+            m, _ = _train(ml_data, optimizer=optimizer, num_iters=4,
+                          epoch_dispatch=dispatch)
+            return m
+
+        fused = run("fused")
+        split = run("split")
+        np.testing.assert_array_equal(fused.P, split.P)
+        np.testing.assert_array_equal(fused.Q, split.Q)
+        np.testing.assert_array_equal(fused.Qb, split.Qb)
+
+
 def test_random_positive(ml_data):
     """random_positive (bpr.cu:53): per-slot uniform positive draws on
     the fused path — trains to comparable accuracy, different factors."""
