@@ -250,6 +250,10 @@ class WARPOption(AlgoOption):
             feeds the rank weight.
         :ivar str score_func: dot | l2 (CML).
         :ivar float threshold: margin.
+        :ivar str epoch_dispatch: "auto" | "fused" | "split" (TPU
+            addition, cf. BPRMFOption): "split" runs the candidate
+            bloom probes as a separate dispatch feeding packed seen
+            bits to the update program — bit-identical factors.
         """
         opt = super().get_default_option()
         opt.update({
@@ -262,6 +266,7 @@ class WARPOption(AlgoOption):
             "threshold": 1.0,
             "score_func": "dot",
             "max_trials": 500,
+            "epoch_dispatch": "auto",
             "update_i": True,
             "update_j": True,
             "reg_u": 0.0,

@@ -160,6 +160,9 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
 
         resident_mb = int(opt.get("resident_mb", 4096))
         resident = (self.num_nnz * 8) <= resident_mb * 1024 * 1024
+        # "split" issues the candidate bloom probes as their own
+        # dispatch before each update epoch (bit-identical factors)
+        split_probe = str(opt.get("epoch_dispatch") or "auto") == "split"
         if resident:
             # device-resident chunks, one fused dispatch per epoch
             indptr_np = np.asarray(group["indptr"], dtype=np.int64)
@@ -215,9 +218,19 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
             start_t = time.time()
             if resident:
                 rng, sub = jax.random.split(rng)
+                seen_bits = None
+                if split_probe:
+                    # dispatch 1: candidate draw + bloom probes only;
+                    # the update program redraws candidates from the
+                    # same key and consumes the packed probe bits
+                    seen_bits = W.warp_probe_epoch(
+                        users_c, bloom, sub, num_items=num_items,
+                        num_candidates=num_candidates,
+                        bloom_log2=bloom_log2)
                 self._P, self._Q, opt_state = W.warp_epoch(
                     self._P, self._Q, opt_state, users_c, items_c,
-                    indptr, bloom, sub, jnp.int32(i),
+                    indptr, bloom, sub, jnp.int32(i), seen_bits,
+                    precomputed_probe=split_probe,
                     optimizer=str(opt.optimizer), lr=float(opt.lr),
                     beta1=float(opt.beta1), beta2=float(opt.beta2),
                     num_valid=nnz, **statics)

@@ -103,17 +103,65 @@ def warp_accumulate_step(P, Q, gradP, gradQ, countP, countQ,
     return gradP, gradQ, countP, countQ
 
 
+@partial(jax.jit, static_argnames=("num_items", "num_candidates",
+                                   "bloom_log2"))
+def warp_probe_epoch(users, bloom_words, rng_key, *, num_items,
+                     num_candidates, bloom_log2):
+    """Dispatch 1 of the split WARP epoch: packed candidate seen-bits.
+
+    Draws each chunk's (N, K) candidate tensor with the exact
+    ``fold_in(rng_key, chunk)`` stream ``warp_epoch`` uses and probes
+    the bloom filter, emitting one uint32 bitmask word per 32
+    candidates.  The update program redraws the candidates from the
+    same key (deterministic PRNG), so only K bits per sample — not the
+    K int32 candidates — cross the program boundary, and the bloom
+    gathers never share an XLA program with the gradient scatter-adds.
+    """
+    nchunks, N = users.shape
+    nwords = -(-num_candidates // 32)
+    bits = jnp.arange(32, dtype=jnp.uint32)
+
+    def body(carry, xs):
+        u_chunk, cidx = xs
+        key = jax.random.fold_in(rng_key, cidx)
+        cand = jax.random.randint(key, (N, num_candidates), 0, num_items,
+                                  dtype=jnp.int32)
+        seen = jax.vmap(lambda c: bloom_contains(
+            bloom_words, bloom_log2, u_chunk, c),
+                        in_axes=1, out_axes=1)(cand)
+        pad = nwords * 32 - num_candidates
+        if pad:
+            seen = jnp.pad(seen, ((0, 0), (0, pad)))
+        words = jnp.sum(
+            seen.reshape(N, nwords, 32).astype(jnp.uint32) << bits,
+            axis=-1, dtype=jnp.uint32)
+        return carry, words
+
+    _, seen_bits = jax.lax.scan(body, None,
+                                (users, jnp.arange(nchunks)))
+    return seen_bits  # (nchunks, N, ceil(K/32)) uint32
+
+
+def _unpack_seen_bits(words, num_candidates):
+    """Inverse of the packing in ``warp_probe_epoch``: (N, K) bool."""
+    N, nwords = words.shape
+    bits = jnp.arange(32, dtype=jnp.uint32)
+    seen = ((words[:, :, None] >> bits) & jnp.uint32(1)).astype(jnp.bool_)
+    return seen.reshape(N, nwords * 32)[:, :num_candidates]
+
+
 @partial(jax.jit, static_argnames=(
     "optimizer", "num_items", "num_candidates", "score_func", "threshold",
     "reg_u", "reg_i", "reg_j", "update_i", "update_j",
     "per_coordinate_normalize", "lr", "beta1", "beta2", "num_valid",
-    "bloom_log2"),
+    "bloom_log2", "precomputed_probe"),
     donate_argnums=(0, 1, 2))
 def warp_epoch(P, Q, opt_state, users, positives, indptr, bloom_words,
-               rng_key, step, *, optimizer, num_items, num_candidates,
-               score_func, threshold, reg_u, reg_i, reg_j, update_i,
-               update_j, per_coordinate_normalize, lr, beta1, beta2,
-               num_valid, bloom_log2):
+               rng_key, step, seen_bits=None, *, optimizer, num_items,
+               num_candidates, score_func, threshold, reg_u, reg_i,
+               reg_j, update_i, update_j, per_coordinate_normalize, lr,
+               beta1, beta2, num_valid, bloom_log2,
+               precomputed_probe=False):
     """One full WARP epoch in ONE dispatch.
 
     lax.scan over device-resident (nchunks, N) positive chunks
@@ -124,10 +172,17 @@ def warp_epoch(P, Q, opt_state, users, positives, indptr, bloom_words,
     from buffalo_tpu.ops.sgd_kernels import adagrad_update, adam_update
 
     nchunks, N = users.shape
+    if precomputed_probe:
+        xs_all = (users, positives, seen_bits, jnp.arange(nchunks))
+    else:
+        xs_all = (users, positives, jnp.arange(nchunks))
 
     def body(carry, xs):
         gP, gQ, cP, cQ = carry
-        u_chunk, pos_chunk, cidx = xs
+        if precomputed_probe:
+            u_chunk, pos_chunk, bits_chunk, cidx = xs
+        else:
+            (u_chunk, pos_chunk, cidx), bits_chunk = xs, None
         key = jax.random.fold_in(rng_key, cidx)
         base = cidx * N
         valid = ((base + jnp.arange(N, dtype=jnp.int32))
@@ -138,9 +193,12 @@ def warp_epoch(P, Q, opt_state, users, positives, indptr, bloom_words,
         ui = _scores(p, qi, score_func)
         cand = jax.random.randint(key, (N, num_candidates), 0, num_items,
                                   dtype=jnp.int32)
-        seen = jax.vmap(lambda c: bloom_contains(
-            bloom_words, bloom_log2, u_chunk, c),
-                        in_axes=1, out_axes=1)(cand)
+        if precomputed_probe:
+            seen = _unpack_seen_bits(bits_chunk, num_candidates)
+        else:
+            seen = jax.vmap(lambda c: bloom_contains(
+                bloom_words, bloom_log2, u_chunk, c),
+                            in_axes=1, out_axes=1)(cand)
         qc = jnp.take(Q, cand, axis=0)
         uj = _scores(p[:, None, :], qc, score_func)
         violating = (~seen) & ((ui[:, None] - uj) < threshold)
@@ -180,8 +238,7 @@ def warp_epoch(P, Q, opt_state, users, positives, indptr, bloom_words,
     init = (jnp.zeros_like(P), jnp.zeros_like(Q),
             jnp.zeros(P.shape[0], jnp.float32),
             jnp.zeros(Q.shape[0], jnp.float32))
-    (gP, gQ, cP, cQ), _ = jax.lax.scan(
-        body, init, (users, positives, jnp.arange(nchunks)))
+    (gP, gQ, cP, cQ), _ = jax.lax.scan(body, init, xs_all)
 
     def apply(param, grad, m, v, counts, reg):
         if per_coordinate_normalize:

@@ -93,3 +93,18 @@ def test_l2_topk_path(ml_data):
     pool = ["i1", "i2", "i3", "i4", "i5", "i6"]
     recs2 = m.topk_recommendation("u1", topk=3, pool=pool)
     assert all(r in pool for r in recs2)
+
+
+def test_split_dispatch_parity(ml_data):
+    """epoch_dispatch="split" probes the bloom filter in a separate
+    program (packed seen bits) while the update program redraws the
+    same candidates — factors must match the fused epoch exactly."""
+    def run(dispatch):
+        np.random.seed(11)
+        m, _ = _train(ml_data, num_iters=4, epoch_dispatch=dispatch)
+        return m
+
+    fused = run("fused")
+    split = run("split")
+    np.testing.assert_array_equal(fused.P, split.P)
+    np.testing.assert_array_equal(fused.Q, split.Q)
