@@ -37,7 +37,13 @@ def write_synth_stream(out_dir=None, seed=7):
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "main.txt")
     if os.path.isfile(path):
-        return path
+        # only trust a complete corpus (an interrupted write leaves a
+        # truncated file that would silently shrink the benchmark)
+        with open(path, "rb") as f:
+            n_lines = sum(1 for _ in f)
+        if n_lines == USERS:
+            return path
+        os.remove(path)
     # zipfian item popularity, log-normal-ish line lengths
     pop = 1.0 / np.arange(1, ITEMS + 1) ** 0.8
     pop /= pop.sum()
@@ -45,11 +51,13 @@ def write_synth_stream(out_dir=None, seed=7):
     scale = NNZ / lens.sum()
     lens = np.maximum(1, (lens * scale).astype(np.int64))
     items = rng.choice(ITEMS, size=int(lens.sum()), p=pop)
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         pos = 0
         for n in lens:
             f.write(" ".join(map(str, items[pos:pos + n])) + "\n")
             pos += n
+    os.replace(tmp, path)
     return path
 
 

@@ -32,7 +32,6 @@ from buffalo_tpu.models.options import ALSOption
 from buffalo_tpu.ops.als_kernels import (als_batch_step, als_epoch,
                                          als_epoch_sharded_range,
                                          als_group_step, gramian_step)
-from buffalo_tpu.utils import log
 from buffalo_tpu import parallelism
 
 

@@ -14,13 +14,14 @@ object arrays, and device-side scoring via ``ops.topk``.
 from __future__ import annotations
 
 import abc
+import json
 import pickle
 import struct
 
 import numpy as np
 
 from buffalo_tpu.ops.topk import matmul_topk
-from buffalo_tpu.utils import Option
+from buffalo_tpu.utils import Option, log
 
 EPS = 1e-8
 
@@ -60,11 +61,9 @@ class Algo(abc.ABC):
         validation, logger, then bind ``data``/``data_opt`` (building
         the database when an option tree is given).
         """
-        from buffalo_tpu.utils import log as _log
-
         if opt_path is None:
             opt_path = opt_cls().get_default_option()
-        self.logger = _log.get_logger(name)
+        self.logger = log.get_logger(name)
         self.opt, self.opt_path = self.get_option(opt_path)
 
         self.data = None
@@ -78,9 +77,8 @@ class Algo(abc.ABC):
             from buffalo_tpu.data.base import Data
             assert isinstance(data, Data), f"Wrong instance: {type(data)}"
             self.data = data
-        import json as _json
         self.logger.info("%s(%s)" % (
-            name, _json.dumps(self.opt.to_dict(), indent=2)))
+            name, json.dumps(self.opt.to_dict(), indent=2)))
         if self.data:
             self.logger.info(self.data.show_info())
             assert self.data.data_type in data_types

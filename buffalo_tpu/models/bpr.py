@@ -27,7 +27,6 @@ from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import BPRMFOption
 from buffalo_tpu.ops import sgd_kernels as K
-from buffalo_tpu.utils import log
 
 
 class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
@@ -213,7 +212,16 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         resident = (self.num_nnz * 8) <= resident_mb * 1024 * 1024
         # "split" issues negative sampling as its own dispatch before
         # each update epoch (bit-identical factors; ~2x dispatch count)
-        split_neg = str(opt.get("epoch_dispatch") or "auto") == "split"
+        dispatch = str(opt.get("epoch_dispatch") or "auto")
+        if dispatch not in ("auto", "fused", "split"):
+            raise ValueError(
+                f"epoch_dispatch must be auto|fused|split, got {dispatch!r}")
+        split_neg = dispatch == "split"
+        if split_neg and not resident:
+            self.logger.warning(
+                "epoch_dispatch='split' applies to the device-resident "
+                "fused epoch only; the streaming path ignores it")
+            split_neg = False
         if resident:
             users_c, items_c, nnz = self._stage_epoch_chunks(batch_size)
             # random_positive (bpr.cu:53): per-slot uniform positive

@@ -29,7 +29,6 @@ from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import CFROption
 from buffalo_tpu.ops import cfr_kernels as K
-from buffalo_tpu.utils import log
 
 
 class CFR(Algo, CFROption, Evaluable, Serializable):
@@ -61,10 +60,16 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
             f"group ({group}) is not properly provided"
         if group == "user" and not self.opt.get("_nrz_U"):
             self.U = self._normalize(self.U)
+            # keep the ALS-style P/Q aliases (and their guard flags,
+            # checked by ParALS.topk_recommendation) in sync
+            self.P = self.U
             self.opt._nrz_U = True
+            self.opt._nrz_P = True
         elif group == "item" and not self.opt.get("_nrz_I"):
             self.I = self._normalize(self.I)
+            self.Q = self.I
             self.opt._nrz_I = True
+            self.opt._nrz_Q = True
         elif group == "context" and not self.opt.get("_nrz_C"):
             self.C = self._normalize(self.C)
             self.opt._nrz_C = True
@@ -299,11 +304,11 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
                 return out
             return list(entry)
 
-        padded_entries = sum(
-            int(np.prod(np.asarray(a).shape))
+        staged_bytes = sum(
+            np.asarray(a).nbytes
             for phase in batches.values() for e in phase
             for a in entry_arrays(e))
-        resident = (padded_entries * 8) <= int(
+        resident = staged_bytes <= int(
             opt.get("resident_mb", 4096)) * 1024 * 1024
         if resident:
             # stage all three phases' batches on device once; the whole

@@ -23,7 +23,6 @@ from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import EALSOption
 from buffalo_tpu.ops import eals_kernels as K
-from buffalo_tpu.utils import log
 
 
 class EALS(Algo, EALSOption, Evaluable, Serializable):

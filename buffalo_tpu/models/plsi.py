@@ -27,7 +27,6 @@ from buffalo_tpu.ops.plsi_kernels import (plsi_accumulate,
                                           plsi_epoch, plsi_epoch_range,
                                           plsi_mstep, plsi_normalize_swap,
                                           plsi_segment_group)
-from buffalo_tpu.utils import log
 
 
 class PLSI(Algo, PLSIOption, Evaluable, Serializable):

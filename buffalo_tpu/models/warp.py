@@ -24,7 +24,6 @@ from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import WARPOption
 from buffalo_tpu.ops import sgd_kernels as K
 from buffalo_tpu.ops import warp_kernels as W
-from buffalo_tpu.utils import log
 
 
 class WARP(Algo, WARPOption, Evaluable, Serializable):
@@ -162,7 +161,16 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         resident = (self.num_nnz * 8) <= resident_mb * 1024 * 1024
         # "split" issues the candidate bloom probes as their own
         # dispatch before each update epoch (bit-identical factors)
-        split_probe = str(opt.get("epoch_dispatch") or "auto") == "split"
+        dispatch = str(opt.get("epoch_dispatch") or "auto")
+        if dispatch not in ("auto", "fused", "split"):
+            raise ValueError(
+                f"epoch_dispatch must be auto|fused|split, got {dispatch!r}")
+        split_probe = dispatch == "split"
+        if split_probe and not resident:
+            self.logger.warning(
+                "epoch_dispatch='split' applies to the device-resident "
+                "fused epoch only; the streaming path ignores it")
+            split_probe = False
         if resident:
             # device-resident chunks, one fused dispatch per epoch
             indptr_np = np.asarray(group["indptr"], dtype=np.int64)

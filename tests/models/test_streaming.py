@@ -116,7 +116,6 @@ def test_als_dp_tp_streaming_fallback(ml_data):
 
 
 def test_w2v_streaming_trains(ml100k_like, tmp_path_factory):
-    from buffalo_tpu.data import StreamOptions
     from buffalo_tpu.models import W2V
     from buffalo_tpu.models.options import W2VOption
 

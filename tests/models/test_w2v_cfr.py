@@ -283,3 +283,25 @@ def test_w2v_analogy_gate(analogy_data):
     m_uncapped = _train_w2v_analogy(data, max_step_norm=0.0)
     acc_uncapped = _analogy_acc(m_uncapped, M)
     assert acc > acc_uncapped
+
+
+def test_cfr_normalize_keeps_pq_aliases(cfr_data):
+    """normalize() rebinds U/I to new arrays; the ALS-style P/Q aliases
+    (what ParALS/ParCFR score with) must follow, and the _nrz_P/_nrz_Q
+    guard flags must be set so topk_recommendation refuses normalized
+    factors (regression: Q kept pointing at the pre-normalize I)."""
+    opt = CFROption().get_default_option()
+    opt.d = 8
+    opt.num_iters = 2
+    opt.validation = {}
+    m = CFR(opt, data=cfr_data)
+    m.initialize()
+    m.train()
+    m.normalize(group="item")
+    assert m.Q is m.I
+    assert m.opt.get("_nrz_Q")
+    np.testing.assert_allclose(
+        np.linalg.norm(m.Q, axis=1), 1.0, atol=1e-3)
+    m.normalize(group="user")
+    assert m.P is m.U
+    assert m.opt.get("_nrz_P")
