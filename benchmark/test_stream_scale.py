@@ -29,9 +29,12 @@ import time
 import numpy as np
 
 USERS, ITEMS, NNZ = 306_291, 505_926, 12_000_000
+SMOKE_USERS, SMOKE_ITEMS, SMOKE_NNZ = 600, 400, 12_000
 
 
-def write_synth_stream(out_dir=None, seed=7):
+def write_synth_stream(out_dir=None, seed=7, smoke=False):
+    users, items_n, nnz = ((SMOKE_USERS, SMOKE_ITEMS, SMOKE_NNZ)
+                          if smoke else (USERS, ITEMS, NNZ))
     rng = np.random.default_rng(seed)
     out_dir = out_dir or tempfile.mkdtemp(prefix="bt_stream_")
     os.makedirs(out_dir, exist_ok=True)
@@ -41,16 +44,16 @@ def write_synth_stream(out_dir=None, seed=7):
         # truncated file that would silently shrink the benchmark)
         with open(path, "rb") as f:
             n_lines = sum(1 for _ in f)
-        if n_lines == USERS:
+        if n_lines == users:
             return path
         os.remove(path)
     # zipfian item popularity, log-normal-ish line lengths
-    pop = 1.0 / np.arange(1, ITEMS + 1) ** 0.8
+    pop = 1.0 / np.arange(1, items_n + 1) ** 0.8
     pop /= pop.sum()
-    lens = np.maximum(1, rng.poisson(NNZ / USERS, USERS))
-    scale = NNZ / lens.sum()
+    lens = np.maximum(1, rng.poisson(nnz / users, users))
+    scale = nnz / lens.sum()
     lens = np.maximum(1, (lens * scale).astype(np.int64))
-    items = rng.choice(ITEMS, size=int(lens.sum()), p=pop)
+    items = rng.choice(items_n, size=int(lens.sum()), p=pop)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         pos = 0
@@ -82,15 +85,27 @@ def main():
     ap.add_argument("--algo", default="w2v", choices=["w2v", "cfr"])
     ap.add_argument("--d", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny-shape CPU sanity run of the full harness")
     args = ap.parse_args()
 
+    if args.smoke or os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the environment's sitecustomize force-registers the tunneled
+        # TPU platform and overrides JAX_PLATFORMS; re-pin before any
+        # backend initialization (same recipe as tests/conftest.py)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    tag = "_smoke" if args.smoke else ""
     stream = write_synth_stream(
-        os.path.join(tempfile.gettempdir(), "bt_stream_corpus"))
+        os.path.join(tempfile.gettempdir(), "bt_stream_corpus" + tag),
+        smoke=args.smoke)
     if args.algo == "w2v":
         from buffalo_tpu.models import W2V
         from buffalo_tpu.models.options import W2VOption
-        data = build(stream,
-                     os.path.join(tempfile.gettempdir(), "bt_stream_w2v"))
+        data = build(stream, os.path.join(tempfile.gettempdir(),
+                                          "bt_stream_w2v" + tag))
         opt = W2VOption().get_default_option()
         opt.d = args.d
         opt.num_iters = args.epochs + 1
@@ -99,8 +114,8 @@ def main():
     else:
         from buffalo_tpu.models import CFR
         from buffalo_tpu.models.options import CFROption
-        data = build(stream,
-                     os.path.join(tempfile.gettempdir(), "bt_stream_cfr"),
+        data = build(stream, os.path.join(tempfile.gettempdir(),
+                                          "bt_stream_cfr" + tag),
                      internal="matrix", sppmi={"windows": 5, "k": 10})
         opt = CFROption().get_default_option()
         opt.d = args.d
@@ -115,20 +130,22 @@ def main():
     total = time.perf_counter() - st
     times = getattr(model, "iteration_times", [])[1:]
     epoch_s = float(np.median(times)) if times else total / args.epochs
-    print(json.dumps({"algo": args.algo, "dataset": "kakaobrunch12m-shape",
+    dataset = "smoke" if args.smoke else "kakaobrunch12m-shape"
+    print(json.dumps({"algo": args.algo, "dataset": dataset,
                       "d": args.d, "epoch_s": round(epoch_s, 4),
                       "total_s": round(total, 3)}))
 
     # top-k MIPS retrieval over the trained factors
     from buffalo_tpu.parallel import ParALS, ParW2V
     model.build_itemid_map()
-    keys = [model._idmanager.itemids[i] for i in range(0, 10_000, 1)]
+    nq = min(10_000, len(model._idmanager.itemids))
+    keys = [model._idmanager.itemids[i] for i in range(nq)]
     par = ParW2V(model) if args.algo == "w2v" else ParALS(model)
     par.most_similar(keys[:64], topk=10)  # warm + normalize
     st = time.perf_counter()
     par.most_similar(keys, topk=10)
-    print(json.dumps({"retrieval_10k_s": round(time.perf_counter() - st,
-                                               3)}))
+    print(json.dumps({f"retrieval_{nq}q_s":
+                      round(time.perf_counter() - st, 3)}))
 
 
 if __name__ == "__main__":
