@@ -30,7 +30,13 @@ import tempfile
 from models import DATASET_SHAPES, build_data, fit_algo, write_synth_mm
 
 
-def run_als(data, d, num_epochs, optimizer=None):
+def _apply_overrides(opt, overrides):
+    for k, v in (overrides or {}).items():
+        opt[k] = v
+    return opt
+
+
+def run_als(data, d, num_epochs, optimizer=None, overrides=None):
     from buffalo_tpu import ALS, ALSOption
     opt = ALSOption().get_default_option()
     opt.d = d
@@ -39,41 +45,57 @@ def run_als(data, d, num_epochs, optimizer=None):
     opt.resident_mb = 8192
     if optimizer:
         opt.optimizer = optimizer
-    return fit_algo(ALS, opt, data, num_epochs)
+    return fit_algo(ALS, _apply_overrides(opt, overrides), data, num_epochs)
 
 
-def run_bpr(data, d, num_epochs, optimizer="sgd"):
+def run_bpr(data, d, num_epochs, optimizer="sgd", overrides=None):
     from buffalo_tpu import BPRMF, BPRMFOption
     opt = BPRMFOption().get_default_option()
     opt.d = d
     opt.num_iters = num_epochs
     opt.optimizer = optimizer
     opt.resident_mb = 8192
-    return fit_algo(BPRMF, opt, data, num_epochs)
+    return fit_algo(BPRMF, _apply_overrides(opt, overrides), data,
+                    num_epochs)
 
 
-def run_eals(data, d, num_epochs, optimizer=None):
+def run_warp(data, d, num_epochs, optimizer=None, overrides=None):
+    from buffalo_tpu import WARP
+    from buffalo_tpu.models.options import WARPOption
+    opt = WARPOption().get_default_option()
+    opt.d = d
+    opt.num_iters = num_epochs
+    if optimizer:
+        opt.optimizer = optimizer
+    opt.resident_mb = 8192
+    return fit_algo(WARP, _apply_overrides(opt, overrides), data,
+                    num_epochs)
+
+
+def run_eals(data, d, num_epochs, optimizer=None, overrides=None):
     from buffalo_tpu import EALS
     from buffalo_tpu.models.options import EALSOption
     opt = EALSOption().get_default_option()
     opt.d = d
     opt.num_iters = num_epochs
-    return fit_algo(EALS, opt, data, num_epochs)
+    return fit_algo(EALS, _apply_overrides(opt, overrides), data,
+                    num_epochs)
 
 
-def run_plsi(data, d, num_epochs, optimizer=None):
+def run_plsi(data, d, num_epochs, optimizer=None, overrides=None):
     from buffalo_tpu import PLSI
     from buffalo_tpu.models.options import PLSIOption
     opt = PLSIOption().get_default_option()
     opt.d = d
     opt.num_iters = num_epochs
-    return fit_algo(PLSI, opt, data, num_epochs)
+    return fit_algo(PLSI, _apply_overrides(opt, overrides), data,
+                    num_epochs)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", default="als",
-                    choices=["als", "bpr", "eals", "plsi", "both"])
+                    choices=["als", "bpr", "warp", "eals", "plsi", "both"])
     ap.add_argument("--dataset", default="ml20m",
                     choices=sorted(DATASET_SHAPES))
     ap.add_argument("--mm", default=None,
@@ -84,7 +106,19 @@ def main():
     ap.add_argument("--devices", type=int, default=0,
                     help="force an n-device CPU mesh (0 = default backend)")
     ap.add_argument("--db", default=None, help="cache dir for built data")
+    ap.add_argument("--set", nargs="*", default=[], metavar="K=V",
+                    dest="overrides",
+                    help="algo option overrides, e.g. epoch_dispatch=split"
+                         " optimizer=adagrad batch_size=65536")
     args = ap.parse_args()
+
+    overrides = {}
+    for kv in args.overrides:
+        k, _, v = kv.partition("=")
+        try:
+            overrides[k] = json.loads(v)
+        except json.JSONDecodeError:
+            overrides[k] = v
 
     if args.devices:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -98,13 +132,13 @@ def main():
     data = build_data(mm, db)
 
     algos = ["als", "bpr"] if args.algo == "both" else [args.algo]
-    runners = {"als": run_als, "bpr": run_bpr, "eals": run_eals,
-               "plsi": run_plsi}
+    runners = {"als": run_als, "bpr": run_bpr, "warp": run_warp,
+               "eals": run_eals, "plsi": run_plsi}
     print("| algo | dataset | d | epoch_s | total_s | peak_rss_mb |")
     print("|---|---|---|---|---|---|")
     for algo in algos:
         for d in args.d:
-            r = runners[algo](data, d, args.epochs)
+            r = runners[algo](data, d, args.epochs, overrides=overrides)
             r.pop("algo")
             print(f"| {algo} | {args.dataset} | {d} "
                   f"| {r['epoch_s']} | {r['total_s']} | {r['peak_rss_mb']} |")
