@@ -79,6 +79,27 @@ class IVFIndex:
         return cls(np.asarray(cent_d), np.asarray(assign), table,
                    n_probe=n_probe)
 
+    # ------------------------------------------------------------- serialize
+    def save(self, path: str) -> None:
+        """Persist as a single .npz (the analog of the reference's
+        ``ann.save_index(path)`` in examples/example_als.py:62-66)."""
+        np.savez(path if path.endswith(".npz") else path + ".npz",
+                 centroids=self.centroids, ids=self.ids,
+                 cell_ptr=self.cell_ptr, table=self.table,
+                 n_probe=np.int64(self.n_probe))
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        with np.load(path if path.endswith(".npz")
+                     else path + ".npz") as z:
+            idx = cls.__new__(cls)
+            idx.centroids = z["centroids"]
+            idx.ids = z["ids"]
+            idx.cell_ptr = z["cell_ptr"]
+            idx.table = z["table"]
+            idx.n_probe = int(z["n_probe"])
+        return idx
+
     # ---------------------------------------------------------------- search
     def search(self, queries: np.ndarray, topk: int
                ) -> Tuple[np.ndarray, np.ndarray]:

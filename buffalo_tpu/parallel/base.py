@@ -42,9 +42,14 @@ class Parallel(abc.ABC):
     def set_ann_index(self, index):
         """Optional ANN hook (the reference's n2/HNSW path,
         ``examples/example_als.py:56-76``): any object exposing
-        ``search(queries: (B, d) float32, topk: int) -> (ids, scores)``.
-        When set, ``most_similar`` delegates to it instead of the
-        exact sharded matmul scan."""
+        ``search(queries: (B, d) float32, topk: int) -> (ids, scores)``,
+        or a path to a saved :class:`~buffalo_tpu.parallel.ann.IVFIndex`
+        (the analog of ``set_hnsw_index(path)``).  When set,
+        ``most_similar`` delegates to it instead of the exact sharded
+        matmul scan."""
+        if isinstance(index, str):
+            from buffalo_tpu.parallel.ann import IVFIndex
+            index = IVFIndex.load(index)
         if not hasattr(index, "search"):
             raise ValueError("ANN index must expose search(queries, topk)")
         self._ann_index = index

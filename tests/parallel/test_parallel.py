@@ -191,3 +191,26 @@ def test_ivf_ann_index(als):
     same = np.mean([len(set(a) & set(e)) / len(set(e))
                     for a, e in zip(np.asarray(full), np.asarray(exact))])
     assert same > 0.95, same
+
+
+def test_ivf_index_save_load(als, tmp_path):
+    """IVFIndex npz round-trip; set_ann_index accepts a path (the
+    reference's set_hnsw_index(path) analog)."""
+    from buffalo_tpu.parallel import ParALS
+    from buffalo_tpu.parallel.ann import IVFIndex
+
+    als.normalize("item")
+    index = IVFIndex.build(als.Q, n_clusters=8, n_probe=8)
+    path = str(tmp_path / "ivf")
+    index.save(path)
+
+    par = ParALS(als)
+    par.set_ann_index(path + ".npz")
+    keys = [als._idmanager.itemids[i] for i in range(10)]
+    ids_loaded, sc_loaded = par.most_similar(keys, topk=5)
+    par.set_ann_index(index)
+    ids_mem, sc_mem = par.most_similar(keys, topk=5)
+    np.testing.assert_array_equal(np.asarray(ids_loaded),
+                                  np.asarray(ids_mem))
+    np.testing.assert_allclose(np.asarray(sc_loaded),
+                               np.asarray(sc_mem), rtol=1e-6)
