@@ -141,23 +141,30 @@ class RangeBatch(NamedTuple):
 
 def _gather_remapped(indptr, key, val, rows, B, L, other_newpos,
                      vals_dtype=np.float32):
-    """Gather CSR rows into a padded (B, L) block with col-id remap.
+    """Gather CSR rows into a padded (B, L) block.
 
-    ``rows`` may be shorter than B (the rest is padding with len 0);
-    ``other_newpos`` maps the raw neighbor ids into the permuted other
-    table's positions.
+    The one ragged-CSR gather used by both the range-layout builders
+    and ``BatchPlanner.iter_batches``.  ``rows`` may be shorter than B
+    (the rest is padding with len 0); ``other_newpos``, when given,
+    maps the raw neighbor ids into the permuted other table's
+    positions.
     """
     n = len(rows)
     out_lens = np.zeros(B, dtype=np.int32)
     pad_cols = np.zeros((B, L), dtype=np.int32)
     pad_vals = np.zeros((B, L), dtype=vals_dtype)
     if n:
+        key = np.asarray(key)
         beg = indptr[rows]
         lens = (indptr[rows + 1] - beg).astype(np.int32)
         offs = np.arange(L, dtype=np.int64)[None, :]
-        idx = beg[:, None] + np.minimum(offs, (lens[:, None] - 1))
+        idx = beg[:, None] + np.minimum(offs,
+                                        np.maximum(lens[:, None] - 1, 0))
         mask = offs < lens[:, None]
-        cols = np.where(mask, other_newpos[key[idx]], 0)
+        raw = key[idx]
+        cols = np.where(mask,
+                        raw if other_newpos is None else other_newpos[raw],
+                        0)
         if val is not None:
             vals = np.where(mask, np.asarray(val, np.float32)[idx], 0.0)
         else:
@@ -195,7 +202,7 @@ def build_range_layout(row_planner: "BatchPlanner",
                 n = len(rows)
                 B = min(bucket.B, -(-n // bmult) * bmult)
                 newpos[rows] = pos + np.arange(n)
-                plan.append((rows, pos, B))
+                plan.append((rows, pos, B, int(bucket.L)))
                 pos += B
         seg = np.asarray(
             [r for p in planner.segment_plans for r in p], dtype=np.int64)
@@ -217,12 +224,7 @@ def build_range_layout(row_planner: "BatchPlanner",
         out = []
         indptr = planner.indptr
         key = np.asarray(key, dtype=np.int64)
-        grid = _bucket_lengths(planner.max_len)
-        for rows, pos, B in plan:
-            # bucket length from the planner grid: the longest row in
-            # the batch, rounded up on the grid (the planner's value)
-            max_deg = int((indptr[rows + 1] - indptr[rows]).max())
-            L = int(grid[np.searchsorted(grid, max_deg)])
+        for rows, pos, B, L in plan:
             out_lens, pad_cols, pad_vals = _gather_remapped(
                 indptr, key, val, rows, B, L, other_newpos, vals_dtype)
             out.append(RangeBatch(row_start=np.int32(pos),
@@ -382,7 +384,10 @@ class BatchPlanner:
             entries_per_batch = max(int(batch_mb) * 1024 * 1024 // 16, 4096)
         self.entries_per_batch = entries_per_batch
         self.row_multiple = max(1, int(row_multiple))
-        self.max_len = max(MIN_L, int(max_len))
+        # round up to a multiple of 8 so the bucket grid lands exactly
+        # on max_len; otherwise rows just below a non-multiple cap get
+        # an L above it and are misrouted to the segment/scatter path
+        self.max_len = -(-max(MIN_L, int(max_len)) // 8) * 8
 
         buckets: Dict[int, List[int]] = {}
         nonzero = np.nonzero(degrees)[0]
@@ -457,44 +462,40 @@ class BatchPlanner:
     def shapes(self) -> List[tuple]:
         return [(b.B, b.L) for b in self.buckets]
 
+    def padded_entries(self) -> int:
+        """Exact padded (cols) entry count of the planned epoch —
+        buckets plus segment chunks.  The one number the resident /
+        group-dispatch / vals-dtype budget decisions should share
+        (a final partial batch is counted at full B: a tight upper
+        bound)."""
+        total = sum(b.B * b.L * int(math.ceil(len(b.row_ids) / b.B))
+                    for b in self.buckets)
+        if self.segment_plans:
+            deg = np.diff(self.indptr)
+            for plan in self.segment_plans:
+                total += int(np.ceil(
+                    deg[plan] / self.max_len).sum()) * self.max_len
+        return total
+
     def iter_batches(self, key: np.ndarray, val: Optional[np.ndarray]
                      ) -> Iterator[PaddedBatch]:
         """Materialize padded batches from flat CSR key/val arrays."""
         indptr = self.indptr
         bmult = getattr(self, "batch_rows_multiple", MIN_B)
+        key = np.asarray(key, dtype=np.int32)
         for bucket in self.buckets:
-            L = bucket.L
             ids = bucket.row_ids
             for start in range(0, len(ids), bucket.B):
                 rows = ids[start:start + bucket.B]
                 n = len(rows)
                 # shrink the (always-partial) final batch of the bucket
                 B = min(bucket.B, -(-n // bmult) * bmult)
-                beg = indptr[rows]
-                lens = (indptr[rows + 1] - beg).astype(np.int32)
-                # vectorized ragged gather: clip flat indices to row end
-                offs = np.arange(L, dtype=np.int64)[None, :]
-                idx = beg[:, None] + np.minimum(offs, (lens[:, None] - 1))
-                cols = np.asarray(key, dtype=np.int32)[idx]
-                mask = offs < lens[:, None]
-                cols = np.where(mask, cols, 0).astype(np.int32)
-                if val is not None:
-                    vals = np.asarray(val, dtype=np.float32)[idx]
-                    vals = np.where(mask, vals, 0.0).astype(np.float32)
-                else:
-                    vals = np.where(mask, 1.0, 0.0).astype(np.float32)
+                out_lens, cols, vals = _gather_remapped(
+                    indptr, key, val, rows, B, bucket.L, None)
                 # padding rows carry the out-of-range id num_rows so that
                 # device scatters with mode="drop" ignore them
                 out_rows = np.full(B, self.num_rows, dtype=np.int32)
                 out_rows[:n] = rows
-                out_lens = np.zeros(B, dtype=np.int32)
-                out_lens[:n] = lens
-                if n < B:
-                    pad_cols = np.zeros((B, L), dtype=np.int32)
-                    pad_cols[:n] = cols
-                    pad_vals = np.zeros((B, L), dtype=np.float32)
-                    pad_vals[:n] = vals
-                    cols, vals = pad_cols, pad_vals
                 yield PaddedBatch(rows=out_rows, lens=out_lens,
                                   cols=cols, vals=vals)
         for plan in self.segment_plans:
@@ -590,7 +591,10 @@ def padded_entry_count(batches: Sequence) -> int:
 
 def choose_group_dispatch(opt, padded_entries: int) -> bool:
     """Resolve the shared ``epoch_dispatch`` option (auto|fused|group)."""
-    dispatch = str(opt.get("epoch_dispatch", "auto"))
+    dispatch = str(opt.get("epoch_dispatch", "auto") or "auto")
+    if dispatch not in ("auto", "fused", "group"):
+        raise ValueError(
+            f"epoch_dispatch must be auto|fused|group, got {dispatch!r}")
     return dispatch == "group" or (
         dispatch == "auto" and padded_entries > GROUP_DISPATCH_ENTRIES)
 
@@ -665,15 +669,10 @@ class DeviceBatcher:
                                     row_multiple=row_multiple,
                                     max_len=max_len, max_rows=max_rows,
                                     matrix_free=matrix_free)
-        padded_entries = sum(b.B * b.L * math.ceil(len(b.row_ids) / b.B)
-                             for b in self.planner.buckets)
-        padded_entries += sum(
-            int(np.ceil(
-                np.diff(self.planner.indptr)[plan] / self.planner.max_len
-            ).sum()) * self.planner.max_len
-            for plan in self.planner.segment_plans)
+        self.padded_entries = self.planner.padded_entries()
         # 8 bytes per padded entry (int32 col + f32 val) on device
-        self.resident = (padded_entries * 8) <= resident_mb * 1024 * 1024
+        self.resident = (self.padded_entries * 8) <= \
+            resident_mb * 1024 * 1024
         self.sharding = sharding
         self._device_cache: Optional[List] = None
 

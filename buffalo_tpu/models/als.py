@@ -333,13 +333,13 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         # row range (scatter costs ~133 ns/row at 20M+ rows; a range
         # write is pure bandwidth)
         use_range = (mesh is None and resident and range_opt)
-        dispatch_pref = str(self.opt.get("epoch_dispatch", "auto"))
 
         def planned_padded_entries():
-            return sum(
-                b.B * b.L * -(-len(b.row_ids) // b.B)
-                for g in ("rowwise", "colwise")
-                for b in batchers[g].planner.buckets)
+            # buckets AND segment chunks — power-law head rows can be
+            # a third of the epoch, and undercounting them here keeps
+            # the fused program / f32 vals past the OOM thresholds
+            return sum(batchers[g].planner.padded_entries()
+                       for g in ("rowwise", "colwise"))
 
         def pick_vals_dtype(padded_entries):
             """bf16 confidence values at scale (730M lesson: halves the

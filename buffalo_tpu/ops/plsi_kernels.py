@@ -238,11 +238,18 @@ def plsi_epoch_range(P, Q, row_groups, col_groups, row_segments,
 
 @partial(jax.jit, static_argnames=("alpha1", "alpha2"))
 def plsi_normalize_swap(Pn, Qn, *, alpha1, alpha2):
-    """M-step smoothing + normalization (plsi.cc:108-125)."""
+    """M-step smoothing + normalization (plsi.cc:108-125).
+
+    Zero-sum rows/columns (an empty user with alpha1=0, a never-seen
+    item with alpha2=0) are guarded like ``_mstep``'s permuted-layout
+    variant: dividing by 1 leaves them all-zero instead of NaN.
+    """
     d = Pn.shape[1]
     num_items = Qn.shape[0]
     Pn = Pn + alpha1 / d
-    Pn = Pn / jnp.sum(Pn, axis=1, keepdims=True)
+    psum = jnp.sum(Pn, axis=1, keepdims=True)
+    Pn = Pn / jnp.where(psum > 0, psum, 1.0)
     Qn = Qn + alpha2 / num_items
-    Qn = Qn / jnp.sum(Qn, axis=0, keepdims=True)
+    qsum = jnp.sum(Qn, axis=0, keepdims=True)
+    Qn = Qn / jnp.where(qsum > 0, qsum, 1.0)
     return Pn, Qn

@@ -1,5 +1,6 @@
 """Batch planner tests: shape bounds, full coverage, padding semantics."""
 import numpy as np
+import pytest
 
 from buffalo_tpu.data.batching import BatchPlanner, COOBatcher
 
@@ -140,3 +141,42 @@ def test_sharded_range_layout_coverage():
     for g in row_g + col_g:
         for k in range(1, D):
             np.testing.assert_array_equal(g.row_start[k], g.row_start[0])
+
+
+def test_non_multiple_of_8_max_len_routes_to_buckets():
+    """max_len is rounded up to a multiple of 8 so the grid covers it:
+    rows with degree just under a hand-tuned cap must stay padded
+    bucket rows (regression: degree 97-100 at max_len=100 got L=104 >
+    max_len and was misrouted to the segment/scatter path)."""
+    from buffalo_tpu.data.batching import BatchPlanner
+
+    degs = [4, 97, 98, 100, 150]
+    indptr = np.zeros(len(degs) + 1, dtype=np.int64)
+    np.cumsum(degs, out=indptr[1:])
+    planner = BatchPlanner(indptr, max_len=100)
+    assert planner.max_len == 104
+    bucket_rows = {int(r) for b in planner.buckets for r in b.row_ids}
+    seg_rows = {r for p in planner.segment_plans for r in p}
+    assert {1, 2, 3} <= bucket_rows
+    assert seg_rows == {4}
+
+
+def test_choose_group_dispatch_validates():
+    from buffalo_tpu.data.batching import choose_group_dispatch
+
+    assert choose_group_dispatch({"epoch_dispatch": "group"}, 1)
+    assert not choose_group_dispatch({"epoch_dispatch": "fused"}, 1 << 40)
+    with pytest.raises(ValueError):
+        choose_group_dispatch({"epoch_dispatch": "split"}, 1)
+
+
+def test_planner_padded_entries_counts_segments():
+    from buffalo_tpu.data.batching import BatchPlanner
+
+    degs = [8, 8, 50]  # one long row -> segment chunks
+    indptr = np.zeros(len(degs) + 1, dtype=np.int64)
+    np.cumsum(degs, out=indptr[1:])
+    planner = BatchPlanner(indptr, max_len=16)
+    bucket_total = sum(b.B * b.L for b in planner.buckets)
+    # 50 wide at chunk 16 -> ceil(50/16)=4 chunks of 16
+    assert planner.padded_entries() == bucket_total + 4 * 16

@@ -236,3 +236,19 @@ def test_plsi_group_dispatch_parity(ml_data):
     m2, r2 = run(epoch_dispatch="group")
     assert r1["train_loss"] == pytest.approx(r2["train_loss"], rel=1e-5)
     np.testing.assert_allclose(m1.Q, m2.Q, rtol=1e-4, atol=1e-6)
+
+
+def test_plsi_normalize_swap_guards_zero_sums():
+    """alpha1=alpha2=0 with an empty row/column must not NaN (parity
+    with _mstep's guard on the permuted-layout path)."""
+    import jax.numpy as jnp
+    from buffalo_tpu.ops.plsi_kernels import plsi_normalize_swap
+
+    Pn = jnp.array([[0.2, 0.8], [0.0, 0.0]], jnp.float32)
+    Qn = jnp.array([[0.5, 0.0], [0.5, 0.0]], jnp.float32)
+    P, Q = plsi_normalize_swap(Pn, Qn, alpha1=0.0, alpha2=0.0)
+    assert np.all(np.isfinite(np.asarray(P)))
+    assert np.all(np.isfinite(np.asarray(Q)))
+    np.testing.assert_allclose(np.asarray(P)[0], [0.2, 0.8], rtol=1e-6)
+    assert np.all(np.asarray(P)[1] == 0)
+    assert np.all(np.asarray(Q)[:, 1] == 0)
