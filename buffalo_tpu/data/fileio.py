@@ -73,6 +73,11 @@ def build_csr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     """Sort triples by (row, col) into CSR; native counting sort when
     available, np.lexsort otherwise."""
     from buffalo_tpu.data import native
+    if len(rows) and (rows.min() < 0 or rows.max() >= num_rows):
+        bad = int(np.sum((rows < 0) | (rows >= num_rows)))
+        raise ValueError(
+            f"{bad} triples reference rows outside [0, {num_rows}); "
+            "the input header row count is wrong")
     result = native.build_csr_native(rows, cols, vals, num_rows)
     if result is not None:
         return result

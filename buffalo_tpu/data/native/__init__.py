@@ -136,7 +136,12 @@ def build_csr_native(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                               _ptr(out_val, ctypes.c_float),
                               1 if sort_cols else 0)
     if rc != 0:
-        return None
+        # the kernel drops out-of-range rows; a silent drop would leave
+        # indptr[-1] < nnz with a garbage tail — corrupt input, not a
+        # reason to fall back
+        raise ValueError(
+            f"{rc} triples reference rows outside [0, {num_rows}); "
+            "the input header row count is wrong")
     return indptr, out_key, out_val
 
 

@@ -63,24 +63,54 @@ inline int64_t next_line(const char* d, int64_t pos, int64_t size) {
 
 inline bool is_space(char c) { return c == ' ' || c == '\t' || c == '\r'; }
 
+// Bounded integer parse: never reads at or past `end` (an mmap'd file
+// whose size is an exact page multiple has NO readable byte after the
+// last one, so strtoll-style unbounded scans could fault).
+inline bool parse_int(const char** pp, const char* end, int64_t* out) {
+    const char* p = *pp;
+    bool neg = false;
+    if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
+    int64_t x = 0;
+    bool any = false;
+    while (p < end && *p >= '0' && *p <= '9') {
+        x = x * 10 + (*p - '0');
+        ++p;
+        any = true;
+    }
+    *pp = p;
+    *out = neg ? -x : x;
+    return any;
+}
+
+// Bounded float parse via a stack copy of the token.
+inline bool parse_float(const char** pp, const char* end, double* out) {
+    const char* p = *pp;
+    char buf[64];
+    int n = 0;
+    while (p < end && !is_space(*p) && *p != '\n' && n < 63)
+        buf[n++] = *p++;
+    buf[n] = '\0';
+    *pp = p;
+    if (n == 0) return false;
+    char* q;
+    double v = strtod(buf, &q);
+    if (q == buf) return false;
+    *out = v;
+    return true;
+}
+
 // Parse one whitespace-separated "int int [float]" line.  Returns the
 // number of fields parsed (0 for blank/comment lines).
 inline int parse_line(const char* p, const char* end, int64_t* a,
                       int64_t* b, double* v) {
     while (p < end && is_space(*p)) ++p;
     if (p >= end || *p == '%' || *p == '\n') return 0;
-    char* q;
-    *a = strtoll(p, &q, 10);
-    if (q == p) return 0;
-    p = q;
+    if (!parse_int(&p, end, a)) return 0;
     while (p < end && is_space(*p)) ++p;
-    *b = strtoll(p, &q, 10);
-    if (q == p) return 1;
-    p = q;
+    if (!parse_int(&p, end, b)) return 1;
     while (p < end && is_space(*p)) ++p;
     if (p >= end || *p == '\n') { *v = 1.0; return 2; }
-    *v = strtod(p, &q);
-    if (q == p) { *v = 1.0; return 2; }
+    if (!parse_float(&p, end, v)) { *v = 1.0; return 2; }
     return 3;
 }
 
@@ -196,6 +226,9 @@ int64_t fileio_parse_fill(const char* path, int64_t skip_bytes,
 // Stable CSR build: counting-sort triples by row (input order kept
 // within a row), then sort each row's entries by column in parallel.
 // indptr: int64[num_rows + 1]; out_key/out_val: int32/float[nnz].
+// Returns the number of out-of-range rows DROPPED (0 = clean build);
+// the caller must treat a positive return as corrupt input, since
+// indptr[num_rows] < nnz leaves an uninitialized tail in out_key/out_val.
 int fileio_build_csr(int64_t nnz, const int64_t* rows, const int64_t* cols,
                      const float* vals, int64_t num_rows, int64_t* indptr,
                      int32_t* out_key, float* out_val, int sort_cols) {
@@ -203,10 +236,14 @@ int fileio_build_csr(int64_t nnz, const int64_t* rows, const int64_t* cols,
     for (int64_t r = 0; r < num_rows; ++r)
         counts[r].store(0, std::memory_order_relaxed);
 
+    std::atomic<int64_t> dropped(0);
 #pragma omp parallel for
     for (int64_t i = 0; i < nnz; ++i) {
         int64_t r = rows[i];
-        if (r < 0 || r >= num_rows) continue;
+        if (r < 0 || r >= num_rows) {
+            dropped.fetch_add(1, std::memory_order_relaxed);
+            continue;
+        }
         counts[r].fetch_add(1, std::memory_order_relaxed);
     }
     indptr[0] = 0;
@@ -242,7 +279,8 @@ int fileio_build_csr(int64_t nnz, const int64_t* rows, const int64_t* cols,
             }
         }
     }
-    return 0;
+    return static_cast<int>(
+        std::min<int64_t>(dropped.load(), INT32_MAX));
 }
 
 // ---------------------------------------------------------------- SPPMI
@@ -295,19 +333,32 @@ int64_t fileio_sppmi_part(int64_t n_rows, const int64_t* indptr,
                           int64_t head_end, int32_t* out_rows,
                           int32_t* out_cols, float* out_vals,
                           int64_t cap) {
+    // per-thread maps, merged once: the pair scan dominates the SPPMI
+    // build (each partition rescans the whole stream), so it runs on
+    // the OpenMP row loop like the occ pass
     std::unordered_map<int64_t, int64_t> counts;
     counts.reserve(1 << 16);
-    for (int64_t r = 0; r < n_rows; ++r) {
-        int64_t beg = indptr[r], end = indptr[r + 1];
-        for (int64_t i = beg; i < end; ++i) {
-            int64_t hi = std::min(end, i + 1 + window);
-            for (int64_t j = i + 1; j < hi; ++j) {
-                int64_t a = keys[i], b = keys[j];
-                if (a >= head_beg && a < head_end)
-                    ++counts[a * num_items + b];
-                if (b >= head_beg && b < head_end)
-                    ++counts[b * num_items + a];
+#pragma omp parallel
+    {
+        std::unordered_map<int64_t, int64_t> local;
+        local.reserve(1 << 14);
+#pragma omp for schedule(dynamic, 256) nowait
+        for (int64_t r = 0; r < n_rows; ++r) {
+            int64_t beg = indptr[r], end = indptr[r + 1];
+            for (int64_t i = beg; i < end; ++i) {
+                int64_t hi = std::min(end, i + 1 + window);
+                for (int64_t j = i + 1; j < hi; ++j) {
+                    int64_t a = keys[i], b = keys[j];
+                    if (a >= head_beg && a < head_end)
+                        ++local[a * num_items + b];
+                    if (b >= head_beg && b < head_end)
+                        ++local[b * num_items + a];
+                }
             }
+        }
+#pragma omp critical
+        {
+            for (const auto& kv : local) counts[kv.first] += kv.second;
         }
     }
     int64_t n_out = 0;

@@ -66,9 +66,14 @@ class Stream(DataBuilder):
         self.name = "Stream"
         self.data_type = "stream"
 
-    def _read_lines(self, path: str):
+    def _iter_lines(self, path: str):
+        """Token lists, one line at a time (the corpus is never
+        materialized whole — at KakaoBrunch scale the per-token Python
+        strings would be tens of GB; the reference also streams
+        line-by-line, ``stream.py:197-271``)."""
         with open(path) as fin:
-            return [line.strip().split() for line in fin]
+            for line in fin:
+                yield line.strip().split()
 
     def create(self) -> None:
         data_path = self.opt.data.path
@@ -80,21 +85,30 @@ class Stream(DataBuilder):
             except Exception:
                 self.close()
         self.logger.info("Create database from stream data")
+        if self.opt.data.get("disk_based"):
+            self.logger.warning(
+                "disk_based is not implemented for the stream builder; "
+                "building in host memory (token sequences stream "
+                "line-by-line, accumulators are packed arrays)")
 
         main_path = self.opt.input.main
         uid_path = self.opt.input.get("uid")
         iid_path = self.opt.input.get("iid")
-        lines = self._read_lines(main_path)
-        num_users = len(lines)
 
-        # ---- vocabulary scan (stream.py:81-158)
+        # ---- pass 1: vocabulary scan + corpus size (stream.py:81-158)
         if iid_path:
             with open(iid_path) as fin:
                 itemid_list = [line.strip() for line in fin]
             itemids = {tok: idx for idx, tok in enumerate(itemid_list)}
+            num_users = sum(1 for _ in self._iter_lines(main_path))
+            total_tokens = None  # counted on demand below
         else:
             itemids = {}
-            for data in lines:
+            num_users = 0
+            total_tokens = 0
+            for data in self._iter_lines(main_path):
+                num_users += 1
+                total_tokens += len(data)
                 for tok in data:
                     if tok not in itemids:
                         itemids[tok] = len(itemids)
@@ -116,28 +130,43 @@ class Stream(DataBuilder):
         vali_n = int(vopt.get("n", 0)) if vali_method == "newest" else 0
         rng = np.random.default_rng(self.opt.data.get("random_seed", 0))
 
-        # ---- tokenize into train/vali index sequences per user
+        # ---- pass 2: tokenize into train/vali index sequences per user
+        # (for internal == "stream" the train lists ARE order-preserving,
+        # so the SPPMI build reuses them instead of a duplicate copy);
+        # accumulators are packed C arrays (8 B/entry), not Python lists
+        import array
+
         sppmi_opt_present = bool(self.opt.data.get("sppmi"))
-        ordered_rows, ordered_cols = [], []  # order-preserving, for SPPMI
-        train_rows, train_cols, train_vals = [], [], []
-        vali_rows, vali_cols, vali_vals = [], [], []
+        ordered_rows = array.array("q")  # order-preserving, for SPPMI
+        ordered_cols = array.array("q")
+        train_rows, train_cols = array.array("q"), array.array("q")
+        train_vals = array.array("f")
+        vali_rows, vali_cols = array.array("q"), array.array("q")
+        vali_vals = array.array("f")
         # "sample" carve-out draws from global nnz positions of the raw stream
         sample_indexes: set = set()
         if vali_method == "sample":
-            total_tokens = sum(len(d) for d in lines)
-            sz = min(int(vopt.max_samples), int(total_tokens * float(vopt.p)))
+            if total_tokens is None:
+                total_tokens = sum(
+                    len(d) for d in self._iter_lines(main_path))
+            sz = min(int(vopt.max_samples),
+                     int(total_tokens * float(vopt.p)),
+                     max(total_tokens - 1, 0))
             if sz > 0 and total_tokens > 1:
                 sample_indexes = set(
                     rng.choice(total_tokens - 1, size=sz, replace=False).tolist())
 
         total_index = 0
-        for u, data in enumerate(lines):
+        for u, data in enumerate(self._iter_lines(main_path)):
             cols = [itemids[tok] for tok in data]
             vali_part, train_part = [], []
             if vali_method == "newest":
                 vali_sz = min(vali_n, len(cols) - 1) if cols else 0
                 if vali_sz > 0:
-                    vali_part = cols[len(cols) - vali_sz:]
+                    # the reference Counter-dedupes the newest carve-out
+                    # before writing it (stream.py:229-231)
+                    vali_part = list(dict.fromkeys(
+                        cols[len(cols) - vali_sz:]))
                     cols = cols[:len(cols) - vali_sz]
             for idx, c in enumerate(cols):
                 if (idx + total_index) in sample_indexes:
@@ -146,7 +175,7 @@ class Stream(DataBuilder):
                     train_part.append(c)
             total_index += len(cols)
 
-            if sppmi_opt_present:
+            if sppmi_opt_present and internal != "stream":
                 ordered_rows.extend([u] * len(train_part))
                 ordered_cols.extend(train_part)
             if internal == "stream":
@@ -209,9 +238,14 @@ class Stream(DataBuilder):
             sppmi_opt = self.opt.data.get("sppmi")
             if sppmi_opt:
                 # SPPMI pairs come from the ORDER-PRESERVING train sequences
-                # regardless of internal_data_type (stream.py:236-271)
-                orows = np.asarray(ordered_rows, dtype=np.int64)
-                ocols = np.asarray(ordered_cols, dtype=np.int64)
+                # regardless of internal_data_type (stream.py:236-271);
+                # for "stream" internal the train lists already preserve
+                # order, so no duplicate copy was kept
+                if internal == "stream":
+                    orows, ocols = trows, tcols
+                else:
+                    orows = np.asarray(ordered_rows, dtype=np.int64)
+                    ocols = np.asarray(ordered_cols, dtype=np.int64)
                 indptr_now = np.zeros(num_users + 1, dtype=np.int64)
                 np.cumsum(np.bincount(orows, minlength=num_users),
                           out=indptr_now[1:])

@@ -143,8 +143,10 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         if exclude:
             scores[list(exclude)] = -np.inf
         top = np.argsort(-scores)[:topk]
-        self.build_itemid_map()
-        keys = self._idmanager.itemids
+        # lazy id state: a deserialized serving model has the map
+        # restored (itemid_mapped=True) but no data attached —
+        # build_itemid_map() would rebuild unconditionally and crash
+        keys, _ = self._id_state("item")
         return [(keys[self._vocab.inv_index[t]], float(scores[t]))
                 for t in top]
 
@@ -239,11 +241,15 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         loss = None
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds
+        raw_words = float(self._vocab.total_word_count)
         for i in range(opt.num_iters):
             start_t = time.time()
             inputs, targets, n_words = self._generate_pairs(rng_np)
             n_pairs = len(inputs)
-            nchunks = max(1, -(-n_pairs // chunk))
+            # round the chunk count up to a multiple of 4: subsampling
+            # jitters n_pairs a little every epoch, and a changed scan
+            # length would recompile the fused epoch program
+            nchunks = -(-max(1, -(-n_pairs // chunk)) // 4) * 4
             pad = nchunks * chunk - n_pairs
             if pad:  # pad tail with dropped sentinel
                 inputs = np.concatenate(
@@ -251,7 +257,11 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                 targets = np.concatenate(
                     [targets, np.full(pad, V, dtype=np.int32)])
             rng, sub = jax.random.split(rng)
-            wpc = n_words / max(nchunks, 1)
+            # lr decay advances by RAW corpus words, as the reference's
+            # progress thread does (w2v.cc:340 counts job.size before
+            # subsampling) — counting kept words would end the schedule
+            # above min_lr by the kept fraction
+            wpc = raw_words / max(nchunks, 1)
             resident = (len(inputs) * 8) <= int(
                 opt.get("resident_mb", 4096)) * 1024 * 1024
             if resident:
@@ -290,7 +300,7 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                 loss_sum = float(np.sum([np.asarray(x) for x in losses]))
                 pair_cnt = float(np.sum([np.asarray(x) for x in counts]))
                 loss = loss_sum / max(pair_cnt, 1.0)
-            processed_words += n_words
+            processed_words += raw_words
             self.iteration_times.append(time.time() - start_t)
             self.logger.info(
                 "Iteration %d: Loss %.5f (%d pairs) Elapsed %.3f secs"

@@ -32,9 +32,7 @@ def _g(label, f):
 
 
 @partial(jax.jit, static_argnames=("num_negatives", "vocab_size",
-                                   "compute_loss", "lr", "min_lr",
-                                   "total_words", "words_per_chunk",
-                                   "max_step_norm"),
+                                   "compute_loss", "max_step_norm"),
          donate_argnums=(0, 1))
 def w2v_epoch(L0, L1, inputs, targets, dist, rng_key, processed0,
               *, num_negatives, vocab_size, compute_loss, lr, min_lr,
@@ -44,7 +42,9 @@ def w2v_epoch(L0, L1, inputs, targets, dist, rng_key, processed0,
     by processed-word progress inside the scan (w2v.cc:349-359).
 
     ``processed0`` is the word count before this epoch;
-    ``words_per_chunk`` advances the decay per chunk.
+    ``words_per_chunk`` advances the decay per chunk.  The lr/decay
+    scalars are traced (NOT static): hashing per-epoch floats into the
+    compile key would recompile the scan program every epoch.
     Returns (L0, L1, loss_sum, pair_count).
     """
     nchunks = inputs.shape[0]
@@ -55,7 +55,7 @@ def w2v_epoch(L0, L1, inputs, targets, dist, rng_key, processed0,
         sub = jax.random.fold_in(rng_key, cidx)
         progress = jnp.minimum(
             (processed0 + cidx.astype(jnp.float32) * words_per_chunk)
-            / max(total_words, 1.0), 1.0)
+            / jnp.maximum(total_words, 1.0), 1.0)
         lr_t = jnp.maximum(lr - (lr - min_lr) * progress, min_lr)
         L0, L1, l, c = _w2v_step_body(
             L0, L1, bi, bt, dist, sub, lr_t,

@@ -109,3 +109,38 @@ def test_sppmi_partitioned_matches_oracle():
         assert set(got) == set(want)
         for pair, v in got.items():
             assert abs(v - want[pair]) < 1e-5
+
+
+def test_parse_page_multiple_no_trailing_newline(tmp_path):
+    """A file whose size is an exact page multiple and whose last byte
+    is a digit: the bounded parser must stop at the mapping end
+    (regression: strtoll scanned past the last page -> potential
+    SIGSEGV) and still parse the final triple."""
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    page = 4096
+    tail = "7 9 2.5"  # no trailing newline; last byte is a digit
+    body = "1 2 1.0\n3 4\n"
+    pad = page - len(body) - len(tail)
+    assert pad > 3
+    content = "%" + "x" * (pad - 2) + "\n" + body + tail
+    path = tmp_path / "page.txt"
+    path.write_text(content)
+    assert path.stat().st_size == page
+    rows, cols, vals = parse_triples_native(str(path), 0)
+    np.testing.assert_array_equal(rows, [1, 3, 7])
+    np.testing.assert_array_equal(cols, [2, 4, 9])
+    np.testing.assert_allclose(vals, [1.0, 1.0, 2.5])
+
+
+def test_build_csr_rejects_out_of_range_rows():
+    """Out-of-range rows are corrupt input (wrong header): both the
+    native kernel wrapper and the numpy fallback must fail loudly
+    instead of silently dropping triples."""
+    from buffalo_tpu.data.fileio import build_csr
+
+    rows = np.array([0, 1, 5], dtype=np.int64)   # 5 >= num_rows=3
+    cols = np.array([0, 1, 2], dtype=np.int64)
+    vals = np.ones(3, dtype=np.float32)
+    with pytest.raises(ValueError, match="outside"):
+        build_csr(rows, cols, vals, num_rows=3)

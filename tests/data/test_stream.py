@@ -93,3 +93,30 @@ def test_unicode_tokens(tmp_path):
     s = _build(tmp_path, text="사과 배\n배 포도\n", name="u.bfo")
     idmap = s.get_group("idmap")
     assert [str(x) for x in idmap["cols"]] == ["사과", "배", "포도"]
+
+
+def test_newest_validation_dedupes(tmp_path):
+    """The newest carve-out is Counter-deduped before writing
+    (reference stream.py:229-231): last tokens 'a a b' produce 2 vali
+    entries, not 3 — for both internal data types."""
+    text = "x y z a a b\nq r\n"
+    for internal in ("stream", "matrix"):
+        s = _build(tmp_path, text=text, name=f"nv_{internal}.bfo",
+                   internal=internal,
+                   validation={"name": "newest", "n": 3})
+        vali = s.get_group("vali")
+        u0 = np.asarray(vali["row"]) == 0
+        assert int(u0.sum()) == 2
+        idmap = [str(x) for x in s.get_group("idmap")["cols"]]
+        got = sorted(idmap[c] for c in np.asarray(vali["col"])[u0])
+        assert got == ["a", "b"]
+
+
+def test_sample_validation_clamped_to_population(tmp_path):
+    """p=1.0 with a huge max_samples must not raise (sample size is
+    clamped to total_tokens - 1)."""
+    s = _build(tmp_path, name="clamp.bfo",
+               validation={"name": "sample", "p": 1.0,
+                           "max_samples": 10 ** 9})
+    header = s.get_header()
+    assert header["num_nnz"] + int(s.attrs.get("num_validation_samples", 0)) == 9

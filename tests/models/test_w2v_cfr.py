@@ -305,3 +305,27 @@ def test_cfr_normalize_keeps_pq_aliases(cfr_data):
     m.normalize(group="user")
     assert m.P is m.U
     assert m.opt.get("_nrz_P")
+
+
+def test_w2v_analogy_on_loaded_model(stream_data, tmp_path):
+    """analogy/most_similar_vec must work on a deserialized model with
+    no data attached (regression: build_itemid_map() rebuilt from
+    self.data unconditionally and crashed)."""
+    opt = W2VOption().get_default_option()
+    opt.d = 8
+    opt.num_iters = 2
+    m = W2V(opt, data=stream_data)
+    m.initialize()
+    m.train()
+    m.build_itemid_map()  # materialize before save
+    path = str(tmp_path / "w2v.bin")
+    m.save(path)
+
+    loaded = W2V.new(path)
+    assert loaded.data is None
+    vocab_keys = [k for k in m._idmanager.itemids
+                  if m._vocab.index[int(k[1:])] > 0][:3]
+    res = loaded.most_similar_vec(loaded.L0[0], topk=3)
+    assert len(res) == 3
+    a, b, c = vocab_keys
+    assert isinstance(loaded.analogy(a, b, c, topk=2), list)
