@@ -142,14 +142,15 @@ def _cfr_item_body(I, U, C, Ib, Cb, FF, rows,
     pred_new = jnp.einsum("bd,bld->bl", x, Fc,
                           preferred_element_type=jnp.float32)
     b = jnp.sum((vals_c - pred_new - cb) * mask_c, axis=-1)
+    # unconditional like the reference (cfr.cc:243-251): an updated
+    # item with zero SPPMI entries gets Ib = 0/(0+eps) = 0, not its
+    # stale bias
     new_ib = b / (lens_c.astype(jnp.float32) + 1e-10)
-    has_c = lens_c > 0
-    new_ib = jnp.where(has_c, new_ib, ib)
     Ib = Ib.at[rows].set(jnp.where(row_mask > 0, new_ib, ib), mode="drop")
     return I, Ib, loss_u + loss_c + loss_reg
 
 
-def _segment_stats(F, vals, mask, seg, R, *, weights=None):
+def _segment_stats(F, mask, seg, R, *, weights=None):
     """Per-row A = sum w f f^T and masked helpers via segment-sum.
 
     F: (Nc, C, d) gathered chunks; weights: optional (Nc, C) entry
@@ -177,8 +178,7 @@ def _cfr_user_segment_body(U, I, FF, sb, *, alpha, l, reg_u, optimizer,
     """User phase for long rows (chunked normal-equation statistics)."""
     R = sb.rows.shape[0]
     Nc, Cw = sb.vals.shape
-    mask = (jnp.arange(Cw, dtype=jnp.int32)[None, :]
-            < sb.chunk_lens[:, None]).astype(jnp.float32)
+    mask = _mask(sb.chunk_lens, Cw)
     row_mask = (sb.lens > 0).astype(jnp.float32)
     safe_rows = jnp.minimum(sb.rows, U.shape[0] - 1)
     u = jnp.take(U, safe_rows, axis=0)
@@ -186,7 +186,7 @@ def _cfr_user_segment_body(U, I, FF, sb, *, alpha, l, reg_u, optimizer,
     seg = sb.seg_ids
 
     w = sb.vals * alpha * mask
-    A_data = _segment_stats(F, sb.vals, mask, seg, R, weights=w)
+    A_data = _segment_stats(F, mask, seg, R, weights=w)
     y_chunk = jnp.einsum("ncd,nc->nd", F, (1.0 + w) * mask,
                          preferred_element_type=jnp.float32)
     y = jax.ops.segment_sum(y_chunk, seg, num_segments=R + 1)[:R]
@@ -214,11 +214,10 @@ def _cfr_item_segment_body(I, U, C, Ib, Cb, FF, sb_u, sb_c, *, alpha, l,
 
     # implicit user side
     Nu, Cu = sb_u.vals.shape
-    mask_u = (jnp.arange(Cu, dtype=jnp.int32)[None, :]
-              < sb_u.chunk_lens[:, None]).astype(jnp.float32)
+    mask_u = _mask(sb_u.chunk_lens, Cu)
     Fu = jnp.take(U, sb_u.cols, axis=0)
     w = sb_u.vals * alpha * mask_u
-    A_u = _segment_stats(Fu, sb_u.vals, mask_u, sb_u.seg_ids, R, weights=w)
+    A_u = _segment_stats(Fu, mask_u, sb_u.seg_ids, R, weights=w)
     y_u = jax.ops.segment_sum(
         jnp.einsum("ncd,nc->nd", Fu, (1.0 + w) * mask_u,
                    preferred_element_type=jnp.float32),
@@ -226,14 +225,13 @@ def _cfr_item_segment_body(I, U, C, Ib, Cb, FF, sb_u, sb_c, *, alpha, l,
 
     # explicit SPPMI side
     Nc_, Cc = sb_c.vals.shape
-    mask_c = (jnp.arange(Cc, dtype=jnp.int32)[None, :]
-              < sb_c.chunk_lens[:, None]).astype(jnp.float32)
+    mask_c = _mask(sb_c.chunk_lens, Cc)
     Fc = jnp.take(C, sb_c.cols, axis=0)
     ib = jnp.take(Ib, safe_rows)
     ib_c = _seg_rows(ib, sb_c.seg_ids, R)
     cb = jnp.take(Cb, sb_c.cols)
     coeff = (sb_c.vals - ib_c[:, None] - cb) * mask_c
-    A_c = _segment_stats(Fc, sb_c.vals, mask_c, sb_c.seg_ids, R)
+    A_c = _segment_stats(Fc, mask_c, sb_c.seg_ids, R)
     y_c = jax.ops.segment_sum(
         jnp.einsum("ncd,nc->nd", Fc, coeff,
                    preferred_element_type=jnp.float32),
@@ -271,8 +269,9 @@ def _cfr_item_segment_body(I, U, C, Ib, Cb, FF, sb_u, sb_c, *, alpha, l,
     b = jax.ops.segment_sum(
         jnp.sum((sb_c.vals - pred_new - cb) * mask_c, axis=1),
         sb_c.seg_ids, num_segments=R + 1)[:R]
+    # unconditional like the reference (cfr.cc:243-251): zero SPPMI
+    # entries -> Ib = 0, not the stale bias
     new_ib = b / (sb_c.lens.astype(jnp.float32) + 1e-10)
-    new_ib = jnp.where(sb_c.lens > 0, new_ib, ib)
     Ib = Ib.at[sb_u.rows].set(jnp.where(row_mask > 0, new_ib, ib),
                               mode="drop")
     return I, Ib, loss
@@ -284,8 +283,7 @@ def _cfr_context_segment_body(C, I, Ib, Cb, sb, *, reg_c, optimizer,
     R = sb.rows.shape[0]
     d = C.shape[1]
     Nc_, Cw = sb.vals.shape
-    mask = (jnp.arange(Cw, dtype=jnp.int32)[None, :]
-            < sb.chunk_lens[:, None]).astype(jnp.float32)
+    mask = _mask(sb.chunk_lens, Cw)
     row_mask = (sb.lens > 0).astype(jnp.float32)
     safe_rows = jnp.minimum(sb.rows, C.shape[0] - 1)
     c_vec = jnp.take(C, safe_rows, axis=0)
@@ -296,7 +294,7 @@ def _cfr_context_segment_body(C, I, Ib, Cb, sb, *, reg_c, optimizer,
     cb_c = _seg_rows(cb, seg, R)
     ib = jnp.take(Ib, sb.cols)
     coeff = (sb.vals - cb_c[:, None] - ib) * mask
-    A = _segment_stats(Fi, sb.vals, mask, seg, R) \
+    A = _segment_stats(Fi, mask, seg, R) \
         + reg_c * jnp.eye(d, dtype=C.dtype)[None]
     y = jax.ops.segment_sum(
         jnp.einsum("ncd,nc->nd", Fi, coeff,

@@ -24,13 +24,17 @@ def _topk_from_scores(scores: jax.Array, k: int, with_scores: bool = True):
 @partial(jax.jit, static_argnames=("k",))
 def matmul_topk(p: jax.Array, Q: jax.Array, k: int,
                 pb=None, Qb=None):
-    """scores = p @ Q^T (+ biases) then top-k.  p: (B, d), Q: (N, d)."""
+    """scores = p @ Q^T (+ biases) then top-k.  p: (B, d), Q: (N, d).
+
+    ``k`` is clamped to the candidate count (the reference's
+    ``get_topk`` clamps too, ``evaluate/base.py:38``): a validation
+    request of ``topk + max_seen`` can exceed a small catalog."""
     scores = jnp.dot(p, Q.T, preferred_element_type=jnp.float32)
     if pb is not None:
         scores = scores + pb[:, None]
     if Qb is not None:
         scores = scores + Qb[None, :]
-    return jax.lax.top_k(scores, k)
+    return jax.lax.top_k(scores, min(k, Q.shape[0]))
 
 
 def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
@@ -46,7 +50,12 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
     """
     p = np.ascontiguousarray(np.asarray(p, dtype=np.float32))
     Q = np.asarray(Q, dtype=np.float32)
-    if pool is not None and len(pool):
+    if pool is not None:
+        if len(pool) == 0:
+            # an empty candidate set yields no recommendations — NOT
+            # the full catalog
+            return (np.full((p.shape[0], topk), -1, dtype=np.int32),
+                    np.zeros((p.shape[0], topk), dtype=np.float32))
         Q = Q[pool]
         if Qb is not None:
             Qb = np.asarray(Qb)[pool]
@@ -55,7 +64,6 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
     B = p.shape[0]
     out_keys = np.full((B, topk), -1, dtype=np.int32)
     out_scores = np.zeros((B, topk), dtype=np.float32)
-    import jax
 
     # stage the candidate table once; every chunk (including small
     # query sets) is padded to the fixed `chunk` rows so all calls hit
@@ -71,7 +79,7 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
         vals, idx = matmul_topk(pc, Q_d, k_eff, Qb=Qb_d)
         out_keys[beg:beg + n, :k_eff] = np.asarray(idx)[:n]
         out_scores[beg:beg + n, :k_eff] = np.asarray(vals)[:n]
-    if pool is not None and len(pool):
+    if pool is not None:
         mapped = np.asarray(pool)[np.maximum(out_keys, 0)]
         out_keys = np.where(out_keys >= 0, mapped, -1).astype(np.int32)
     return out_keys, out_scores
@@ -126,7 +134,6 @@ def batch_topn_sharded(p, Q, topk: int, mesh, Qb=None, chunk: int = 2048,
     once (padded to a mesh multiple with -inf bias) and every query
     chunk runs the local-top-k + O(k)-merge kernel.
     """
-    import jax
     from jax.sharding import NamedSharding, PartitionSpec as PS
 
     p = np.ascontiguousarray(np.asarray(p, dtype=np.float32))

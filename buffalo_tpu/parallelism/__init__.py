@@ -78,8 +78,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id, **kwargs)
-    except RuntimeError as err:  # already initialized
-        if "already initialized" not in str(err):
+    except RuntimeError as err:
+        # double-init is a no-op; JAX's message is "distributed.initialize
+        # should only be called once." (jax/_src/distributed.py)
+        msg = str(err)
+        if "already initialized" not in msg and \
+                "only be called once" not in msg:
             raise
     return jax.device_count()
 

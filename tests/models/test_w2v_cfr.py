@@ -329,3 +329,34 @@ def test_w2v_analogy_on_loaded_model(stream_data, tmp_path):
     assert len(res) == 3
     a, b, c = vocab_keys
     assert isinstance(loaded.analogy(a, b, c, topk=2), list)
+
+
+def test_cfr_item_bias_resets_without_sppmi():
+    """Reference parity (cfr.cc:243-251): an updated item with user
+    data but zero SPPMI entries gets Ib = 0, not its stale bias."""
+    import jax.numpy as jnp
+    from buffalo_tpu.ops.cfr_kernels import cfr_item_step
+
+    d, n_items, n_users = 4, 3, 5
+    rng = np.random.default_rng(0)
+    I = jnp.asarray(rng.normal(size=(n_items, d)).astype(np.float32))
+    U = jnp.asarray(rng.normal(size=(n_users, d)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(n_items, d)).astype(np.float32))
+    Ib = jnp.asarray(np.full(n_items, 7.0, np.float32))
+    Cb = jnp.zeros(n_items, jnp.float32)
+    FF = jnp.asarray((np.asarray(U).T @ np.asarray(U)).astype(np.float32))
+    rows = jnp.asarray([0, 1], jnp.int32)
+    lens_u = jnp.asarray([2, 2], jnp.int32)
+    cols_u = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
+    vals_u = jnp.ones((2, 2), jnp.float32)
+    lens_c = jnp.asarray([0, 2], jnp.int32)   # row 0: NO sppmi entries
+    cols_c = jnp.asarray([[0, 0], [1, 2]], jnp.int32)
+    vals_c = jnp.asarray([[0.0, 0.0], [1.0, 1.0]], jnp.float32)
+    I2, Ib2, _ = cfr_item_step(
+        I, U, C, Ib, Cb, FF, rows, lens_u, cols_u, vals_u,
+        lens_c, cols_c, vals_c, alpha=8.0, l=1.0, reg_i=0.01,
+        optimizer="llt", cg_iters=3, cg_tol=1e-10, compute_loss=False)
+    Ib2 = np.asarray(Ib2)
+    assert Ib2[0] == 0.0          # updated, no sppmi -> reset
+    assert Ib2[1] != 7.0          # updated from its sppmi entries
+    assert Ib2[2] == 7.0          # not in the batch -> untouched

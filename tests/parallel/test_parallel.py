@@ -214,3 +214,29 @@ def test_ivf_index_save_load(als, tmp_path):
                                   np.asarray(ids_mem))
     np.testing.assert_allclose(np.asarray(sc_loaded),
                                np.asarray(sc_mem), rtol=1e-6)
+
+
+def test_topk_k_exceeds_catalog(als):
+    """k > candidate count must clamp (reference get_topk clamps), not
+    raise — hit by validation's topk+max_seen requests on small data."""
+    from buffalo_tpu.ops.topk import batch_topn, matmul_topk
+
+    Q = np.asarray(als.Q, dtype=np.float32)
+    p = Q[:3]
+    n = Q.shape[0]
+    vals, idx = matmul_topk(p, Q, n + 50)
+    assert np.asarray(idx).shape == (3, n)
+    keys, scores = batch_topn(p, Q, topk=n + 50)
+    assert keys.shape == (3, n + 50)
+    assert np.all(keys[:, n:] == -1)
+
+
+def test_batch_topn_empty_pool_returns_padding():
+    from buffalo_tpu.ops.topk import batch_topn
+
+    p = np.ones((2, 4), np.float32)
+    Q = np.ones((6, 4), np.float32)
+    keys, scores = batch_topn(p, Q, topk=3,
+                              pool=np.array([], dtype=np.int64))
+    assert np.all(keys == -1)
+    assert np.all(scores == 0)
