@@ -235,19 +235,24 @@ class DataBuilder(Data):
             return (rows, cols, vals), None
         name = vopt["name"]
         if name == "sample":
-            sz = min(int(vopt.max_samples), int(n_total * float(vopt.p)))
+            # keep at least one train entry (stream.py caps likewise)
+            sz = min(int(vopt.max_samples), int(n_total * float(vopt.p)),
+                     max(n_total - 1, 0))
             if sz <= 0:
                 return (rows, cols, vals), None
             vali_idx = rng.choice(n_total, size=sz, replace=False)
         elif name == "newest":
             n = int(vopt["n"])
-            # last-n per row in input order
+            # last-n per row in input order, capped at degree-1 so no
+            # row is carved empty (reference stream.py:
+            # ``min(vali_n, len(data) - 1)``)
+            degrees = np.bincount(np.asarray(rows, dtype=np.int64))
             seen_count: Dict[int, int] = {}
             picks = []
             for idx in range(n_total - 1, -1, -1):
                 r = int(rows[idx])
                 c = seen_count.get(r, 0)
-                if c < n:
+                if c < min(n, int(degrees[r]) - 1):
                     picks.append(idx)
                     seen_count[r] = c + 1
             vali_idx = np.array(sorted(picks), dtype=np.int64)
@@ -334,7 +339,8 @@ class DataBuilder(Data):
     def _build_core_disk(self, out_dir: str, chunk_iter,
                          num_users: int, num_items: int,
                          userids, itemids, rng: np.random.Generator,
-                         with_colwise: bool = True) -> dict:
+                         with_colwise: bool = True,
+                         declared_nnz: Optional[int] = None) -> dict:
         """Out-of-core two-pass counting-sort build (``disk_based=True``).
 
         Counterpart of the reference's external-sort path
@@ -364,6 +370,12 @@ class DataBuilder(Data):
             deg_u += np.bincount(rows, minlength=num_users)
             deg_i += np.bincount(cols, minlength=num_items)
             n_total += len(rows)
+        if declared_nnz is not None and n_total != declared_nnz:
+            # same loud failure as the in-memory path: a truncated file
+            # must not become a silently smaller completed database
+            raise RuntimeError(
+                f"header declares {declared_nnz} entries but {n_total} "
+                "were parsed")
 
         # choose validation entries by global index (deterministic)
         vali_mask_of = None
@@ -400,8 +412,10 @@ class DataBuilder(Data):
         # scatter targets are sized for the FULL stream (validation
         # entries leave holes compacted away afterwards)
         cap = max(n_total, 1)
-        tmp_dir = os.path.join(self.tmp_root, "disk_build")
-        os.makedirs(tmp_dir, exist_ok=True)
+        # unique scratch dir: two concurrent builds sharing tmp_dir
+        # must not interleave writes into the same memmaps
+        import tempfile
+        tmp_dir = tempfile.mkdtemp(prefix="disk_build_", dir=self.tmp_root)
         tkey_r = _mm(tmp_dir, "r.key.npy", np.int32, (cap,))
         tval_r = _mm(tmp_dir, "r.val.npy", np.float32, (cap,))
         key_r = _mm(out_dir, "rowwise.key.npy", np.int32, (max(nnz, 1),))

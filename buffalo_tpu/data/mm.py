@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import scipy.io
 import scipy.sparse
 
 from buffalo_tpu.data.base import DataBuilder, DataOption
@@ -133,7 +132,8 @@ class MatrixMarket(DataBuilder):
         disk_based = bool(self.opt.data.get("disk_based", False)) and \
             isinstance(self.opt.input.main, str)
         if disk_based:
-            num_users, num_items, chunk_iter = self._chunked_reader()
+            num_users, num_items, declared_nnz, chunk_iter = \
+                self._chunked_reader()
         else:
             rows, cols, vals, num_users, num_items = self._parse_main()
         userids = _load_id_list(self.opt.input.get("uid"))
@@ -151,9 +151,9 @@ class MatrixMarket(DataBuilder):
         rng = np.random.default_rng(self.opt.data.get("random_seed", 0))
         try:
             if disk_based:
-                attrs = self._build_core_disk(out_dir, chunk_iter,
-                                              num_users, num_items,
-                                              userids, itemids, rng)
+                attrs = self._build_core_disk(
+                    out_dir, chunk_iter, num_users, num_items,
+                    userids, itemids, rng, declared_nnz=declared_nnz)
             else:
                 attrs = self._build_core(out_dir, rows, cols, vals,
                                          num_users, num_items,
@@ -167,7 +167,8 @@ class MatrixMarket(DataBuilder):
         self.logger.info(self.show_info())
 
     def _chunked_reader(self, chunk_lines: int = 4_000_000):
-        """Out-of-core input: (num_users, num_items, chunk_iter) where
+        """Out-of-core input: (num_users, num_items, declared_nnz,
+        chunk_iter) where
         chunk_iter() re-reads the file in bounded chunks (disk_based
         path; the reference streams 4 MB chunks, ``mm.py:167-234``)."""
         main = self.opt.input.main
@@ -178,7 +179,7 @@ class MatrixMarket(DataBuilder):
             line = fin.readline()
             while line.startswith("%"):
                 line = fin.readline()
-            num_users, num_items, _ = map(int, line.strip().split())
+            num_users, num_items, num_nnz = map(int, line.strip().split())
             body_start = fin.tell()
 
         def chunk_iter():
@@ -204,4 +205,4 @@ class MatrixMarket(DataBuilder):
                             else np.ones(len(rows), np.float32))
                     yield rows, cols, vals
 
-        return num_users, num_items, chunk_iter
+        return num_users, num_items, num_nnz, chunk_iter

@@ -404,6 +404,11 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
                         Qh[:header["num_items"]])
             return Ph, Qh
 
+        def _sync_host():
+            # closure over the loop's current device tables
+            self.P, self.Q = to_host(P, Q)
+        self._sync_host_factors = _sync_host
+
         best_loss, rmse, self.validation_result = float("inf"), None, {}
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds
@@ -435,6 +440,7 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             if self.early_stopping(rmse):
                 break
         self.P, self.Q = to_host(P, Q)
+        self._sync_host_factors = None
         self._range = None
         self._mesh_range = None
         self.logger.info(

@@ -269,6 +269,14 @@ class Algo(abc.ABC):
     def save_best_only(self, loss, best_loss, i):
         if (self.opt.save_best and loss < best_loss
                 and self.periodical(self.opt.save_period, i)):
+            # the epoch loops keep factors device-resident and only
+            # copy them to the host attributes serialization reads on
+            # validation epochs — sync before writing the checkpoint,
+            # or the "best" model on disk holds stale (often initial
+            # random) factors
+            sync = getattr(self, "_sync_host_factors", None)
+            if sync is not None:
+                sync()
             self.save(self.opt.model_path)
             return loss
         return best_loss

@@ -273,6 +273,13 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         rng = jax.random.PRNGKey(int(opt.random_seed))
         total_samples = float(self.num_nnz) * opt.num_iters
         processed = 0.0
+
+        def _sync_host():
+            self.P = np.asarray(self._P)
+            self.Q = np.asarray(self._Q)
+            self.Qb = np.asarray(self._Qb)
+        self._sync_host_factors = _sync_host
+
         best_loss, loss, self.validation_result = float("inf"), None, {}
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds
@@ -385,6 +392,7 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         self.Q = np.asarray(self._Q)
         self.Qb = np.asarray(self._Qb)
         del self._P, self._Q, self._Qb
+        self._sync_host_factors = None
         self.logger.info(
             f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
         ret = {"train_loss": loss}

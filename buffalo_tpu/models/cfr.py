@@ -292,6 +292,15 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
                    cg_tol=float(opt.cg_tolerance),
                    compute_loss=bool(opt.compute_loss_on_training))
         scale = self.compute_scale()
+
+        def _sync_host():
+            # closure over the loop's current device tables
+            self.U, self.I, self.C = (np.asarray(U), np.asarray(I),
+                                      np.asarray(C))
+            self.Ib, self.Cb = np.asarray(Ib), np.asarray(Cb)
+            self.P, self.Q = self.U, self.I
+        self._sync_host_factors = _sync_host
+
         best_loss, loss, self.validation_result = float("inf"), None, {}
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds
@@ -356,6 +365,7 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
         self.Ib, self.Cb = np.asarray(Ib), np.asarray(Cb)
         self.P = self.U
         self.Q = self.I
+        self._sync_host_factors = None
         self.logger.info(
             f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
         ret = {"train_loss": loss}

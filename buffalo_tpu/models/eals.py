@@ -124,7 +124,6 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
                                                build_range_layout,
                                                choose_group_dispatch,
                                                padded_entry_count,
-                                               permute_table,
                                                stack_batches)
         cw = self.data.get_group("colwise")
         d = int(self.opt.d)
@@ -134,7 +133,7 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
         cp = BatchPlanner(np.asarray(cw["indptr"]),
                           entries_per_batch=entries)
         row_b, col_b, u_pos, i_pos, u_pad, i_pad = build_range_layout(
-            rp, cp, u_keys, np.asarray(rw["val"], np.float32),
+            rp, cp, u_keys, u_vals,
             np.asarray(cw["key"], np.int32),
             np.asarray(cw["val"], np.float32))
         C_perm = np.zeros(i_pad, np.float32)
@@ -201,6 +200,11 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
 
             def to_host(P, Q):
                 return np.asarray(P), np.asarray(Q)
+
+        def _sync_host():
+            # closure over the loop's current device tables
+            self.P, self.Q = to_host(P, Q)
+        self._sync_host_factors = _sync_host
 
         best_loss, loss, self.validation_result = float("inf"), None, {}
         full_st = time.time()
@@ -273,6 +277,7 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
             if self.early_stopping(loss):
                 break
         self.P, self.Q = to_host(P, Q)
+        self._sync_host_factors = None
         self.logger.info(
             f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
         ret = {"train_loss": loss}

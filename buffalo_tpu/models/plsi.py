@@ -215,6 +215,12 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
         self.logger.info(
             f"Train pLSI, K: {opt.d}, alpha1: {opt.alpha1}, "
             f"alpha2: {opt.alpha2}")
+
+        def _sync_host():
+            # closure over the loop's current device tables
+            self.P, self.Q = to_host(P, Q)
+        self._sync_host_factors = _sync_host
+
         best_loss, loss, self.validation_result = 1e10, None, {}
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds
@@ -307,6 +313,7 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
             if self.early_stopping(loss):
                 break
         self.P, self.Q = to_host(P, Q)
+        self._sync_host_factors = None
         self._range = None
         self.logger.info(
             f"elapsed for full epochs: {time.time() - full_st:.2f} sec")

@@ -219,6 +219,12 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         self.sampling_loss_samples()
         rng = jax.random.PRNGKey(int(opt.random_seed))
         pcn = bool(opt.per_coordinate_normalize)
+
+        def _sync_host():
+            self.P = np.asarray(self._P)
+            self.Q = np.asarray(self._Q)
+        self._sync_host_factors = _sync_host
+
         best_loss, loss, self.validation_result = float("inf"), None, {}
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds
@@ -294,6 +300,7 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         self.P = np.asarray(self._P)
         self.Q = np.asarray(self._Q)
         del self._P, self._Q
+        self._sync_host_factors = None
         self.logger.info(
             f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
         ret = {"train_loss": loss}

@@ -231,3 +231,24 @@ def test_most_similar_pool_excluding_query(ml_data):
     sims = als.most_similar("i1", topk=3, pool=pool)
     assert len(sims) == 3
     assert all(k in pool for k, _ in sims)
+
+
+def test_save_best_writes_current_factors(ml_data, tmp_path):
+    """save_best checkpoints must contain the epoch's factors, not the
+    stale host copy (regression: device tables were only synced to
+    self.P/self.Q on validation epochs, so best-model saves with
+    validation disabled wrote the initial random factors)."""
+    opt = ALSOption().get_default_option()
+    opt.d = 8
+    opt.num_iters = 3
+    opt.validation = {}
+    opt.save_best = True
+    opt.save_period = 1
+    opt.model_path = str(tmp_path / "best.bin")
+    np.random.seed(2)
+    m = ALS(opt, data=ml_data)
+    m.initialize()
+    m.train()
+    loaded = ALS.new(opt.model_path)
+    np.testing.assert_allclose(loaded.P, m.P, rtol=1e-6)
+    np.testing.assert_allclose(loaded.Q, m.Q, rtol=1e-6)
