@@ -81,11 +81,16 @@ def sync(*arrays):
 def main():
     smoke = "--smoke" in sys.argv
     if smoke:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+        jax.config.update("jax_platforms", "cpu")
+        if jax.default_backend() != "cpu":
+            # never let a "CPU sanity run" contend with the one shared
+            # TPU chip (it would corrupt a serialized benchmark job)
+            raise RuntimeError(
+                f"--smoke could not pin the CPU backend "
+                f"(got {jax.default_backend()}); run in a fresh process")
         num_users, num_items, nnz = 5000, 2000, 200_000
     else:
         num_users, num_items, nnz = ML20M_USERS, ML20M_ITEMS, ML20M_NNZ

@@ -40,12 +40,18 @@ class MemorySampler(threading.Thread):
         self._halt = threading.Event()
 
     def run(self):
-        import psutil
-        proc = psutil.Process(os.getpid())
-        while not self._halt.is_set():
+        try:
+            import psutil
+            proc = psutil.Process(os.getpid())
+        except Exception:
+            self.peak_mb = float("nan")  # unmeasurable, not "0 MB"
+            return
+        while True:
+            # sample BEFORE sleeping so even sub-interval runs record
             self.peak_mb = max(self.peak_mb,
                                proc.memory_info().rss / (1 << 20))
-            time.sleep(self.interval)
+            if self._halt.wait(self.interval):
+                return
 
     def stop(self) -> float:
         self._halt.set()
@@ -112,20 +118,22 @@ class BenchmarkResult(dict):
 def fit_algo(algo_cls, opt, data, num_epochs: int) -> Dict[str, float]:
     """Time `num_epochs` of training, isolating staging/compile cost.
 
-    train() restages device-resident batches each call, so the pure
-    epoch time is measured by differencing a (staging + 1 epoch) run
-    from a (staging + 1 + num_epochs) run — compile caches are shared
-    between the two, matching how the reference times epochs after
+    A 1-iteration warmup run absorbs compilation; the timed run does
+    ``1 + num_epochs`` iterations and ``epoch_s`` is the median of the
+    driver's per-epoch ``iteration_times`` past the first (which
+    absorbs restaging) — matching how the reference times epochs after
     its data feed is warm.
     """
     algo = algo_cls(opt, data=data)
     algo.initialize()
-    opt.num_iters = 1
+    # mutate algo.opt — the driver copies the option at construction,
+    # so writes to the caller's `opt` never reach it
+    algo.opt.num_iters = 1
     algo.train()                       # compile + staging warmup
 
     sampler = MemorySampler()
     sampler.start()
-    opt.num_iters = 1 + num_epochs
+    algo.opt.num_iters = 1 + num_epochs
     st = time.perf_counter()
     algo.train()
     t_full = time.perf_counter() - st
@@ -133,7 +141,8 @@ def fit_algo(algo_cls, opt, data, num_epochs: int) -> Dict[str, float]:
     # first iteration absorbs staging/compile; drivers record per-epoch
     # train seconds in `iteration_times`
     times = getattr(algo, "iteration_times", [])[1:]
-    epoch_s = float(np.median(times)) if times else t_full / num_epochs
+    epoch_s = (float(np.median(times)) if times
+               else t_full / max(num_epochs, 1))
     return {"total_s": round(t_full, 3),
             "epoch_s": round(epoch_s, 4),
             "peak_rss_mb": round(peak, 1),

@@ -46,7 +46,9 @@ class MinMaxScalar(PreProcess):
     def __init__(self, opt):
         super().__init__(opt)
         self.value_min = float("inf")
-        self.value_max = 0.0
+        # -inf, not 0: all-negative values must still span [min, max]
+        # (the reference's 0.0 init quietly caps value_max at 0)
+        self.value_max = float("-inf")
 
     def update_stats(self, v: np.ndarray) -> None:
         if v.size:

@@ -47,7 +47,8 @@ def _ensure_configured() -> None:
             )
         )
         root.addHandler(handler)
-    root.setLevel(_LEVEL_TO_PY[_current_level])
+    root.setLevel(_LEVEL_TO_PY.get(_current_level,
+                                   logging.INFO))
     root.propagate = False
     _configured = True
 

@@ -99,11 +99,14 @@ class InputOptions:
         return Option({})
 
     def is_valid_option(self, opt: dict) -> bool:
+        # the reference iterates the DEFAULT keys (misc/_aux.py:71-80):
+        # every default key must be present (a partial or typo'd dict
+        # fails loudly here instead of via a late AttributeError deep
+        # in train()); extra user keys are tolerated, as there
         default_opt = self.get_default_option()
-        keys = set(opt.keys())
-        for key in keys:
-            if key not in default_opt:
-                continue
+        for key in default_opt:
+            if key not in opt:
+                raise RuntimeError(f"{key} not exists on Option")
             expected = default_opt[key]
             got = opt[key]
             if isinstance(expected, bool) or isinstance(got, bool):
