@@ -94,6 +94,24 @@ def main():
         num_users, num_items, nnz = 5000, 2000, 200_000
     else:
         num_users, num_items, nnz = ML20M_USERS, ML20M_ITEMS, ML20M_NNZ
+        # the tunneled TPU backend can hang indefinitely when the
+        # service is down; fail loudly after a bounded wait instead
+        import threading
+
+        def _watchdog():
+            import os
+            sys.stderr.write(
+                "bench.py: device backend did not initialize within "
+                "900 s (TPU service unreachable?) — aborting\n")
+            sys.stderr.flush()
+            os._exit(3)
+
+        timer = threading.Timer(900.0, _watchdog)
+        timer.daemon = True
+        timer.start()
+        import jax
+        jax.devices()  # force backend init under the watchdog
+        timer.cancel()
 
     import jax
 
