@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Serialized TPU measurement session (ONE chip — never run two jobs
+# concurrently; see CLAUDE.md).  Run when the TPU service is healthy:
+#
+#   bash benchmark/run_tpu_measurements.sh [outdir]
+#
+# Collects, in priority order:
+#   1. headline bench (ALS ML-20M d=40)
+#   2. stream-scale W2V + CFR (KakaoBrunch12M shape)  [BASELINE config]
+#   3. BPR fused-vs-split epoch_dispatch ablation (the wall-clock
+#      mystery: CLAUDE.md "BPR/WARP wall-clock mystery")
+#   4. WARP d-sweep incl. d=128                        [BASELINE config]
+# Each step is under `timeout`; a hung service skips to the next.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-/tmp/bt_tpu_measurements}
+mkdir -p "$OUT"
+log() { echo "[$(date -u +%H:%M:%S)] $*"; }
+
+log "1/4 headline bench"
+timeout 2400 python bench.py 2>&1 | tee "$OUT/bench.log"
+
+log "2/4 stream-scale w2v"
+timeout 5400 python benchmark/test_stream_scale.py --algo w2v --epochs 3 \
+    2>&1 | tee "$OUT/stream_w2v.log"
+log "2/4 stream-scale cfr"
+timeout 5400 python benchmark/test_stream_scale.py --algo cfr --epochs 2 \
+    2>&1 | tee "$OUT/stream_cfr.log"
+
+log "3/4 BPR fused vs split (d=20, ML-20M shape)"
+timeout 3600 python benchmark/test_performance.py --algo bpr \
+    --dataset ml20m --d 20 --epochs 3 \
+    2>&1 | tee "$OUT/bpr_fused.log"
+timeout 3600 python benchmark/test_performance.py --algo bpr \
+    --dataset ml20m --d 20 --epochs 3 --set epoch_dispatch=split \
+    2>&1 | tee "$OUT/bpr_split.log"
+
+log "4/4 WARP sweep (d=32,64,128)"
+timeout 5400 python benchmark/test_performance.py --algo warp \
+    --dataset ml20m --d 32 64 128 --epochs 3 \
+    2>&1 | tee "$OUT/warp_sweep.log"
+
+log "done; logs in $OUT"
+grep -h '^{' "$OUT"/*.log 2>/dev/null | tail -20
