@@ -77,14 +77,23 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
             self.Qb *= 0
 
     def prepare_sampling(self):
-        """Popularity^power cumulative table (bpr.py:99-112)."""
+        """Popularity^power cumulative table (bpr.py:99-112).
+
+        Stored as a NORMALIZED int32 CDF (float64 cumsum scaled to
+        0x7FFFFFFF, like the W2V unigram table): a raw float32 cumsum
+        of counts loses boundary resolution past ~2^24 total — tail
+        items of a 100M+-interaction catalog would quantize to zero
+        probability, where the reference's int64 lower_bound is exact.
+        """
         header = self.data.get_header()
         self._cum_table = None
         if self.opt.sampling_power > 0.0:
             group = self.data.get_group("colwise")
             counts = np.diff(np.asarray(group["indptr"])).astype(np.float64)
             counts = counts ** float(self.opt.sampling_power)
-            self._cum_table = np.cumsum(counts).astype(np.float32)
+            cum = np.cumsum(counts)
+            cum /= max(cum[-1], 1.0)
+            self._cum_table = (cum * 0x7FFFFFFF).astype(np.int32)
 
     # ------------------------------------------------------------- retrieval
     def _get_topk_recommendation(self, rows, topk, pool=None):

@@ -30,11 +30,18 @@ FEPS = 1e-8
 # --------------------------------------------------------------- sampling
 def draw_negatives(key: jax.Array, shape, num_items: int,
                    cum_table: jax.Array | None) -> jax.Array:
-    """Uniform or popularity-weighted negative item draw (bpr.cc:105-113)."""
+    """Uniform or popularity-weighted negative item draw (bpr.cc:105-113).
+
+    ``cum_table`` is the normalized int32 CDF from
+    ``BPRMF.prepare_sampling`` (scaled to 0x7FFFFFFF): the draw is an
+    int32 inverse-CDF lookup with 2^-31 relative resolution — a
+    float32 CDF of raw counts loses tail items past ~2^24 total.
+    """
     if cum_table is None:
         return jax.random.randint(key, shape, 0, num_items, dtype=jnp.int32)
-    r = jax.random.uniform(key, shape) * cum_table[-1]
-    return jnp.searchsorted(cum_table, r, side="right").astype(jnp.int32)
+    r = jax.random.randint(key, shape, 0, jnp.int32(0x7FFFFFFF),
+                           dtype=jnp.int32)
+    return jnp.searchsorted(cum_table, r, side="left").astype(jnp.int32)
 
 
 # ---------------------------------------------------------- bloom filter
@@ -117,32 +124,6 @@ def bloom_contains(words: jax.Array, log2_bits: int, u: jax.Array,
     return (b1 & b2) == 1
 
 
-def row_contains(items: jax.Array, rows: jax.Array, indptr: jax.Array,
-                 keys: jax.Array, n_steps: int = 25) -> jax.Array:
-    """Batched membership test: is items[b] among keys[indptr[r]:indptr[r+1])?
-
-    The CSR row is column-sorted (database build sorts by (row, col)),
-    so a fixed-depth binary search per sample replaces the reference's
-    per-thread ``unordered_set`` lookup (bpr.cc:103,115).
-    """
-    lo = indptr[rows].astype(jnp.int32)
-    hi0 = indptr[rows + 1].astype(jnp.int32)
-
-    def body(_, carry):
-        lo, hi = carry
-        active = lo < hi
-        mid = (lo + hi) // 2
-        km = keys[jnp.minimum(mid, keys.shape[0] - 1)]
-        go_right = km < items
-        lo = jnp.where(active & go_right, mid + 1, lo)
-        hi = jnp.where(active & ~go_right, mid, hi)
-        return lo, hi
-
-    lo, _ = jax.lax.fori_loop(0, n_steps, body, (lo, hi0))
-    at = keys[jnp.minimum(lo, keys.shape[0] - 1)]
-    return (lo < hi0) & (at == items)
-
-
 def sample_verified_negatives(key: jax.Array, users: jax.Array,
                               num_items: int, cum_table,
                               bloom_words, bloom_log2: int, verify: bool,
@@ -152,9 +133,12 @@ def sample_verified_negatives(key: jax.Array, users: jax.Array,
     Fixed-shape analog of the reference's unbounded
     ``while !verify_neg || seen.find(neg)==end`` loop (bpr.cc:107-117):
     draw ``num_attempts`` candidates per sample and pick the first whose
-    bloom probe says "not a positive of the user" (falling back to the
-    last candidate — at ML sparsity the miss probability is
-    (nnz/users/items)^K ~ 0).
+    bloom probe says "not a positive of the user".  When every attempt
+    is flagged seen (probability (seen_frac + fp_rate)^K — relevant
+    only for head users of dense catalogs), the sample returns the
+    out-of-range sentinel ``num_items``: the forward masks its
+    gradient and scatters drop it, so a true positive is NEVER trained
+    as a negative.
     """
     B = users.shape[0]
     cand = draw_negatives(key, (num_attempts, B), num_items, cum_table)
@@ -165,8 +149,8 @@ def sample_verified_negatives(key: jax.Array, users: jax.Array,
     ok = ~seen  # (K, B)
     first = jnp.argmax(ok, axis=0)  # first valid attempt (0 if none)
     any_ok = jnp.any(ok, axis=0)
-    idx = jnp.where(any_ok, first, num_attempts - 1)
-    return jnp.take_along_axis(cand, idx[None, :], axis=0)[0]
+    picked = jnp.take_along_axis(cand, first[None, :], axis=0)[0]
+    return jnp.where(any_ok, picked, num_items)
 
 
 def clipped_logit(x: jax.Array) -> jax.Array:
@@ -219,13 +203,17 @@ def apply_deferred_update(param, grad, m, v, counts, step, *, optimizer,
 
 # ------------------------------------------------------------- BPR steps
 def _bpr_forward(P, Q, Qb, u, pos, neg, use_bias):
+    """Pairwise logit; a sentinel negative (>= num_items, from the
+    exhausted verify fallback) zeroes the sample's gradient."""
     p = jnp.take(P, u, axis=0)
     qi = jnp.take(Q, pos, axis=0)
-    qj = jnp.take(Q, neg, axis=0)
+    neg_ok = neg < Q.shape[0]
+    safe_neg = jnp.minimum(neg, Q.shape[0] - 1)
+    qj = jnp.take(Q, safe_neg, axis=0)
     x = jnp.sum(p * (qi - qj), axis=-1)
     if use_bias:
-        x = x + jnp.take(Qb, pos) - jnp.take(Qb, neg)
-    return p, qi, qj, clipped_logit(x)
+        x = x + jnp.take(Qb, pos) - jnp.take(Qb, safe_neg)
+    return p, qi, qj, clipped_logit(x) * neg_ok.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=(
@@ -253,13 +241,13 @@ def bpr_accumulate_step(P, Q, Qb, gradP, gradQ, gradQb, countP, countQ,
         if use_bias:
             gradQb = gradQb.at[pos].add(logit)
     if update_j:
-        gradQ = gradQ.at[neg].add(-item_deriv)
+        gradQ = gradQ.at[neg].add(-item_deriv, mode="drop")
         if use_bias:
-            gradQb = gradQb.at[neg].add(-logit)
+            gradQb = gradQb.at[neg].add(-logit, mode="drop")
     if per_coordinate_normalize:
         countP = countP.at[users].add(1.0)
         countQ = countQ.at[positives].add(1.0)
-        countQ = countQ.at[neg].add(1.0)
+        countQ = countQ.at[neg].add(1.0, mode="drop")
     return gradP, gradQ, gradQb, countP, countQ
 
 
@@ -289,9 +277,12 @@ def bpr_sgd_step(P, Q, Qb, users, positives, bloom_words, cum_table,
         if use_bias:
             Qb = Qb.at[pos].add(lr * (logit - reg_b * jnp.take(Qb, pos)))
     if update_j:
-        Q = Q.at[neg].add(lr * (-item_deriv - reg_j * qj))
+        Q = Q.at[neg].add(lr * (-item_deriv - reg_j * qj), mode="drop")
         if use_bias:
-            Qb = Qb.at[neg].add(lr * (-logit - reg_b * jnp.take(Qb, neg)))
+            Qb = Qb.at[neg].add(
+                lr * (-logit - reg_b * jnp.take(
+                    Qb, jnp.minimum(neg, Qb.shape[0] - 1))),
+                mode="drop")
     return P, Q, Qb
 
 
@@ -411,13 +402,20 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
                 if use_bias:
                     gQb = gQb.at[pos].add(logit)
             if update_j:
-                gQ = gQ.at[neg].add(-item_deriv)
+                gQ = gQ.at[neg].add(-item_deriv, mode="drop")
                 if use_bias:
-                    gQb = gQb.at[neg].add(-logit)
+                    gQb = gQb.at[neg].add(-logit, mode="drop")
             if per_coordinate_normalize:
-                cP = cP.at[u].add(mask)
-                cQ = cQ.at[pos].add(mask)
-                cQ = cQ.at[neg].add(mask)
+                # reference counting (bpr.cc:175-182): P and the
+                # positive item once per PAIR, the negative once per
+                # (pair x negative) — u/pos here are repeated per
+                # negative, so count the unrepeated slots
+                valid1 = mask.reshape(-1, num_negatives)[:, 0]
+                u1 = u.reshape(-1, num_negatives)[:, 0]
+                p1 = pos.reshape(-1, num_negatives)[:, 0]
+                cP = cP.at[u1].add(valid1)
+                cQ = cQ.at[p1].add(valid1)
+                cQ = cQ.at[neg].add(mask, mode="drop")
             return (gP, gQ, gQb, cP, cQ), None
 
         init = (jnp.zeros_like(P), jnp.zeros_like(Q), jnp.zeros_like(Qb),
@@ -464,10 +462,13 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
                 Qb = Qb.at[pos].add(
                     lr_t * mask * (logit - reg_b * jnp.take(Qb, pos)))
         if update_j:
-            Q = Q.at[neg].add(lr_t * m * (-item_deriv - reg_j * qj))
+            Q = Q.at[neg].add(lr_t * m * (-item_deriv - reg_j * qj),
+                              mode="drop")
             if use_bias:
                 Qb = Qb.at[neg].add(
-                    lr_t * mask * (-logit - reg_b * jnp.take(Qb, neg)))
+                    lr_t * mask * (-logit - reg_b * jnp.take(
+                        Qb, jnp.minimum(neg, Qb.shape[0] - 1))),
+                    mode="drop")
         return (P, Q, Qb), None
 
     (P, Q, Qb), _ = jax.lax.scan(body, (P, Q, Qb), xs_all)

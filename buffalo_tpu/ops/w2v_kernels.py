@@ -93,14 +93,23 @@ def _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
     d = L0.shape[1]
     valid = (inputs < vocab_size).astype(jnp.float32)
 
-    k1, k2 = jax.random.split(rng_key)
+    # the reference redraws until neg != target (w2v.cc:248-255): a
+    # fixed 3-attempt first-valid pick leaves p^3 residual, closed by
+    # a deterministic non-target fallback — a center word is never
+    # trained as its own negative
+    k1, k2, k3 = jax.random.split(rng_key, 3)
     hi = dist[-1]
-    r = jax.random.randint(k1, (B, num_negatives), 0, hi, dtype=jnp.int32)
-    negs = jnp.searchsorted(dist, r, side="left").astype(jnp.int32)
-    # redraw-once if a negative equals the target (w2v.cc:252-255)
-    r2 = jax.random.randint(k2, (B, num_negatives), 0, hi, dtype=jnp.int32)
-    negs2 = jnp.searchsorted(dist, r2, side="left").astype(jnp.int32)
-    negs = jnp.where(negs == targets[:, None], negs2, negs)
+
+    def _draw(k):
+        r = jax.random.randint(k, (B, num_negatives), 0, hi,
+                               dtype=jnp.int32)
+        return jnp.searchsorted(dist, r, side="left").astype(jnp.int32)
+
+    t = targets[:, None]
+    negs = _draw(k1)
+    negs = jnp.where(negs == t, _draw(k2), negs)
+    negs = jnp.where(negs == t, _draw(k3), negs)
+    negs = jnp.where(negs == t, (t + 1) % vocab_size, negs)
 
     safe_in = jnp.minimum(inputs, vocab_size - 1)
     safe_tg = jnp.minimum(targets, vocab_size - 1)

@@ -70,12 +70,18 @@ def test_sgd_loss_decreases(ml_data):
 
 
 def test_sampling_power_table(ml_data):
+    """Normalized int32 CDF: same distribution as the reference's raw
+    cumulative counts, with full tail resolution at any scale."""
     m = BPRMF({**BPRMFOption().get_default_option(),
                "sampling_power": 1.0}, data=ml_data)
     m.initialize()
     assert m._cum_table is not None
+    assert m._cum_table.dtype == np.int32
+    assert m._cum_table[-1] == 0x7FFFFFFF
     counts = np.diff(np.asarray(ml_data.get_group("colwise")["indptr"]))
-    np.testing.assert_allclose(m._cum_table, np.cumsum(counts), rtol=1e-5)
+    expected = np.cumsum(counts) / counts.sum()
+    np.testing.assert_allclose(m._cum_table / 0x7FFFFFFF, expected,
+                               atol=1e-6)
 
 
 def test_no_bias(ml_data):

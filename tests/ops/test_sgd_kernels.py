@@ -159,3 +159,94 @@ def test_bpr_epoch_matches_streaming_steps():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(Qbf), np.asarray(Qb),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_bpr_epoch_pcn_counts_match_streaming():
+    """per_coordinate_normalize counting parity (bpr.cc:175-182): the
+    fused epoch must count P/positive once per PAIR and the negative
+    per (pair x negative) — exactly like bpr_accumulate_step
+    (regression: repeated u/pos overcounted by num_negatives)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    U, I, D, N = 32, 25, 4, 32
+    indptr, keys = _toy_csr(U, I, seed=11)
+    words, log2 = K.build_bloom(indptr, keys)
+    users = np.repeat(np.arange(U, dtype=np.int32), np.diff(indptr))
+    nnz = (len(users) // N) * N  # trim: no padded tail
+    users, keys = users[:nnz], keys[:nnz]
+    nchunks = nnz // N
+
+    P0 = rng.normal(size=(U, D)).astype(np.float32) * 0.1
+    Q0 = rng.normal(size=(I, D)).astype(np.float32) * 0.1
+    Qb0 = np.zeros(I, np.float32)
+    bloom = jax.device_put(words)
+    cum = jnp.zeros((1,), jnp.float32)
+    statics = dict(num_items=I, num_negatives=2, use_bias=True,
+                   update_i=True, update_j=True, verify_neg=True,
+                   use_cum_table=False, bloom_log2=log2)
+
+    opt_state = {"mP": jnp.zeros((U, D)), "vP": jnp.zeros((U, D)),
+                 "mQ": jnp.zeros((I, D)), "vQ": jnp.zeros((I, D)),
+                 "mQb": jnp.zeros(I), "vQb": jnp.zeros(I)}
+    Pf, Qf, Qbf, _ = K.bpr_epoch(
+        jax.device_put(P0), jax.device_put(Q0), jax.device_put(Qb0),
+        opt_state,
+        jax.device_put(users.reshape(nchunks, N)),
+        jax.device_put(keys.reshape(nchunks, N)),
+        bloom, cum, jax.random.PRNGKey(3), jnp.int32(0),
+        optimizer="adagrad", per_coordinate_normalize=True, lr=0.05,
+        min_lr=1e-4, beta1=0.9, beta2=0.999, reg_u=0.02, reg_i=0.02,
+        reg_j=0.02, reg_b=0.02, num_valid=nnz, total_samples=float(nnz),
+        **statics)
+
+    P, Q, Qb = (jax.device_put(P0), jax.device_put(Q0),
+                jax.device_put(Qb0))
+    gP, gQ, gQb = jnp.zeros((U, D)), jnp.zeros((I, D)), jnp.zeros(I)
+    cP, cQ = jnp.zeros(U), jnp.zeros(I)
+    key = jax.random.PRNGKey(3)
+    for c in range(nchunks):
+        gP, gQ, gQb, cP, cQ = K.bpr_accumulate_step(
+            P, Q, Qb, gP, gQ, gQb, cP, cQ,
+            jax.device_put(users[c * N:(c + 1) * N]),
+            jax.device_put(keys[c * N:(c + 1) * N]),
+            bloom, cum, jax.random.fold_in(key, c),
+            per_coordinate_normalize=True, **statics)
+    com = dict(optimizer="adagrad", lr=0.05, beta1=0.9, beta2=0.999,
+               per_coordinate_normalize=True)
+    Ps, _, _, _ = K.apply_deferred_update(
+        P, gP, jnp.zeros((U, D)), jnp.zeros((U, D)), cP, 0,
+        reg=0.02, **com)
+    Qs, _, _, _ = K.apply_deferred_update(
+        Q, gQ, jnp.zeros((I, D)), jnp.zeros((I, D)), cQ, 0,
+        reg=0.02, **com)
+    np.testing.assert_allclose(np.asarray(Pf), np.asarray(Ps),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Qf), np.asarray(Qs),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_exhausted_verify_returns_sentinel():
+    """A user who has seen the whole catalog: every attempt is flagged
+    seen, the sample returns the num_items sentinel, and the forward
+    zeroes its gradient — a positive is never trained as a negative."""
+    import jax
+    import jax.numpy as jnp
+
+    num_items = 16
+    indptr = np.array([0, num_items], np.int64)
+    keys = np.arange(num_items, dtype=np.int32)
+    words, log2 = K.build_bloom(indptr, keys)
+    users = np.zeros(64, np.int32)
+    neg = np.asarray(K.sample_verified_negatives(
+        jax.random.PRNGKey(1), jax.device_put(users), num_items, None,
+        jax.device_put(words), log2, True))
+    assert (neg == num_items).all()
+
+    P = jnp.ones((1, 4)); Q = jnp.ones((num_items, 4))
+    Qb = jnp.zeros(num_items)
+    _, _, _, logit = K._bpr_forward(
+        P, Q, Qb, jnp.asarray(users), jnp.zeros(64, jnp.int32),
+        jnp.asarray(neg), True)
+    assert np.all(np.asarray(logit) == 0.0)
