@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from buffalo_tpu.data.batching import (MATRIX_FREE_MAX_L, RangeBatch,
                                         SegmentBatch)
-from buffalo_tpu.ops.solve import solve
+from buffalo_tpu.ops.solve import cg_loop, cg_warm_start, solve
 
 
 def _row_stats(F: jax.Array, vals: jax.Array, mask: jax.Array,
@@ -85,28 +85,8 @@ def _solve_cg_matrix_free(p, F, FF, w, mask, reg_vec, y,
         return dense + jnp.einsum("bld,bl->bd", F, fx * w,
                                   preferred_element_type=jnp.float32)
 
-    Ax0 = matvec(p)
-    r_warm = y - Ax0
-    use_zero = (jnp.sum(y * y, axis=-1)
-                < jnp.sum(r_warm * r_warm, axis=-1))
-    x = jnp.where(use_zero[:, None], 0.0, p)
-    r = jnp.where(use_zero[:, None], y, r_warm)
-    rsold = jnp.sum(r * r, axis=-1)
-    active = rsold >= tolerance
-    pvec = r
-    for _ in range(num_iters):
-        Ap = matvec(pvec)
-        pAp = jnp.sum(pvec * Ap, axis=-1)
-        a = jnp.where(active, rsold / jnp.maximum(pAp, 1e-30), 0.0)
-        x = x + a[:, None] * pvec
-        r = r - a[:, None] * Ap
-        rsnew = jnp.sum(r * r, axis=-1)
-        active = active & (rsnew >= tolerance)
-        beta = jnp.where(rsold > 0,
-                         rsnew / jnp.maximum(rsold, 1e-30), 0.0)
-        pvec = r + beta[:, None] * pvec
-        rsold = rsnew
-    return x
+    x, r = cg_warm_start(matvec, y, p)
+    return cg_loop(matvec, x, r, num_iters, tolerance, unroll=True)
 
 
 def als_solve_batch(p: jax.Array, F: jax.Array, FF: jax.Array,
@@ -213,23 +193,7 @@ def ialspp_solve_batch(p: jax.Array, F: jax.Array, FF: jax.Array,
             return dense + data
 
         # 3-step CG from zero start (als.cc:322-345)
-        x = jnp.zeros_like(b)
-        r = b
-        rsold = jnp.sum(r * r, axis=-1)
-        run = rsold > cg_tol
-        pvec = r
-        for _ in range(3):
-            Ap = matvec(pvec)
-            pAp = jnp.sum(pvec * Ap, axis=-1)
-            step = jnp.where(run, rsold / jnp.maximum(pAp, 1e-30), 0.0)
-            x = x + step[:, None] * pvec
-            r = r - step[:, None] * Ap
-            rsnew = jnp.sum(r * r, axis=-1)
-            run = run & (rsnew >= cg_tol)
-            pvec = r + jnp.where(rsold > 0, rsnew / jnp.maximum(rsold, 1e-30),
-                                 0.0)[:, None] * pvec
-            rsold = rsnew
-
+        x = cg_loop(matvec, jnp.zeros_like(b), b, 3, cg_tol, unroll=True)
         x = x * row_mask[:, None]
         p = jax.lax.dynamic_update_slice_in_dim(
             p, p_blk - x, beg, axis=1)

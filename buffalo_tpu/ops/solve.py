@@ -34,26 +34,32 @@ def solve_cholesky(A: jax.Array, y: jax.Array) -> jax.Array:
     return x[..., 0]
 
 
-def solve_cg(A: jax.Array, y: jax.Array, x0: jax.Array,
-             num_iters: int = 3, tolerance: float = 1e-10) -> jax.Array:
-    """Batched un-preconditioned CG with the reference's warm-start rule.
-
-    Mirrors ``Algorithm::_leastsquare``'s ``manual_cg`` branch
-    (``algo.cc:58-81``): start from the current row ``x0`` unless the
-    zero start has a smaller residual (``|y| < |y - A x0|``), run at
-    most ``num_iters`` steps, stop early when the squared residual
-    drops below ``tolerance``.  All rows in the batch advance in
-    lockstep; converged rows keep their solution via masking.
-    """
-    Ax0 = jnp.einsum("bij,bj->bi", A, x0)
-    r_warm = y - Ax0
-    use_zero = (jnp.sum(y * y, axis=-1) < jnp.sum(r_warm * r_warm, axis=-1))
+def cg_warm_start(matvec, y: jax.Array, x0: jax.Array):
+    """The reference's warm-start rule (``algo.cc:62-67``): start from
+    the current row ``x0`` unless the zero start has a smaller
+    residual.  Returns (x, r = y - A x)."""
+    r_warm = y - matvec(x0)
+    use_zero = (jnp.sum(y * y, axis=-1)
+                < jnp.sum(r_warm * r_warm, axis=-1))
     x = jnp.where(use_zero[:, None], 0.0, x0)
     r = jnp.where(use_zero[:, None], y, r_warm)
+    return x, r
 
+
+def cg_loop(matvec, x: jax.Array, r: jax.Array, num_iters: int,
+            tolerance: float, unroll: bool = False) -> jax.Array:
+    """Batched un-preconditioned CG steps (``algo.cc:58-81``).
+
+    Starts from ``(x, r = y - A x)``, runs at most ``num_iters``
+    lockstep steps, freezing rows whose squared residual drops below
+    ``tolerance``.  The ONE implementation behind ``solve_cg``, the
+    matrix-free ALS path and the iALS++ block solve — only the matvec
+    (and ``unroll``, which the per-batch callers use to keep their
+    straight-line bodies) differs.
+    """
     def body(_, carry):
         x, r, p, rsold, active = carry
-        Ap = jnp.einsum("bij,bj->bi", A, p)
+        Ap = matvec(p)
         pAp = jnp.sum(p * Ap, axis=-1)
         alpha = jnp.where(active, rsold / jnp.maximum(pAp, 1e-30), 0.0)
         x = x + alpha[:, None] * p
@@ -65,11 +71,25 @@ def solve_cg(A: jax.Array, y: jax.Array, x0: jax.Array,
         return x, r, p, rsnew, active
 
     rsold = jnp.sum(r * r, axis=-1)
-    active = rsold >= tolerance
-    p = r
-    x, *_ = jax.lax.fori_loop(0, num_iters, body,
-                              (x, r, p, rsold, active))
+    carry = (x, r, r, rsold, rsold >= tolerance)
+    if unroll:
+        for _ in range(num_iters):
+            carry = body(0, carry)
+        return carry[0]
+    x, *_ = jax.lax.fori_loop(0, num_iters, body, carry)
     return x
+
+
+def solve_cg(A: jax.Array, y: jax.Array, x0: jax.Array,
+             num_iters: int = 3, tolerance: float = 1e-10) -> jax.Array:
+    """Batched CG over dense (B, d, d) systems with the reference's
+    warm-start rule (``Algorithm::_leastsquare`` ``manual_cg`` branch,
+    ``algo.cc:58-81``)."""
+    def matvec(v):
+        return jnp.einsum("bij,bj->bi", A, v)
+
+    x, r = cg_warm_start(matvec, y, x0)
+    return cg_loop(matvec, x, r, num_iters, tolerance)
 
 
 def solve(A: jax.Array, y: jax.Array, x0: jax.Array, optimizer: str,
