@@ -120,11 +120,15 @@ def main():
         except json.JSONDecodeError:
             overrides[k] = v
 
-    if args.devices:
+    if args.devices or os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize force-registers the tunneled TPU platform; when
+        # the caller pinned CPU (or asked for a CPU mesh) re-pin before
+        # backend init so a down TPU service can't hang the run.
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", args.devices)
+        if args.devices:
+            jax.config.update("jax_num_cpu_devices", args.devices)
 
     mm = args.mm or write_synth_mm(args.dataset)
     db = args.db or os.path.join(tempfile.gettempdir(),
