@@ -22,6 +22,19 @@ from typing import Dict, Optional
 
 import numpy as np
 
+def pin_cpu_if_requested() -> None:
+    """Honor ``JAX_PLATFORMS=cpu`` before backend init.
+
+    The benchmark environment's sitecustomize force-registers the
+    tunneled TPU platform and can override the env var; without the
+    config re-pin a CPU smoke run hangs on a down TPU service.  Call
+    at the top of every harness ``main()``.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 DATASET_SHAPES = {
     # name: (num_users, num_items, nnz)   benchmark/README.md:37-39
     "ml20m": (138_493, 26_744, 20_000_000),

@@ -85,6 +85,8 @@ class _Data:
 
 
 def main():
+    from models import pin_cpu_if_requested
+    pin_cpu_if_requested()
     ap = argparse.ArgumentParser()
     ap.add_argument("--d", type=int, default=32)
     ap.add_argument("--nnz", type=int, default=NNZ)

@@ -70,6 +70,8 @@ def write_clustered_mm(num_users=943, num_items=1682, clusters=32,
 
 
 def main():
+    from models import pin_cpu_if_requested
+    pin_cpu_if_requested()
     ap = argparse.ArgumentParser()
     ap.add_argument("--mm", default=None)
     ap.add_argument("--d", type=int, default=40)

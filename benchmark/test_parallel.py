@@ -29,6 +29,8 @@ from models import DATASET_SHAPES, build_data, write_synth_mm
 
 
 def main():
+    from models import pin_cpu_if_requested
+    pin_cpu_if_requested()
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="kakao_brunch_12m",
                     choices=sorted(DATASET_SHAPES))
