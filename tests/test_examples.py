@@ -45,3 +45,11 @@ def test_example_compare_runs(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "| als |" in proc.stdout
     assert "| plsi |" in proc.stdout
+
+
+def test_example_data_runs(tmp_path):
+    proc = _run(tmp_path, "example_data.py")
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "from event log" in proc.stdout
+    assert "from stream" in proc.stdout
+    assert "all four input routes built" in proc.stdout
