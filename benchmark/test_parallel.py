@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--queries", type=int, default=10000)
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--ann", action="store_true",
+                    help="also time the IVF ANN path and report its "
+                         "recall vs the exact scan (reference HNSW "
+                         "row: benchmark/README.md:177)")
+    ap.add_argument("--n_probe", type=int, default=8)
     args = ap.parse_args()
 
     mm = args.mm or write_synth_mm(args.dataset)
@@ -72,16 +77,43 @@ def main():
     topks, scores = par.most_similar(qs, topk=args.topk)
     ms_t = time.perf_counter() - st
 
+    ann_t = ann_recall = None
+    if args.ann:
+        from buffalo_tpu.parallel import IVFIndex
+        exact_topks = np.asarray(topks)
+        st = time.perf_counter()
+        index = IVFIndex.build(als.Q, n_probe=args.n_probe)
+        build_t = time.perf_counter() - st
+        par.set_ann_index(index)
+        par.most_similar(qs[:64], topk=args.topk)  # warmup
+        st = time.perf_counter()
+        ann_topks, _ = par.most_similar(qs, topk=args.topk)
+        ann_t = time.perf_counter() - st
+        # recall@topk of the ANN result against the exact scan
+        hits = sum(len(set(a) & set(e)) for a, e in
+                   zip(np.asarray(ann_topks), exact_topks))
+        ann_recall = hits / exact_topks.size
+
     print(f"| op | queries | d | elapsed_s | q_per_s |")
     print(f"|---|---|---|---|---|")
     print(f"| most_similar | {len(qs)} | {args.d} | {ms_t:.3f} "
           f"| {len(qs) / ms_t:.0f} |")
     print(f"| topk_recommendation | {len(uqs)} | {args.d} | {tk_t:.3f} "
           f"| {len(uqs) / tk_t:.0f} |")
-    print(json.dumps({"most_similar_s": round(ms_t, 4),
-                      "topk_s": round(tk_t, 4),
-                      "queries": len(qs), "d": args.d,
-                      "vs_baseline_1t": round(63.9 / max(ms_t, 1e-9), 1)}))
+    out = {"most_similar_s": round(ms_t, 4),
+           "topk_s": round(tk_t, 4),
+           "queries": len(qs), "d": args.d,
+           "vs_baseline_1t": round(63.9 / max(ms_t, 1e-9), 1)}
+    if ann_t is not None:
+        print(f"| most_similar_ivf (probe={args.n_probe}) | {len(qs)} "
+              f"| {args.d} | {ann_t:.3f} | {len(qs) / ann_t:.0f} |")
+        print(f"IVF build {build_t:.2f}s, recall@{args.topk} "
+              f"{ann_recall:.3f} vs exact")
+        out.update({"ann_s": round(ann_t, 4),
+                    "ann_recall": round(ann_recall, 4),
+                    "ann_build_s": round(build_t, 2),
+                    "n_probe": args.n_probe})
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
