@@ -45,6 +45,10 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         self.data = data
 
     def normalize(self, group="item"):
+        if str(self.opt.score_func) == "l2":
+            # distances are not scale-invariant (warp.py:63-64)
+            self.logger.warning(
+                "Normalization will harm performance if score func is L2")
         if group == "item" and not self.opt.get("_nrz_Q"):
             self.Q = self._normalize(self.Q)
             self.opt._nrz_Q = True
@@ -85,14 +89,38 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         return zip(rows, topks)
 
     def _get_most_similar_item(self, col, topk, pool):
+        if str(self.opt.score_func) == "l2":
+            # CML neighbours rank by squared L2 distance, not cosine
+            # (warp.py:109-137; returned scores are the positive
+            # distances, per the reference's output convention)
+            if isinstance(col, np.ndarray):
+                q = col
+            else:
+                q = self.Q[col]
+                topk += 1  # the query itself ranks first, dropped later
+            candidates = self.Q if pool is None else self.Q[pool]
+            neg_dist = -((candidates - q) ** 2).sum(axis=-1)
+            picked = self.get_topk(neg_dist, k=topk,
+                                   num_threads=self.opt.num_workers)
+            best = -neg_dist[picked]
+            if pool is not None:
+                picked = np.asarray(pool)[picked]
+            return picked, best
         return super()._get_most_similar_item(
             col, topk, self.Q, self.opt.get("_nrz_Q", False), pool)
 
     def get_scores(self, row_col_pairs):
+        if str(self.opt.score_func) == "l2":
+            return {(r, c): -float(((self.P[r] - self.Q[c]) ** 2).sum())
+                    for r, c in row_col_pairs}  # warp.py:139-143
         return {(r, c): float(self.P[r].dot(self.Q[c]))
                 for r, c in row_col_pairs}
 
     def _get_scores(self, row, col):
+        if str(self.opt.score_func) == "l2":
+            # the reference's validation variant offsets by +1
+            # (warp.py:146-150) — kept for metric parity
+            return 1.0 - ((self.P[row] - self.Q[col]) ** 2).sum(axis=-1)
         return (self.P[row] * self.Q[col]).sum(axis=1)
 
     # -------------------------------------------------------------- training

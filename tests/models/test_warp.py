@@ -95,6 +95,33 @@ def test_l2_topk_path(ml_data):
     assert all(r in pool for r in recs2)
 
 
+def test_l2_most_similar_ranks_by_distance(ml_data):
+    """With score_func=l2, most_similar must rank by squared L2
+    distance (reference warp.py:109-137), not cosine — and get_scores
+    must return negative squared distances (warp.py:139-143)."""
+    m, _ = _train(ml_data, score_func="l2", num_iters=5)
+    m.build_itemid_map()
+    key = m._idmanager.itemids[0]
+    got = m.most_similar(key, topk=5)
+    assert len(got) == 5
+    qi = m.get_index(key, group="item")
+    dist = ((m.Q - m.Q[qi]) ** 2).sum(axis=1)
+    order = np.argsort(dist, kind="stable")
+    expect = [i for i in order if i != qi][:5]
+    got_idx = [m.get_index(k, group="item") for k, _ in got]
+    assert set(got_idx) == set(int(i) for i in expect)
+    # returned scores are the positive distances, ascending
+    scores = [s for _, s in got]
+    assert all(s >= 0 for s in scores)
+    assert scores == sorted(scores)
+
+    pairs = [(0, int(expect[0])), (1, int(expect[1]))]
+    gs = m.get_scores(pairs)
+    for (r, c), v in gs.items():
+        np.testing.assert_allclose(
+            v, -((m.P[r] - m.Q[c]) ** 2).sum(), rtol=1e-5)
+
+
 def test_split_dispatch_parity(ml_data):
     """epoch_dispatch="split" probes the bloom filter in a separate
     program (packed seen bits) while the update program redraws the
