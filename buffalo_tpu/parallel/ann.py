@@ -123,19 +123,29 @@ class IVFIndex:
         # each query's candidate list to the max probed population,
         # rounded up to a power of two so the jitted scorer compiles
         # once per bucket instead of once per data-dependent width
-        cand_counts = (self.cell_ptr[probes + 1]
-                       - self.cell_ptr[probes]).sum(axis=1)
+        lo = self.cell_ptr[probes]                    # (B, P)
+        lens = self.cell_ptr[probes + 1] - lo         # (B, P)
+        cand_counts = lens.sum(axis=1)
         width = int(max(cand_counts.max(), topk))
         width = 1 << max(0, int(np.ceil(np.log2(max(width, 1)))))
+        # ragged fill, fully vectorized: enumerate every (query, probe)
+        # span element once — O(total candidates), no Python loop
+        flat_lens = lens.ravel()
+        total = int(flat_lens.sum())
+        span_ends = np.cumsum(flat_lens)
+        span_starts = span_ends - flat_lens
+        pos_in_span = np.arange(total, dtype=np.int64) - np.repeat(
+            span_starts, flat_lens)
+        vals = np.repeat(lo.ravel(), flat_lens) + pos_in_span
+        row_ends = np.cumsum(cand_counts)
+        row_starts = row_ends - cand_counts
+        row = np.repeat(np.arange(B, dtype=np.int64), cand_counts)
+        col = np.arange(total, dtype=np.int64) - np.repeat(
+            row_starts, cand_counts)
         cand = np.zeros((B, width), dtype=np.int64)  # positions in table
         mask = np.zeros((B, width), dtype=bool)
-        for b in range(B):
-            pos = 0
-            for c in probes[b]:
-                lo, hi = int(self.cell_ptr[c]), int(self.cell_ptr[c + 1])
-                cand[b, pos:pos + hi - lo] = np.arange(lo, hi)
-                mask[b, pos:pos + hi - lo] = True
-                pos += hi - lo
+        cand[row, col] = vals
+        mask[row, col] = True
 
         @jax.jit
         def score(queries, table, cand, mask):
