@@ -147,25 +147,28 @@ class IVFIndex:
         cand[row, col] = vals
         mask[row, col] = True
 
-        @jax.jit
-        def score(queries, table, cand, mask):
+        from functools import partial
+
+        @partial(jax.jit, static_argnames="k")
+        def score_topk(queries, table, cand, mask, *, k):
             gathered = jnp.take(table, cand, axis=0)      # (B, W, d)
             s = jnp.einsum("bd,bwd->bw", queries, gathered,
                            preferred_element_type=jnp.float32)
-            return jnp.where(mask, s, -jnp.inf)
+            s = jnp.where(mask, s, -jnp.inf)
+            # top-k on device: only (B, k) crosses back to the host,
+            # not the full (B, W) score matrix
+            vals, idx = jax.lax.top_k(s, k)
+            return vals, jnp.take_along_axis(cand, idx, axis=1)
 
-        scores = np.asarray(score(queries, self.table, cand, mask))
         k = min(topk, width)
-        top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        top_scores = np.take_along_axis(scores, top, axis=1)
-        order = np.argsort(-top_scores, axis=1)
-        top = np.take_along_axis(top, order, axis=1)
-        top_scores = np.take_along_axis(top_scores, order, axis=1)
+        top_scores, top_pos = score_topk(queries, self.table, cand,
+                                         mask, k=k)
+        top_scores = np.asarray(top_scores)
+        top_pos = np.asarray(top_pos)
 
         ids = np.full((B, topk), -1, dtype=np.int32)
         out_scores = np.zeros((B, topk), dtype=np.float32)
         valid = np.isfinite(top_scores)
-        picked = self.ids[np.take_along_axis(cand, top, axis=1)]
-        ids[:, :k] = np.where(valid, picked, -1)
+        ids[:, :k] = np.where(valid, self.ids[top_pos], -1)
         out_scores[:, :k] = np.where(valid, top_scores, 0.0)
         return ids, out_scores
