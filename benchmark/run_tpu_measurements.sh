@@ -17,6 +17,17 @@ OUT=${1:-/tmp/bt_tpu_measurements}
 mkdir -p "$OUT"
 log() { echo "[$(date -u +%H:%M:%S)] $*"; }
 
+log "0/7 pre-flight TPU probe"
+if ! timeout 300 python -c "
+import jax
+d = jax.devices()
+assert d and d[0].platform == 'tpu', d
+print('TPU OK:', d)
+"; then
+    log "TPU service not healthy — aborting (no step consumed its timeout)"
+    exit 1
+fi
+
 log "1/7 headline bench"
 timeout 2400 python bench.py 2>&1 | tee "$OUT/bench.log"
 

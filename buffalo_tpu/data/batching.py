@@ -150,6 +150,14 @@ def _gather_remapped(indptr, key, val, rows, B, L, other_newpos,
     positions.
     """
     n = len(rows)
+    if n:
+        from buffalo_tpu.data import native
+        got = native.gather_remapped_native(
+            np.asarray(indptr), np.asarray(key),
+            None if val is None else np.asarray(val),
+            np.asarray(rows), B, L, other_newpos, vals_dtype)
+        if got is not None:
+            return got
     out_lens = np.zeros(B, dtype=np.int32)
     pad_cols = np.zeros((B, L), dtype=np.int32)
     pad_vals = np.zeros((B, L), dtype=vals_dtype)
@@ -223,7 +231,7 @@ def build_range_layout(row_planner: "BatchPlanner",
     def emit(planner, plan, key, val, self_newpos, other_newpos):
         out = []
         indptr = planner.indptr
-        key = np.asarray(key, dtype=np.int64)
+        key = np.asarray(key)  # native gather takes int32/int64 as-is
         for rows, pos, B, L in plan:
             out_lens, pad_cols, pad_vals = _gather_remapped(
                 indptr, key, val, rows, B, L, other_newpos, vals_dtype)
@@ -325,7 +333,7 @@ def build_sharded_range_layout(row_planner: "BatchPlanner",
     i_newpos, i_plan, S_i = positions(col_planner)
 
     def emit(planner, plan, key, val, self_newpos, other_newpos):
-        key = np.asarray(key, dtype=np.int64)
+        key = np.asarray(key)  # native gather takes int32/int64 as-is
         indptr = planner.indptr
         per_shard: List[List[RangeBatch]] = [[] for _ in range(D)]
         for parts, start, n_pad, B, L in plan:

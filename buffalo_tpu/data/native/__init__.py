@@ -82,6 +82,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.fileio_gather_remapped.restype = None
+        lib.fileio_gather_remapped.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_void_p, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -189,3 +196,55 @@ def build_sppmi_native(indptr: np.ndarray, keys: np.ndarray,
                 cap = -got
 
     return list(parts())
+
+
+def gather_remapped_native(indptr: np.ndarray, key: np.ndarray,
+                           val: Optional[np.ndarray], rows: np.ndarray,
+                           B: int, L: int,
+                           other_newpos: Optional[np.ndarray],
+                           vals_dtype=np.float32):
+    """One-pass padded ragged-CSR gather (see fileio.cc).
+
+    Returns (lens int32[B], cols int32[B, L], vals vals_dtype[B, L]) or
+    None when the native library is unavailable or an input layout the
+    kernel does not handle is passed (caller falls back to numpy).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if key.dtype == np.int64:
+        key_is64 = 1
+    elif key.dtype == np.int32:
+        key_is64 = 0
+    else:
+        return None
+    vdt = np.dtype(vals_dtype)
+    if vdt == np.float32:
+        bf16 = 0
+    elif vdt.name == "bfloat16":
+        bf16 = 1
+    else:
+        return None
+    if val is not None and (val.dtype != np.float32
+                            or not val.flags.c_contiguous):
+        return None
+    if not (key.flags.c_contiguous and indptr.dtype == np.int64
+            and indptr.flags.c_contiguous):
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    if other_newpos is not None and not (
+            other_newpos.dtype == np.int64
+            and other_newpos.flags.c_contiguous):
+        other_newpos = np.ascontiguousarray(other_newpos, dtype=np.int64)
+    out_lens = np.zeros(B, dtype=np.int32)
+    out_cols = np.zeros((B, L), dtype=np.int32)
+    out_vals = np.zeros((B, L), dtype=vals_dtype)
+    lib.fileio_gather_remapped(
+        _ptr(indptr, ctypes.c_int64), _ptr(rows, ctypes.c_int64),
+        len(rows), key.ctypes.data_as(ctypes.c_void_p), key_is64,
+        None if val is None else _ptr(val, ctypes.c_float),
+        None if other_newpos is None else _ptr(other_newpos,
+                                               ctypes.c_int64),
+        L, _ptr(out_lens, ctypes.c_int32), _ptr(out_cols, ctypes.c_int32),
+        out_vals.ctypes.data_as(ctypes.c_void_p), bf16)
+    return out_lens, out_cols, out_vals

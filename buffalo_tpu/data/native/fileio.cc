@@ -377,4 +377,63 @@ int64_t fileio_sppmi_part(int64_t n_rows, const int64_t* indptr,
     return n_out <= cap ? n_out : -n_out;
 }
 
+// ------------------------------------------------------- padded gather
+// One-pass ragged-CSR gather into a padded (B, L) block — the staging
+// hot loop behind the range-layout builders and batch iteration
+// (counterpart of the reference's chunk fetch, buffered_data.py:85-118,
+// which memcpy's CSR slices; here rows are also id-remapped into the
+// permuted table's positions).  The numpy version makes ~6 full passes
+// over the batch (idx/mask temporaries, two fancy gathers, two wheres,
+// a cast); this fills cols/vals directly, parallel over rows.
+//
+// out_lens[B], out_cols[B*L], out_vals[B*L] must be PRE-ZEROED by the
+// caller (padding rows/entries stay zero).  `key` is int32 or int64
+// (key_is64), `val` may be null (implicit 1.0), `newpos` may be null
+// (identity remap), `vals_bf16` writes bfloat16 (round-to-nearest-even,
+// matching numpy's float32->bfloat16 cast) into out_vals as uint16.
+static inline uint16_t f32_to_bf16(float f) {
+    uint32_t x;
+    std::memcpy(&x, &f, 4);
+    if ((x & 0x7FFFFFFFu) > 0x7F800000u) return (uint16_t)((x >> 16) | 0x40);
+    x += 0x7FFFu + ((x >> 16) & 1u);
+    return (uint16_t)(x >> 16);
+}
+
+void fileio_gather_remapped(const int64_t* indptr, const int64_t* rows,
+                            int64_t n_rows, const void* key, int key_is64,
+                            const float* val, const int64_t* newpos,
+                            int64_t L, int32_t* out_lens, int32_t* out_cols,
+                            void* out_vals, int vals_bf16) {
+    const int32_t* k32 = static_cast<const int32_t*>(key);
+    const int64_t* k64 = static_cast<const int64_t*>(key);
+    float* v32 = static_cast<float*>(out_vals);
+    uint16_t* v16 = static_cast<uint16_t*>(out_vals);
+#pragma omp parallel for schedule(dynamic, 16)
+    for (int64_t b = 0; b < n_rows; ++b) {
+        int64_t beg = indptr[rows[b]];
+        int64_t len = indptr[rows[b] + 1] - beg;
+        out_lens[b] = static_cast<int32_t>(len);
+        int64_t n = std::min(len, L);
+        int32_t* oc = out_cols + b * L;
+        for (int64_t j = 0; j < n; ++j) {
+            int64_t c = key_is64 ? k64[beg + j]
+                                 : static_cast<int64_t>(k32[beg + j]);
+            if (newpos) c = newpos[c];
+            oc[j] = static_cast<int32_t>(c);
+        }
+        if (vals_bf16) {
+            uint16_t* ov = v16 + b * L;
+            for (int64_t j = 0; j < n; ++j)
+                ov[j] = f32_to_bf16(val ? val[beg + j] : 1.0f);
+        } else {
+            float* ov = v32 + b * L;
+            if (val) {
+                std::memcpy(ov, val + beg, n * sizeof(float));
+            } else {
+                for (int64_t j = 0; j < n; ++j) ov[j] = 1.0f;
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -144,3 +144,69 @@ def test_build_csr_rejects_out_of_range_rows():
     vals = np.ones(3, dtype=np.float32)
     with pytest.raises(ValueError, match="outside"):
         build_csr(rows, cols, vals, num_rows=3)
+
+
+def test_gather_remapped_native_parity():
+    """The one-pass C++ padded gather must be bit-identical to the
+    numpy fallback for every dtype combination the staging paths use:
+    int32/int64 keys, explicit/implicit vals, with/without id remap,
+    float32/bfloat16 output (bf16 = round-to-nearest-even cast)."""
+    import buffalo_tpu.data.native as native
+    from buffalo_tpu.data import batching
+
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    import ml_dtypes
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+
+    rng = np.random.default_rng(7)
+    U, I = 500, 90
+    deg = rng.integers(0, 40, U)
+    indptr = np.zeros(U + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    nnz = int(indptr[-1])
+    key32 = rng.integers(0, I, nnz).astype(np.int32)
+    val = rng.random(nnz, dtype=np.float32)
+    newpos = rng.permutation(I).astype(np.int64)
+    rows = rng.choice(U, 64, replace=False).astype(np.int64)
+
+    def numpy_ref(*args):
+        saved = native.gather_remapped_native
+        native.gather_remapped_native = lambda *a, **k: None
+        try:
+            return batching._gather_remapped(*args)
+        finally:
+            native.gather_remapped_native = saved
+
+    for key in (key32, key32.astype(np.int64)):
+        for vv in (val, None):
+            for npos in (newpos, None):
+                for vd in (np.float32, bf16):
+                    args = (indptr, key, vv, rows, 72, 48, npos, vd)
+                    got = batching._gather_remapped(*args)
+                    want = numpy_ref(*args)
+                    for g, w, name in zip(got, want,
+                                          ("lens", "cols", "vals")):
+                        assert g.dtype == w.dtype, name
+                        np.testing.assert_array_equal(
+                            np.asarray(g, np.float32),
+                            np.asarray(w, np.float32), err_msg=name)
+
+
+def test_gather_remapped_native_row_longer_than_L():
+    """Rows longer than L are truncated to their first L entries with
+    the TRUE length reported (the segment path owns long rows; the
+    numpy fallback has the same contract)."""
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    from buffalo_tpu.data import batching
+
+    indptr = np.array([0, 10], dtype=np.int64)
+    key = np.arange(10, dtype=np.int32)
+    val = np.arange(10, dtype=np.float32)
+    rows = np.array([0], dtype=np.int64)
+    lens, cols, vals = batching._gather_remapped(
+        indptr, key, val, rows, 8, 4, None)
+    assert lens[0] == 10
+    np.testing.assert_array_equal(cols[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(vals[0], [0.0, 1.0, 2.0, 3.0])
