@@ -333,28 +333,75 @@ def build_sharded_range_layout(row_planner: "BatchPlanner",
     i_newpos, i_plan, S_i = positions(col_planner)
 
     def emit(planner, plan, key, val, self_newpos, other_newpos):
+        from buffalo_tpu.data import native
         key = np.asarray(key)  # native gather takes int32/int64 as-is
+        val_a = None if val is None else np.asarray(val)
         indptr = planner.indptr
-        per_shard: List[List[RangeBatch]] = [[] for _ in range(D)]
+        # batch slots in per-shard append order; grouping by shape in
+        # first-appearance order matches stack_batches exactly
+        slot_groups: Dict[tuple, list] = {}
+        order: List[tuple] = []
         for parts, start, n_pad, B, L in plan:
             for lo in range(0, n_pad, B):
                 Bj = min(B, n_pad - lo)
-                for k in range(D):
-                    rows = parts[k][lo:lo + Bj]
-                    lens, cols, vals = _gather_remapped(
-                        indptr, key, val, rows, Bj, L, other_newpos,
-                        vals_dtype)
-                    per_shard[k].append(RangeBatch(
-                        row_start=np.int32(start + lo), lens=lens,
-                        cols=cols, vals=vals))
-        # same-shape stacking within each shard is aligned across
-        # shards by construction; add the shard axis in front
-        stacked = [stack_batches(bs) for bs in per_shard]
-        groups = []
-        for i, g0 in enumerate(stacked[0]):
-            groups.append(type(g0)(*[
-                np.stack([np.asarray(getattr(s[i], f)) for s in stacked])
-                for f in g0._fields]))
+                shape = (Bj, L)
+                if shape not in slot_groups:
+                    slot_groups[shape] = []
+                    order.append(shape)
+                slot_groups[shape].append((parts, start + lo, lo, Bj, L))
+
+        def direct_fill():
+            # native gather writes each (shard, batch) block of the
+            # final stacked group arrays in place: no per-batch
+            # allocations and no double np.stack copy afterwards
+            groups = []
+            for shape in order:
+                slots = slot_groups[shape]
+                n = len(slots)
+                Bj, L = shape
+                row_start = np.empty((D, n), dtype=np.int32)
+                lens = np.zeros((D, n, Bj), dtype=np.int32)
+                cols = np.zeros((D, n, Bj, L), dtype=np.int32)
+                vals = np.zeros((D, n, Bj, L), dtype=vals_dtype)
+                for j, (parts, rs, lo, Bj, L) in enumerate(slots):
+                    row_start[:, j] = rs
+                    for k in range(D):
+                        rows = parts[k][lo:lo + Bj]
+                        if not len(rows):
+                            continue
+                        got = native.gather_remapped_native(
+                            indptr, key, val_a, rows, Bj, L,
+                            other_newpos, vals_dtype,
+                            out=(lens[k, j], cols[k, j], vals[k, j]))
+                        if got is None:
+                            return None
+                groups.append(RangeBatch(row_start=row_start, lens=lens,
+                                         cols=cols, vals=vals))
+            return groups
+
+        groups = direct_fill() if native.get_lib() is not None else None
+        if groups is None:
+            per_shard: List[List[RangeBatch]] = [[] for _ in range(D)]
+            for parts, start, n_pad, B, L in plan:
+                for lo in range(0, n_pad, B):
+                    Bj = min(B, n_pad - lo)
+                    for k in range(D):
+                        rows = parts[k][lo:lo + Bj]
+                        lens, cols, vals = _gather_remapped(
+                            indptr, key, val, rows, Bj, L, other_newpos,
+                            vals_dtype)
+                        per_shard[k].append(RangeBatch(
+                            row_start=np.int32(start + lo), lens=lens,
+                            cols=cols, vals=vals))
+            # same-shape stacking within each shard is aligned across
+            # shards by construction; add the shard axis in front
+            stacked = [stack_batches(bs) for bs in per_shard]
+            groups = []
+            for i, g0 in enumerate(stacked[0]):
+                groups.append(type(g0)(*[
+                    np.stack([np.asarray(getattr(s[i], f))
+                              for s in stacked])
+                    for f in g0._fields]))
         segments = [_remap_segment(planner, p, key, val, self_newpos,
                                    other_newpos, vals_dtype)
                     for p in planner.segment_plans]

@@ -202,12 +202,16 @@ def gather_remapped_native(indptr: np.ndarray, key: np.ndarray,
                            val: Optional[np.ndarray], rows: np.ndarray,
                            B: int, L: int,
                            other_newpos: Optional[np.ndarray],
-                           vals_dtype=np.float32):
+                           vals_dtype=np.float32, out=None):
     """One-pass padded ragged-CSR gather (see fileio.cc).
 
     Returns (lens int32[B], cols int32[B, L], vals vals_dtype[B, L]) or
     None when the native library is unavailable or an input layout the
     kernel does not handle is passed (caller falls back to numpy).
+
+    ``out`` — optional (lens, cols, vals) PRE-ZEROED C-contiguous
+    views to fill in place (e.g. slices of a stacked group array):
+    skips the allocation and the later ``np.stack`` copy entirely.
     """
     lib = get_lib()
     if lib is None:
@@ -236,9 +240,14 @@ def gather_remapped_native(indptr: np.ndarray, key: np.ndarray,
             other_newpos.dtype == np.int64
             and other_newpos.flags.c_contiguous):
         other_newpos = np.ascontiguousarray(other_newpos, dtype=np.int64)
-    out_lens = np.zeros(B, dtype=np.int32)
-    out_cols = np.zeros((B, L), dtype=np.int32)
-    out_vals = np.zeros((B, L), dtype=vals_dtype)
+    if out is not None:
+        out_lens, out_cols, out_vals = out
+        assert (out_lens.flags.c_contiguous and out_cols.flags.c_contiguous
+                and out_vals.flags.c_contiguous)
+    else:
+        out_lens = np.zeros(B, dtype=np.int32)
+        out_cols = np.zeros((B, L), dtype=np.int32)
+        out_vals = np.zeros((B, L), dtype=vals_dtype)
     lib.fileio_gather_remapped(
         _ptr(indptr, ctypes.c_int64), _ptr(rows, ctypes.c_int64),
         len(rows), key.ctypes.data_as(ctypes.c_void_p), key_is64,

@@ -210,3 +210,52 @@ def test_gather_remapped_native_row_longer_than_L():
     assert lens[0] == 10
     np.testing.assert_array_equal(cols[0], [0, 1, 2, 3])
     np.testing.assert_array_equal(vals[0], [0.0, 1.0, 2.0, 3.0])
+
+
+def test_sharded_direct_fill_matches_stacked_fallback():
+    """build_sharded_range_layout's native direct-fill path (gather
+    straight into the stacked group arrays) must produce a pytree
+    bit-identical to the per-batch-then-np.stack fallback."""
+    if get_lib() is None:
+        pytest.skip("no native lib")
+    import buffalo_tpu.data.native as native
+    from buffalo_tpu.data.batching import (BatchPlanner,
+                                           build_sharded_range_layout)
+
+    rng = np.random.default_rng(5)
+    U, I, NNZ = 2000, 500, 40_000
+    deg = np.maximum(0, rng.poisson(NNZ // U, U)).astype(np.int64)
+    indptr_u = np.zeros(U + 1, np.int64)
+    np.cumsum(deg, out=indptr_u[1:])
+    nnz = int(indptr_u[-1])
+    key_u = rng.integers(0, I, nnz).astype(np.int32)
+    val_u = rng.random(nnz, dtype=np.float32)
+    order = np.argsort(key_u, kind="stable")
+    key_i = np.repeat(np.arange(U, dtype=np.int32), deg)[order]
+    val_i = val_u[order]
+    cnt = np.bincount(key_u, minlength=I)
+    indptr_i = np.zeros(I + 1, np.int64)
+    np.cumsum(cnt, out=indptr_i[1:])
+    rp = BatchPlanner(indptr_u, batch_mb=2)
+    cp = BatchPlanner(indptr_i, batch_mb=2)
+
+    a = build_sharded_range_layout(rp, cp, key_u, val_u, key_i, val_i, 4)
+    saved = native.get_lib
+    native.get_lib = lambda: None
+    try:
+        b = build_sharded_range_layout(rp, cp, key_u, val_u,
+                                       key_i, val_i, 4)
+    finally:
+        native.get_lib = saved
+
+    def cmp(x, y):
+        if isinstance(x, (list, tuple)) and not isinstance(x, np.ndarray):
+            assert len(x) == len(y)
+            for xi, yi in zip(x, y):
+                cmp(xi, yi)
+        else:
+            x, y = np.asarray(x), np.asarray(y)
+            assert x.dtype == y.dtype and x.shape == y.shape
+            np.testing.assert_array_equal(x, y)
+
+    cmp(a, b)
