@@ -90,18 +90,29 @@ def synth_dataset(num_users: int, num_items: int, nnz: int, seed: int = 0):
 
 def write_synth_mm(name: str, out_dir: Optional[str] = None,
                    seed: int = 0) -> str:
-    """Materialize a synthetic dataset as a MatrixMarket file."""
+    """Materialize a synthetic dataset as a MatrixMarket file.
+
+    Deterministic (name, seed) -> path cache under the system temp dir:
+    synthesizing + savetxt'ing 20M lines costs minutes, and measurement
+    sessions invoke this harness many times back-to-back.
+    """
     num_users, num_items, nnz = DATASET_SHAPES[name]
-    indptr, items, vals = synth_dataset(num_users, num_items, nnz, seed)
-    out_dir = out_dir or tempfile.mkdtemp(prefix=f"bt_bench_{name}_")
+    out_dir = out_dir or os.path.join(tempfile.gettempdir(),
+                                      f"bt_bench_mm_{name}_s{seed}")
+    os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "main.mtx")
+    if os.path.exists(path) and os.path.getsize(path) > 0:
+        return path
+    indptr, items, vals = synth_dataset(num_users, num_items, nnz, seed)
+    tmp = path + ".tmp"
     rows = np.repeat(np.arange(num_users, dtype=np.int64), np.diff(indptr))
-    with open(path, "w") as f:
+    with open(tmp, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         f.write(f"{num_users} {num_items} {len(items)}\n")
         np.savetxt(f, np.column_stack(
             [rows + 1, items.astype(np.int64) + 1, vals]),
             fmt="%d %d %.1f")
+    os.replace(tmp, path)
     return path
 
 
