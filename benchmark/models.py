@@ -22,17 +22,15 @@ from typing import Dict, Optional
 
 import numpy as np
 
-def pin_cpu_if_requested() -> None:
+def pin_cpu_if_requested(force: bool = False) -> bool:
     """Honor ``JAX_PLATFORMS=cpu`` before backend init.
 
-    The benchmark environment's sitecustomize force-registers the
-    tunneled TPU platform and can override the env var; without the
-    config re-pin a CPU smoke run hangs on a down TPU service.  Call
-    at the top of every harness ``main()``.
+    Delegates to :func:`buffalo_tpu.utils.pin_cpu` (single source of
+    truth for the sitecustomize re-pin recipe).  Call at the top of
+    every harness ``main()``.
     """
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    from buffalo_tpu.utils import pin_cpu
+    return pin_cpu(force=force)
 
 
 DATASET_SHAPES = {
@@ -97,14 +95,17 @@ def write_synth_mm(name: str, out_dir: Optional[str] = None,
     sessions invoke this harness many times back-to-back.
     """
     num_users, num_items, nnz = DATASET_SHAPES[name]
+    cached = out_dir is None  # only the deterministic default path caches
     out_dir = out_dir or os.path.join(tempfile.gettempdir(),
                                       f"bt_bench_mm_{name}_s{seed}")
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "main.mtx")
-    if os.path.exists(path) and os.path.getsize(path) > 0:
+    if cached and os.path.exists(path) and os.path.getsize(path) > 0:
         return path
     indptr, items, vals = synth_dataset(num_users, num_items, nnz, seed)
-    tmp = path + ".tmp"
+    # unique tmp name: concurrent writers must not interleave into one
+    # file; os.replace makes whoever finishes last win atomically
+    tmp = f"{path}.tmp.{os.getpid()}"
     rows = np.repeat(np.arange(num_users, dtype=np.int64), np.diff(indptr))
     with open(tmp, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")

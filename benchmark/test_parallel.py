@@ -85,7 +85,10 @@ def main():
         index = IVFIndex.build(als.Q, n_probe=args.n_probe)
         build_t = time.perf_counter() - st
         par.set_ann_index(index)
-        par.most_similar(qs[:64], topk=args.topk)  # warmup
+        # warm up at the FULL query count: the IVF scorer's jit cache
+        # is keyed on (B, candidate width), so a small warmup would
+        # leave one compile inside the timed region
+        par.most_similar(qs, topk=args.topk)
         st = time.perf_counter()
         ann_topks, _ = par.most_similar(qs, topk=args.topk)
         ann_t = time.perf_counter() - st

@@ -27,7 +27,8 @@ import json
 import os
 import tempfile
 
-from models import DATASET_SHAPES, build_data, fit_algo, write_synth_mm
+from models import (DATASET_SHAPES, build_data, fit_algo,
+                    pin_cpu_if_requested, write_synth_mm)
 
 
 def _apply_overrides(opt, overrides):
@@ -120,15 +121,10 @@ def main():
         except json.JSONDecodeError:
             overrides[k] = v
 
-    if args.devices or os.environ.get("JAX_PLATFORMS") == "cpu":
-        # sitecustomize force-registers the tunneled TPU platform; when
-        # the caller pinned CPU (or asked for a CPU mesh) re-pin before
-        # backend init so a down TPU service can't hang the run.
-        os.environ["JAX_PLATFORMS"] = "cpu"
+    # a --devices CPU mesh implies the CPU pin; otherwise honor the env
+    if pin_cpu_if_requested(force=bool(args.devices)) and args.devices:
         import jax
-        jax.config.update("jax_platforms", "cpu")
-        if args.devices:
-            jax.config.update("jax_num_cpu_devices", args.devices)
+        jax.config.update("jax_num_cpu_devices", args.devices)
 
     mm = args.mm or write_synth_mm(args.dataset)
     db = args.db or os.path.join(tempfile.gettempdir(),

@@ -28,6 +28,8 @@ import time
 
 import numpy as np
 
+from models import pin_cpu_if_requested
+
 USERS, ITEMS, NNZ = 306_291, 505_926, 12_000_000
 SMOKE_USERS, SMOKE_ITEMS, SMOKE_NNZ = 600, 400, 12_000
 
@@ -89,13 +91,8 @@ def main():
                     help="tiny-shape CPU sanity run of the full harness")
     args = ap.parse_args()
 
-    if args.smoke or os.environ.get("JAX_PLATFORMS") == "cpu":
-        # the environment's sitecustomize force-registers the tunneled
-        # TPU platform and overrides JAX_PLATFORMS; re-pin before any
-        # backend initialization (same recipe as tests/conftest.py)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+    # --smoke implies the CPU pin; otherwise honor JAX_PLATFORMS=cpu
+    pin_cpu_if_requested(force=args.smoke)
 
     tag = "_smoke" if args.smoke else ""
     stream = write_synth_stream(

@@ -13,9 +13,27 @@ numpy, and the accuracy/speed trade is the standard IVF recall curve
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import numpy as np
+
+
+def _score_topk(queries, table, cand, mask, *, k):
+    import jax
+    import jax.numpy as jnp
+
+    gathered = jnp.take(table, cand, axis=0)          # (B, W, d)
+    s = jnp.einsum("bd,bwd->bw", queries, gathered,
+                   preferred_element_type=jnp.float32)
+    s = jnp.where(mask, s, -jnp.inf)
+    # top-k on device: only (B, k) crosses back to the host, not the
+    # full (B, W) score matrix
+    vals, idx = jax.lax.top_k(s, k)
+    return vals, jnp.take_along_axis(cand, idx, axis=1)
+
+
+_score_topk_jit = None  # module-level jit: one trace cache for all searches
 
 
 class IVFIndex:
@@ -106,7 +124,6 @@ class IVFIndex:
         """Probe the ``n_probe`` nearest cells per query, exact-scan
         their members, return global top-k (ids -1-padded)."""
         import jax
-        import jax.numpy as jnp
 
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim == 1:
@@ -147,22 +164,17 @@ class IVFIndex:
         cand[row, col] = vals
         mask[row, col] = True
 
-        from functools import partial
-
-        @partial(jax.jit, static_argnames="k")
-        def score_topk(queries, table, cand, mask, *, k):
-            gathered = jnp.take(table, cand, axis=0)      # (B, W, d)
-            s = jnp.einsum("bd,bwd->bw", queries, gathered,
-                           preferred_element_type=jnp.float32)
-            s = jnp.where(mask, s, -jnp.inf)
-            # top-k on device: only (B, k) crosses back to the host,
-            # not the full (B, W) score matrix
-            vals, idx = jax.lax.top_k(s, k)
-            return vals, jnp.take_along_axis(cand, idx, axis=1)
+        global _score_topk_jit
+        if _score_topk_jit is None:
+            _score_topk_jit = partial(jax.jit, static_argnames="k")(
+                _score_topk)
+        if getattr(self, "_table_dev", None) is None:
+            # transfer the item table once; every search reuses it
+            self._table_dev = jax.device_put(self.table)
 
         k = min(topk, width)
-        top_scores, top_pos = score_topk(queries, self.table, cand,
-                                         mask, k=k)
+        top_scores, top_pos = _score_topk_jit(queries, self._table_dev,
+                                              cand, mask, k=k)
         top_scores = np.asarray(top_scores)
         top_pos = np.asarray(top_pos)
 

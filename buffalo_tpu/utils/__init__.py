@@ -18,3 +18,26 @@ def get_temporary_file(root: str = "/tmp/", suffix: str = "") -> str:
 def mkdirs(path: str) -> str:
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def pin_cpu(force: bool = False) -> bool:
+    """Pin JAX to the CPU backend before backend initialization.
+
+    Some environments install a ``sitecustomize`` that force-registers
+    an accelerator platform and can override ``JAX_PLATFORMS``; setting
+    the env var alone is then not enough — a CPU-only run hangs
+    initializing an unreachable accelerator service.  Calling this
+    before the first backend touch re-pins both the env var and the
+    live JAX config.
+
+    By default the pin applies only when the caller already asked for
+    CPU (``JAX_PLATFORMS`` starts with ``cpu``); pass ``force=True`` to
+    pin unconditionally.  Returns True when the pin was applied.
+    """
+    if not (force or os.environ.get("JAX_PLATFORMS", "").startswith("cpu")):
+        return False
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return True

@@ -21,15 +21,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import os as _os
+from buffalo_tpu.utils import pin_cpu
 
-if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    # sitecustomize force-registers the tunneled TPU platform and can
-    # override the env var; re-pin the config before backend init so a
-    # CPU run can't hang on a down TPU service.
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
+pin_cpu()  # re-pin before backend init if JAX_PLATFORMS=cpu
 
 import numpy as np
 
