@@ -44,6 +44,8 @@ def main():
                          "recall vs the exact scan (reference HNSW "
                          "row: benchmark/README.md:177)")
     ap.add_argument("--n_probe", type=int, default=8)
+    ap.add_argument("--spill", type=int, default=1,
+                    help="index each item in its s best cells")
     args = ap.parse_args()
 
     mm = args.mm or write_synth_mm(args.dataset)
@@ -82,7 +84,8 @@ def main():
         from buffalo_tpu.parallel import IVFIndex
         exact_topks = np.asarray(topks)
         st = time.perf_counter()
-        index = IVFIndex.build(als.Q, n_probe=args.n_probe)
+        index = IVFIndex.build(als.Q, n_probe=args.n_probe,
+                               spill=args.spill)
         build_t = time.perf_counter() - st
         par.set_ann_index(index)
         # warm up at the FULL query count: the IVF scorer's jit cache
@@ -115,7 +118,7 @@ def main():
         out.update({"ann_s": round(ann_t, 4),
                     "ann_recall": round(ann_recall, 4),
                     "ann_build_s": round(build_t, 2),
-                    "n_probe": args.n_probe})
+                    "n_probe": args.n_probe, "spill": args.spill})
     print(json.dumps(out))
 
 

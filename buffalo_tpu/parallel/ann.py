@@ -46,22 +46,36 @@ class IVFIndex:
 
     def __init__(self, centroids: np.ndarray, assignments: np.ndarray,
                  table: np.ndarray, n_probe: int = 8):
+        """``assignments`` is (N,) for single-cell assignment or (N, s)
+        for spill assignment (each row indexed in its ``s`` best cells;
+        raises recall at the cost of an s-times-larger inverted file)."""
         self.centroids = np.asarray(centroids, dtype=np.float32)
-        order = np.argsort(assignments, kind="stable")
-        self.ids = order.astype(np.int32)           # rows grouped by cell
-        counts = np.bincount(assignments, minlength=len(centroids))
+        assignments = np.asarray(assignments)
+        if assignments.ndim == 1:
+            assignments = assignments[:, None]
+        n_rows, self.spill = assignments.shape
+        item = np.repeat(np.arange(n_rows, dtype=np.int64), self.spill)
+        cells = assignments.ravel()
+        order = np.argsort(cells, kind="stable")
+        self.ids = item[order].astype(np.int32)     # rows grouped by cell
+        counts = np.bincount(cells, minlength=len(centroids))
         self.cell_ptr = np.zeros(len(centroids) + 1, dtype=np.int64)
         np.cumsum(counts, out=self.cell_ptr[1:])
         self.table = np.ascontiguousarray(
-            np.asarray(table, dtype=np.float32)[order])
+            np.asarray(table, dtype=np.float32)[item[order]])
         self.n_probe = int(n_probe)
 
     # ----------------------------------------------------------------- build
     @classmethod
     def build(cls, table: np.ndarray, n_clusters: Optional[int] = None,
-              n_probe: int = 8, n_iters: int = 10, seed: int = 0
-              ) -> "IVFIndex":
-        """Spherical k-means over the (normalized) table rows."""
+              n_probe: int = 8, n_iters: int = 10, seed: int = 0,
+              spill: int = 1) -> "IVFIndex":
+        """Spherical k-means over the (normalized) table rows.
+
+        ``spill > 1`` indexes every row in its ``spill`` nearest cells
+        (duplicates are removed at search time), trading index memory
+        for recall — the IVF analog of HNSW's multi-edge redundancy.
+        """
         import jax
         import jax.numpy as jnp
 
@@ -94,6 +108,11 @@ class IVFIndex:
         assign = None
         for _ in range(n_iters):
             cent_d, assign = lloyd(cent_d, unit_d)
+        spill = max(1, min(int(spill), n_clusters))
+        if spill > 1:
+            scores = jnp.dot(unit_d, cent_d.T,
+                             preferred_element_type=jnp.float32)
+            _, assign = jax.lax.top_k(scores, spill)
         return cls(np.asarray(cent_d), np.asarray(assign), table,
                    n_probe=n_probe)
 
@@ -104,7 +123,8 @@ class IVFIndex:
         np.savez(path if path.endswith(".npz") else path + ".npz",
                  centroids=self.centroids, ids=self.ids,
                  cell_ptr=self.cell_ptr, table=self.table,
-                 n_probe=np.int64(self.n_probe))
+                 n_probe=np.int64(self.n_probe),
+                 spill=np.int64(self.spill))
 
     @classmethod
     def load(cls, path: str) -> "IVFIndex":
@@ -116,6 +136,7 @@ class IVFIndex:
             idx.cell_ptr = z["cell_ptr"]
             idx.table = z["table"]
             idx.n_probe = int(z["n_probe"])
+            idx.spill = int(z["spill"]) if "spill" in z else 1
         return idx
 
     # ---------------------------------------------------------------- search
@@ -134,7 +155,13 @@ class IVFIndex:
         qn = queries / np.maximum(
             np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
         cell_scores = qn @ self.centroids.T
-        probes = np.argsort(-cell_scores, axis=1)[:, :n_probe]
+        if n_probe < cell_scores.shape[1]:
+            # probe order is irrelevant (every candidate is exact-
+            # scored), so an O(C) partition beats a full argsort
+            probes = np.argpartition(-cell_scores, n_probe - 1,
+                                     axis=1)[:, :n_probe]
+        else:
+            probes = np.argsort(-cell_scores, axis=1)[:, :n_probe]
 
         # fixed candidate width keeps the scoring shape static: pad
         # each query's candidate list to the max probed population,
@@ -172,15 +199,37 @@ class IVFIndex:
             # transfer the item table once; every search reuses it
             self._table_dev = jax.device_put(self.table)
 
-        k = min(topk, width)
+        spill = getattr(self, "spill", 1)
+        # with spill an item can sit in several probed cells; over-fetch
+        # so dedup can still fill topk slots (each id repeats <= spill)
+        k = min(topk * spill, width)
         top_scores, top_pos = _score_topk_jit(queries, self._table_dev,
                                               cand, mask, k=k)
         top_scores = np.asarray(top_scores)
         top_pos = np.asarray(top_pos)
+        cand_ids = np.where(np.isfinite(top_scores),
+                            self.ids[top_pos], -1).astype(np.int32)
 
         ids = np.full((B, topk), -1, dtype=np.int32)
         out_scores = np.zeros((B, topk), dtype=np.float32)
-        valid = np.isfinite(top_scores)
-        ids[:, :k] = np.where(valid, self.ids[top_pos], -1)
-        out_scores[:, :k] = np.where(valid, top_scores, 0.0)
+        if spill > 1:
+            # keep the first (= highest-scoring: top_k output is score-
+            # descending and the id-sort below is stable) occurrence of
+            # every id, then compact the keepers left into topk columns
+            order = np.argsort(cand_ids, axis=1, kind="stable")
+            sorted_ids = np.take_along_axis(cand_ids, order, axis=1)
+            first_sorted = np.ones_like(sorted_ids, dtype=bool)
+            first_sorted[:, 1:] = sorted_ids[:, 1:] != sorted_ids[:, :-1]
+            first = np.empty_like(first_sorted)
+            np.put_along_axis(first, order, first_sorted, axis=1)
+            keep = first & (cand_ids >= 0)
+            rank = np.cumsum(keep, axis=1) - 1
+            keep &= rank < topk
+            rows = np.nonzero(keep)[0]
+            ids[rows, rank[keep]] = cand_ids[keep]
+            out_scores[rows, rank[keep]] = top_scores[keep]
+        else:
+            ids[:, :k] = cand_ids[:, :k]
+            out_scores[:, :k] = np.where(cand_ids[:, :k] >= 0,
+                                         top_scores[:, :k], 0.0)
         return ids, out_scores

@@ -240,3 +240,36 @@ def test_batch_topn_empty_pool_returns_padding():
                               pool=np.array([], dtype=np.int64))
     assert np.all(keys == -1)
     assert np.all(scores == 0)
+
+
+def test_ivf_spill_dedups_and_improves_recall(als):
+    """spill=2 indexes each item in its two best cells: results carry
+    no duplicate ids and recall at fixed n_probe can only help."""
+    from buffalo_tpu.parallel import ParALS
+    from buffalo_tpu.parallel.ann import IVFIndex
+
+    par = ParALS(als)
+    keys = [als._idmanager.itemids[i] for i in range(20)]
+    exact, _ = par.most_similar(keys, topk=5)
+
+    als.normalize("item")
+
+    def recall(index):
+        par.set_ann_index(index)
+        approx, _ = par.most_similar(keys, topk=5)
+        arr = np.asarray(approx)
+        for row in arr:  # no id may appear twice
+            real = [x for x in row if x != "-1" and x != -1]
+            assert len(real) == len(set(real)), row
+        return np.mean([len(set(a) & set(e)) / len(set(e))
+                        for a, e in zip(arr, np.asarray(exact))])
+
+    r1 = recall(IVFIndex.build(als.Q, n_clusters=16, n_probe=4, spill=1))
+    r2 = recall(IVFIndex.build(als.Q, n_clusters=16, n_probe=4, spill=2))
+    assert r2 >= r1 - 1e-9, (r1, r2)
+    assert r2 > 0.7, r2
+
+    # spill survives the npz round-trip
+    idx = IVFIndex.build(als.Q, n_clusters=8, n_probe=4, spill=2)
+    assert idx.spill == 2
+    assert len(idx.ids) == 2 * als.Q.shape[0]
