@@ -19,21 +19,47 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def _score_topk(queries, table, cand, mask, *, k):
+# Tile caps for the scorer. The inverted file is stored cell-major, so
+# a (cell-range x query-chunk) tile is scored as ONE dense matmul over a
+# contiguous table slice — no per-row gather of the big table (TPU
+# gathers from multi-100MB tables cost ~33 ns/row; a matmul streams the
+# same rows at full HBM bandwidth) and no (B, width, d) materialization
+# (which would OOM at 10k queries x power-law cell widths).
+_BQ_CAP = 256    # queries per tile
+_L_CAP = 1024    # table rows per tile
+
+
+def _tiled_score(queries, table_pad, qidx, qmask, lo, ln, *, k):
+    """Score every tile under one lax.scan: one XLA dispatch per search.
+
+    queries   (B, d) f32      — query vectors
+    table_pad (N + L_CAP, d)  — cell-ordered table, zero-padded tail
+    qidx      (T, BQ_CAP) i32 — query ids per tile (0-padded)
+    qmask     (T, BQ_CAP) bool
+    lo        (T,) i32        — tile's first table row
+    ln        (T,) i32        — tile's real row count (<= L_CAP)
+    Returns (T, BQ_CAP, k) partial top-k values and table positions.
+    """
     import jax
     import jax.numpy as jnp
 
-    gathered = jnp.take(table, cand, axis=0)          # (B, W, d)
-    s = jnp.einsum("bd,bwd->bw", queries, gathered,
-                   preferred_element_type=jnp.float32)
-    s = jnp.where(mask, s, -jnp.inf)
-    # top-k on device: only (B, k) crosses back to the host, not the
-    # full (B, W) score matrix
-    vals, idx = jax.lax.top_k(s, k)
-    return vals, jnp.take_along_axis(cand, idx, axis=1)
+    d = queries.shape[1]
+
+    def body(_, xs):
+        qi, qm, lo_t, ln_t = xs
+        qg = jnp.take(queries, qi, axis=0)                  # (BQ, d)
+        tbl = jax.lax.dynamic_slice(table_pad, (lo_t, 0), (_L_CAP, d))
+        s = jnp.dot(qg, tbl.T, preferred_element_type=jnp.float32)
+        col_ok = jax.lax.iota(jnp.int32, _L_CAP) < ln_t
+        s = jnp.where(col_ok[None, :] & qm[:, None], s, -jnp.inf)
+        v, i = jax.lax.top_k(s, k)
+        return None, (v, i + lo_t)
+
+    _, (vals, pos) = jax.lax.scan(body, None, (qidx, qmask, lo, ln))
+    return vals, pos
 
 
-_score_topk_jit = None  # module-level jit: one trace cache for all searches
+_tiled_score_jit = None  # module-level jit: one trace cache for all searches
 
 
 class IVFIndex:
@@ -163,73 +189,87 @@ class IVFIndex:
         else:
             probes = np.argsort(-cell_scores, axis=1)[:, :n_probe]
 
-        # fixed candidate width keeps the scoring shape static: pad
-        # each query's candidate list to the max probed population,
-        # rounded up to a power of two so the jitted scorer compiles
-        # once per bucket instead of once per data-dependent width
-        lo = self.cell_ptr[probes]                    # (B, P)
-        lens = self.cell_ptr[probes + 1] - lo         # (B, P)
-        cand_counts = lens.sum(axis=1)
-        width = int(max(cand_counts.max(), topk))
-        width = 1 << max(0, int(np.ceil(np.log2(max(width, 1)))))
-        # ragged fill, fully vectorized: enumerate every (query, probe)
-        # span element once — O(total candidates), no Python loop
-        flat_lens = lens.ravel()
-        total = int(flat_lens.sum())
-        span_ends = np.cumsum(flat_lens)
-        span_starts = span_ends - flat_lens
-        pos_in_span = np.arange(total, dtype=np.int64) - np.repeat(
-            span_starts, flat_lens)
-        vals = np.repeat(lo.ravel(), flat_lens) + pos_in_span
-        row_ends = np.cumsum(cand_counts)
-        row_starts = row_ends - cand_counts
-        row = np.repeat(np.arange(B, dtype=np.int64), cand_counts)
-        col = np.arange(total, dtype=np.int64) - np.repeat(
-            row_starts, cand_counts)
-        cand = np.zeros((B, width), dtype=np.int64)  # positions in table
-        mask = np.zeros((B, width), dtype=bool)
-        cand[row, col] = vals
-        mask[row, col] = True
+        # ---- tile construction: group probed (query, cell) pairs by
+        # cell, then split each cell's workload into fixed-shape
+        # (query-chunk x row-chunk) tiles.  All O(B*P) numpy.
+        cells_flat = probes.ravel()
+        qid_flat = np.repeat(np.arange(B, dtype=np.int32), n_probe)
+        order = np.argsort(cells_flat, kind="stable")
+        cells_s = cells_flat[order]
+        qid_s = qid_flat[order]
+        ucells, first = np.unique(cells_s, return_index=True)
+        counts = np.diff(np.append(first, len(cells_s)))      # queries/cell
+        cell_lo = self.cell_ptr[ucells]
+        cell_len = (self.cell_ptr[ucells + 1] - cell_lo).astype(np.int64)
 
-        global _score_topk_jit
-        if _score_topk_jit is None:
-            _score_topk_jit = partial(jax.jit, static_argnames="k")(
-                _score_topk)
+        nq = -(-counts // _BQ_CAP)                            # ceil-div
+        nl = np.maximum(1, -(-cell_len // _L_CAP))
+        tiles_per_cell = nq * nl
+        T = int(tiles_per_cell.sum())
+        cell_of_tile = np.repeat(np.arange(len(ucells)), tiles_per_cell)
+        tstart = np.cumsum(tiles_per_cell) - tiles_per_cell
+        t_in_cell = np.arange(T, dtype=np.int64) - tstart[cell_of_tile]
+        qchunk = t_in_cell // nl[cell_of_tile]
+        lchunk = t_in_cell % nl[cell_of_tile]
+        lo_t = (cell_lo[cell_of_tile] + lchunk * _L_CAP).astype(np.int32)
+        ln_t = np.minimum(_L_CAP, cell_len[cell_of_tile]
+                          - lchunk * _L_CAP).astype(np.int32)
+        qoff = qchunk * _BQ_CAP
+        bq_t = np.minimum(_BQ_CAP, counts[cell_of_tile] - qoff)
+        src = (first[cell_of_tile] + qoff)[:, None] \
+            + np.arange(_BQ_CAP, dtype=np.int64)[None, :]
+        qmask = np.arange(_BQ_CAP)[None, :] < bq_t[:, None]
+        qidx = np.where(qmask,
+                        qid_s[np.minimum(src, len(qid_s) - 1)],
+                        0).astype(np.int32)
+
+        # pad the tile count to a power of two so the jitted scorer
+        # compiles once per bucket, not once per data-dependent T
+        T_pad = 1 << max(0, int(np.ceil(np.log2(max(T, 1)))))
+        if T_pad > T:
+            pad = T_pad - T
+            qidx = np.vstack([qidx, np.zeros((pad, _BQ_CAP), np.int32)])
+            qmask = np.vstack([qmask, np.zeros((pad, _BQ_CAP), bool)])
+            lo_t = np.append(lo_t, np.zeros(pad, np.int32))
+            ln_t = np.append(ln_t, np.zeros(pad, np.int32))
+
+        global _tiled_score_jit
+        if _tiled_score_jit is None:
+            _tiled_score_jit = partial(jax.jit, static_argnames="k")(
+                _tiled_score)
         if getattr(self, "_table_dev", None) is None:
-            # transfer the item table once; every search reuses it
-            self._table_dev = jax.device_put(self.table)
+            # transfer the (zero-tail-padded) table once; dynamic_slice
+            # may read up to _L_CAP rows past the last cell
+            self._table_dev = jax.device_put(np.vstack(
+                [self.table,
+                 np.zeros((_L_CAP, self.table.shape[1]), np.float32)]))
 
+        kk = min(topk, _L_CAP)
+        vals, pos = _tiled_score_jit(queries, self._table_dev, qidx,
+                                     qmask, lo_t, ln_t, k=kk)
+        vals = np.asarray(vals)                   # (T_pad, BQ_CAP, kk)
+        pos = np.asarray(pos)
+
+        # ---- host merge: flatten valid partial top-k entries, sort by
+        # (query, score desc), dedup spilled duplicates, take topk
+        m = qmask[:, :, None] & np.isfinite(vals)
+        qq = np.broadcast_to(qidx[:, :, None], vals.shape)[m]
+        vv = vals[m]
+        item = self.ids[pos[m]]
         spill = getattr(self, "spill", 1)
-        # with spill an item can sit in several probed cells; over-fetch
-        # so dedup can still fill topk slots (each id repeats <= spill)
-        k = min(topk * spill, width)
-        top_scores, top_pos = _score_topk_jit(queries, self._table_dev,
-                                              cand, mask, k=k)
-        top_scores = np.asarray(top_scores)
-        top_pos = np.asarray(top_pos)
-        cand_ids = np.where(np.isfinite(top_scores),
-                            self.ids[top_pos], -1).astype(np.int32)
-
+        if spill > 1:
+            o = np.lexsort((-vv, item, qq))
+            qq, vv, item = qq[o], vv[o], item[o]
+            keep = np.ones(len(qq), dtype=bool)
+            keep[1:] = (qq[1:] != qq[:-1]) | (item[1:] != item[:-1])
+            qq, vv, item = qq[keep], vv[keep], item[keep]
+        o = np.lexsort((-vv, qq))
+        qq, vv, item = qq[o], vv[o], item[o]
+        seg_start = np.searchsorted(qq, np.arange(B))
+        rank = np.arange(len(qq), dtype=np.int64) - seg_start[qq]
+        take = rank < topk
         ids = np.full((B, topk), -1, dtype=np.int32)
         out_scores = np.zeros((B, topk), dtype=np.float32)
-        if spill > 1:
-            # keep the first (= highest-scoring: top_k output is score-
-            # descending and the id-sort below is stable) occurrence of
-            # every id, then compact the keepers left into topk columns
-            order = np.argsort(cand_ids, axis=1, kind="stable")
-            sorted_ids = np.take_along_axis(cand_ids, order, axis=1)
-            first_sorted = np.ones_like(sorted_ids, dtype=bool)
-            first_sorted[:, 1:] = sorted_ids[:, 1:] != sorted_ids[:, :-1]
-            first = np.empty_like(first_sorted)
-            np.put_along_axis(first, order, first_sorted, axis=1)
-            keep = first & (cand_ids >= 0)
-            rank = np.cumsum(keep, axis=1) - 1
-            keep &= rank < topk
-            rows = np.nonzero(keep)[0]
-            ids[rows, rank[keep]] = cand_ids[keep]
-            out_scores[rows, rank[keep]] = top_scores[keep]
-        else:
-            ids[:, :k] = cand_ids[:, :k]
-            out_scores[:, :k] = np.where(cand_ids[:, :k] >= 0,
-                                         top_scores[:, :k], 0.0)
+        ids[qq[take], rank[take]] = item[take]
+        out_scores[qq[take], rank[take]] = vv[take]
         return ids, out_scores
