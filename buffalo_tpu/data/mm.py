@@ -87,6 +87,14 @@ class MatrixMarket(DataBuilder):
     def __init__(self, opt, *args, **kwargs):
         super().__init__(opt, *args, **kwargs)
         self.name = "MatrixMarket"
+        from buffalo_tpu.data.prepro import SPPMI
+        if isinstance(self.value_prepro, SPPMI):
+            # reference contract (mm.py:104-106): SPPMI weights come
+            # from the Stream builder's co-occurrence pass, not from a
+            # rating matrix
+            raise RuntimeError(
+                f"{self.opt.data.value_prepro.name} does not support "
+                "MatrixMarket")
         self.data_type = "matrix"
 
     def _parse_main(self):
