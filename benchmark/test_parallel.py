@@ -43,7 +43,7 @@ def main():
                     help="also time the IVF ANN path and report its "
                          "recall vs the exact scan (reference HNSW "
                          "row: benchmark/README.md:177)")
-    ap.add_argument("--n_probe", type=int, default=8)
+    ap.add_argument("--n_probe", type=int, default=32)
     ap.add_argument("--spill", type=int, default=1,
                     help="index each item in its s best cells")
     args = ap.parse_args()

@@ -71,7 +71,7 @@ class IVFIndex:
     """
 
     def __init__(self, centroids: np.ndarray, assignments: np.ndarray,
-                 table: np.ndarray, n_probe: int = 8):
+                 table: np.ndarray, n_probe: int = 32):
         """``assignments`` is (N,) for single-cell assignment or (N, s)
         for spill assignment (each row indexed in its ``s`` best cells;
         raises recall at the cost of an s-times-larger inverted file)."""
@@ -94,7 +94,7 @@ class IVFIndex:
     # ----------------------------------------------------------------- build
     @classmethod
     def build(cls, table: np.ndarray, n_clusters: Optional[int] = None,
-              n_probe: int = 8, n_iters: int = 10, seed: int = 0,
+              n_probe: int = 32, n_iters: int = 10, seed: int = 0,
               spill: int = 1) -> "IVFIndex":
         """Spherical k-means over the (normalized) table rows.
 
