@@ -63,7 +63,7 @@ timeout 1200 python benchmark/test_performance.py --algo als \
 
 log "7/9 retrieval incl. IVF ANN (reference HNSW row)"
 timeout 3600 python benchmark/test_parallel.py --d 100 \
-    --queries 10000 --ann \
+    --queries 10000 --ann --n_probe 8 16 32 \
     2>&1 | tee "$OUT/retrieval_ann.log"
 
 log "8/9 ALS ML-20M d=128: CG vs Cholesky (BASELINE measured config)"

@@ -43,7 +43,9 @@ def main():
                     help="also time the IVF ANN path and report its "
                          "recall vs the exact scan (reference HNSW "
                          "row: benchmark/README.md:177)")
-    ap.add_argument("--n_probe", type=int, default=32)
+    ap.add_argument("--n_probe", type=int, nargs="+", default=[32],
+                    help="cells probed per query; several values reuse "
+                         "one trained model + one index build")
     ap.add_argument("--spill", type=int, default=1,
                     help="index each item in its s best cells")
     args = ap.parse_args()
@@ -79,26 +81,28 @@ def main():
     topks, scores = par.most_similar(qs, topk=args.topk)
     ms_t = time.perf_counter() - st
 
-    ann_t = ann_recall = None
+    ann_rows = []
     if args.ann:
         from buffalo_tpu.parallel import IVFIndex
         exact_topks = np.asarray(topks)
         st = time.perf_counter()
-        index = IVFIndex.build(als.Q, n_probe=args.n_probe,
+        index = IVFIndex.build(als.Q, n_probe=max(args.n_probe),
                                spill=args.spill)
         build_t = time.perf_counter() - st
         par.set_ann_index(index)
-        # warm up at the FULL query count: the IVF scorer's jit cache
-        # is keyed on (B, candidate width), so a small warmup would
-        # leave one compile inside the timed region
-        par.most_similar(qs, topk=args.topk)
-        st = time.perf_counter()
-        ann_topks, _ = par.most_similar(qs, topk=args.topk)
-        ann_t = time.perf_counter() - st
-        # recall@topk of the ANN result against the exact scan
-        hits = sum(len(set(a) & set(e)) for a, e in
-                   zip(np.asarray(ann_topks), exact_topks))
-        ann_recall = hits / exact_topks.size
+        for n_probe in args.n_probe:
+            index.n_probe = n_probe
+            # warm up at the FULL query count: the IVF scorer's jit
+            # cache is keyed on the tile shapes, so a small warmup
+            # would leave one compile inside the timed region
+            par.most_similar(qs, topk=args.topk)
+            st = time.perf_counter()
+            ann_topks, _ = par.most_similar(qs, topk=args.topk)
+            ann_t = time.perf_counter() - st
+            # recall@topk of the ANN result against the exact scan
+            hits = sum(len(set(a) & set(e)) for a, e in
+                       zip(np.asarray(ann_topks), exact_topks))
+            ann_rows.append((n_probe, ann_t, hits / exact_topks.size))
 
     print(f"| op | queries | d | elapsed_s | q_per_s |")
     print(f"|---|---|---|---|---|")
@@ -110,15 +114,19 @@ def main():
            "topk_s": round(tk_t, 4),
            "queries": len(qs), "d": args.d,
            "vs_baseline_1t": round(63.9 / max(ms_t, 1e-9), 1)}
-    if ann_t is not None:
-        print(f"| most_similar_ivf (probe={args.n_probe}) | {len(qs)} "
+    for n_probe, ann_t, ann_recall in ann_rows:
+        print(f"| most_similar_ivf (probe={n_probe}) | {len(qs)} "
               f"| {args.d} | {ann_t:.3f} | {len(qs) / ann_t:.0f} |")
-        print(f"IVF build {build_t:.2f}s, recall@{args.topk} "
-              f"{ann_recall:.3f} vs exact")
+        print(f"IVF build {build_t:.2f}s, probe={n_probe} "
+              f"recall@{args.topk} {ann_recall:.3f} vs exact")
+    if ann_rows:
+        n_probe, ann_t, ann_recall = ann_rows[-1]
         out.update({"ann_s": round(ann_t, 4),
                     "ann_recall": round(ann_recall, 4),
                     "ann_build_s": round(build_t, 2),
-                    "n_probe": args.n_probe, "spill": args.spill})
+                    "n_probe": n_probe, "spill": args.spill,
+                    "ann_rows": [[p_, round(t_, 4), round(r_, 4)]
+                                 for p_, t_, r_ in ann_rows]})
     print(json.dumps(out))
 
 
