@@ -37,7 +37,21 @@ def matmul_topk(p: jax.Array, Q: jax.Array, k: int,
     return jax.lax.top_k(scores, min(k, Q.shape[0]))
 
 
-_stage_cache: "OrderedDict" = None  # lazy OrderedDict[(key) -> jax.Array]
+_stage_cache: "OrderedDict" = None  # lazy OrderedDict[key -> (host, dev)]
+
+
+def _fingerprint(arr: np.ndarray) -> bytes:
+    """Positional checksum reading every element once (~ms per 100MB):
+    64 chunk sums + the tail sum.  Any realistic in-place mutation
+    (normalize, factor updates, bias edits) lands in some chunk and
+    changes its sum; only an exact same-chunk cancellation escapes."""
+    flat = arr.reshape(-1)
+    n = flat.shape[0]
+    body = n - (n % 64)
+    sums = flat[:body].reshape(64, -1).sum(axis=1, dtype=np.float64) \
+        if body else np.zeros(64)
+    tail = flat[body:].sum(dtype=np.float64)
+    return sums.tobytes() + np.float64(tail).tobytes()
 
 
 def _stage(arr: np.ndarray) -> jax.Array:
@@ -46,8 +60,10 @@ def _stage(arr: np.ndarray) -> jax.Array:
     Retrieval is called repeatedly against the same factor table;
     re-transferring a multi-100MB table per call costs more than the
     scan itself over the tunneled link.  The cache key is (buffer
-    address, shape, dtype, strided checksum): in-place mutations (e.g.
-    ``Algo.normalize``) change the checksum and re-stage.
+    address, shape, dtype, full positional checksum): in-place
+    mutations (e.g. ``Algo.normalize``) change the checksum and
+    re-stage.  The host array is kept referenced by the cache entry so
+    its buffer address cannot be recycled while the key is live.
     """
     global _stage_cache
     if isinstance(arr, jax.Array):
@@ -55,17 +71,14 @@ def _stage(arr: np.ndarray) -> jax.Array:
     from collections import OrderedDict
     if _stage_cache is None:
         _stage_cache = OrderedDict()
-    stride = max(1, arr.shape[0] // 64)
-    probe = arr[::stride]
     key = (arr.__array_interface__["data"][0], arr.shape, arr.dtype.str,
-           float(probe[:, 0].sum()) if probe.ndim > 1 and probe.size
-           else float(probe.sum()))
+           _fingerprint(arr))
     hit = _stage_cache.get(key)
     if hit is not None:
         _stage_cache.move_to_end(key)
-        return hit
+        return hit[1]
     staged = jax.device_put(arr)
-    _stage_cache[key] = staged
+    _stage_cache[key] = (arr, staged)
     while len(_stage_cache) > 4:        # bound device-memory footprint
         _stage_cache.popitem(last=False)
     return staged
@@ -114,9 +127,12 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
     k_eff = min(topk, n_items)
     B, d = p.shape
 
-    Q_d = _stage(Q)
+    # cache only the caller's stable full table; pool-sliced tables and
+    # biases are per-call temporaries — caching them would churn the
+    # 4-slot LRU with dead addresses and evict the big table
+    Q_d = _stage(Q) if pool is None else jax.device_put(Q)
     with_bias = Qb is not None
-    Qb_d = _stage(np.ascontiguousarray(np.asarray(Qb, np.float32))) \
+    Qb_d = jax.device_put(np.ascontiguousarray(np.asarray(Qb, np.float32))) \
         if with_bias else jnp.zeros((), jnp.float32)
 
     nc = max(1, -(-B // chunk))

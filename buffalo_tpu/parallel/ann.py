@@ -176,6 +176,9 @@ class IVFIndex:
         if queries.ndim == 1:
             queries = queries[None, :]
         B = queries.shape[0]
+        if B == 0:
+            return (np.full((0, topk), -1, dtype=np.int32),
+                    np.zeros((0, topk), dtype=np.float32))
         n_probe = min(self.n_probe, len(self.centroids))
 
         qn = queries / np.maximum(
@@ -259,6 +262,9 @@ class IVFIndex:
         qq = np.broadcast_to(qidx[:, :, None], vals.shape)[m]
         vv = vals[m]
         item = self.ids[pos[m]]
+        if len(qq) == 0:           # every probed cell was empty
+            return (np.full((B, topk), -1, dtype=np.int32),
+                    np.zeros((B, topk), dtype=np.float32))
         spill = getattr(self, "spill", 1)
         if spill > 1:
             # keep the max score per (query, item): group by the packed
@@ -267,8 +273,7 @@ class IVFIndex:
             o = np.argsort(comp)
             comp = comp[o]
             starts = np.flatnonzero(np.r_[True, comp[1:] != comp[:-1]])
-            vv = np.maximum.reduceat(vv[o], starts) if len(comp) \
-                else vv[:0]
+            vv = np.maximum.reduceat(vv[o], starts)
             qq = qq[o][starts]
             item = item[o][starts]
         # IEEE-754 monotone mapping makes "score descending" sortable

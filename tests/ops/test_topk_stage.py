@@ -1,0 +1,32 @@
+"""Regression for the staged-table cache: in-place mutations anywhere
+in the table must invalidate the cached device copy."""
+import os
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import numpy as np
+from buffalo_tpu.ops.topk import batch_topn
+
+
+def test_stage_cache_detects_any_inplace_write():
+    rng = np.random.default_rng(0)
+    Q = rng.random((500, 8)).astype(np.float32)
+    p = rng.random((4, 8)).astype(np.float32)
+    batch_topn(p, Q, 3)
+    # a write NOT touching column 0 / strided probe rows
+    Q[1, 1] = 100.0
+    keys, scores = batch_topn(p, Q, 3)
+    expect = (p @ Q.T).argmax(axis=1)
+    assert (keys[:, 0] == expect).all()
+    np.testing.assert_allclose(scores[:, 0], (p @ Q.T).max(axis=1),
+                               rtol=1e-5)
+
+
+def test_stage_cache_pool_and_bias_not_cached():
+    from buffalo_tpu.ops import topk as topk_mod
+    rng = np.random.default_rng(1)
+    Q = rng.random((100, 4)).astype(np.float32)
+    p = rng.random((2, 4)).astype(np.float32)
+    before = 0 if topk_mod._stage_cache is None else len(topk_mod._stage_cache)
+    batch_topn(p, Q, 2, pool=np.arange(10, dtype=np.int32))
+    batch_topn(p, Q, 2, Qb=np.ones(100, np.float32))
+    after = len(topk_mod._stage_cache)
+    assert after - before <= 1  # only the stable full table is cached

@@ -273,3 +273,29 @@ def test_ivf_spill_dedups_and_improves_recall(als):
     idx = IVFIndex.build(als.Q, n_clusters=8, n_probe=4, spill=2)
     assert idx.spill == 2
     assert len(idx.ids) == 2 * als.Q.shape[0]
+
+
+def test_ivf_empty_inputs():
+    """Empty query batches and empty probed cells return -1 padding
+    instead of raising (both spill modes)."""
+    from buffalo_tpu.parallel.ann import IVFIndex
+
+    rng = np.random.default_rng(0)
+    T = rng.normal(size=(64, 8)).astype(np.float32)
+    T /= np.linalg.norm(T, axis=1, keepdims=True)
+    for spill in (1, 2):
+        idx = IVFIndex.build(T, n_clusters=8, n_probe=2, spill=spill)
+        ids, sc = idx.search(np.zeros((0, 8), np.float32), topk=5)
+        assert ids.shape == (0, 5) and sc.shape == (0, 5)
+        # an index with a manufactured empty cell: every query probes
+        # only cell 0, which holds no rows
+        empty = IVFIndex.__new__(IVFIndex)
+        empty.centroids = np.eye(2, 8, dtype=np.float32)
+        empty.cell_ptr = np.array([0, 0, len(T)], dtype=np.int64)
+        empty.ids = np.arange(len(T), dtype=np.int32)
+        empty.table = T
+        empty.n_probe = 1
+        empty.spill = spill
+        q = -empty.centroids[1][None, :] + 2 * empty.centroids[0][None, :]
+        ids, sc = empty.search(q, topk=5)
+        assert (ids == -1).all() and (sc == 0).all()
