@@ -192,6 +192,19 @@ def sharded_matmul_topk(p, Q, Qb, k: int, *, mesh, axis_name: str = "d"):
     return run(p, Q, Qb)
 
 
+@partial(jax.jit, static_argnames=("k", "mesh", "axis_name"))
+def _sharded_scan_topn(p_chunks, Q, Qb, k: int, *, mesh,
+                       axis_name: str = "d"):
+    """All query chunks through the sharded local-top-k + merge kernel
+    under one lax.scan — one dispatch per call."""
+    def step(_, pc):
+        return None, sharded_matmul_topk(pc, Q, Qb, k, mesh=mesh,
+                                         axis_name=axis_name)
+
+    _, (vals, idx) = jax.lax.scan(step, None, p_chunks)
+    return vals, idx
+
+
 def batch_topn_sharded(p, Q, topk: int, mesh, Qb=None, chunk: int = 2048,
                        axis_name: str = "d"):
     """Bulk sharded MIPS retrieval over a device mesh.
@@ -220,18 +233,19 @@ def batch_topn_sharded(p, Q, topk: int, mesh, Qb=None, chunk: int = 2048,
 
     k_eff = min(topk, n_items)
     B = p.shape[0]
+    # one dispatch for all chunks (cf. batch_topn): scan over fixed
+    # (chunk, d) query blocks, chunk count bucketed to a power of two
+    nc = max(1, -(-B // chunk))
+    nc_pad = 1 << max(0, int(np.ceil(np.log2(nc))))
+    p_pad = np.zeros((nc_pad * chunk, d), dtype=np.float32)
+    p_pad[:B] = p
+    vals, idx = _sharded_scan_topn(
+        jax.device_put(p_pad.reshape(nc_pad, chunk, d), repl),
+        Q_d, Qb_d, k_eff, mesh=mesh, axis_name=axis_name)
     out_keys = np.full((B, topk), -1, dtype=np.int32)
     out_scores = np.zeros((B, topk), dtype=np.float32)
-    for beg in range(0, B, chunk):
-        pc = p[beg:beg + chunk]
-        n = pc.shape[0]
-        if n < chunk:
-            pc = np.vstack([pc, np.zeros((chunk - n, d), np.float32)])
-        vals, idx = sharded_matmul_topk(
-            jax.device_put(pc, repl), Q_d, Qb_d, k_eff, mesh=mesh,
-            axis_name=axis_name)
-        out_keys[beg:beg + n, :k_eff] = np.asarray(idx)[:n]
-        out_scores[beg:beg + n, :k_eff] = np.asarray(vals)[:n]
+    out_keys[:, :k_eff] = np.asarray(idx).reshape(-1, k_eff)[:B]
+    out_scores[:, :k_eff] = np.asarray(vals).reshape(-1, k_eff)[:B]
     return out_keys, out_scores
 
 
