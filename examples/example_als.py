@@ -110,7 +110,24 @@ def main():
     print(f"\nParALS: batched most_similar over {len(keys)} queries -> "
           f"{np.asarray(topks).shape}")
 
-    # 5. save / load round trip
+    # 5. ANN retrieval (reference example_als.py:56-76 builds an n2
+    # HNSW index; here the bundled TPU-native IVF index backs the same
+    # set_ann_index hook — build on the normalized factors, save,
+    # point the facade at the saved file, query sublinearly)
+    from buffalo_tpu.parallel import IVFIndex
+    als.normalize("item")
+    index = IVFIndex.build(als.Q, n_probe=8)
+    index_path = os.path.join(tmp, "als.ivf.index")
+    index.save(index_path)
+    par.set_ann_index(index_path + ".npz")
+    ann_topks, _ = par.most_similar(keys, topk=5)
+    exact = np.asarray(topks)
+    recall = np.mean([len(set(a) & set(e)) / len(set(e))
+                      for a, e in zip(np.asarray(ann_topks), exact)])
+    print(f"IVF ANN over {len(keys)} queries: recall@5 {recall:.3f} "
+          f"vs exact scan")
+
+    # 6. save / load round trip
     model_path = os.path.join(tmp, "als.bin")
     als.save(model_path)
     als2 = ALS.new(model_path)
