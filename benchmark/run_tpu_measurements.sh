@@ -63,7 +63,7 @@ timeout 1200 python benchmark/test_performance.py --algo als \
 
 log "7/10 retrieval incl. IVF ANN (reference HNSW row)"
 timeout 3600 python benchmark/test_parallel.py --d 100 \
-    --queries 10000 --ann --n_probe 8 16 32 \
+    --queries 10000 --ann --n_probe 8 16 32 64 \
     2>&1 | tee "$OUT/retrieval_ann.log"
 
 log "8/10 ALS ML-20M d=128: CG vs Cholesky (BASELINE measured config)"

@@ -58,7 +58,10 @@ def main():
     from buffalo_tpu import ALS, ALSOption, ParALS
     opt = ALSOption().get_default_option()
     opt.d = args.d
-    opt.num_iters = 1
+    # a few epochs: 1-iteration factors are near-random, which both
+    # understates IVF recall (no cluster structure) and overstates how
+    # hard exact ranking is; 3 epochs is converged enough and cheap
+    opt.num_iters = 3
     als = ALS(opt, data=data)
     als.initialize()
     als.train()
