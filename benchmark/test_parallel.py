@@ -48,6 +48,8 @@ def main():
                          "one trained model + one index build")
     ap.add_argument("--spill", type=int, default=1,
                     help="index each item in its s best cells")
+    ap.add_argument("--n_clusters", type=int, default=None,
+                    help="IVF cells (default sqrt(num_items))")
     args = ap.parse_args()
 
     mm = args.mm or write_synth_mm(args.dataset)
@@ -90,7 +92,8 @@ def main():
         exact_topks = np.asarray(topks)
         st = time.perf_counter()
         index = IVFIndex.build(als.Q, n_probe=max(args.n_probe),
-                               spill=args.spill)
+                               spill=args.spill,
+                               n_clusters=args.n_clusters)
         build_t = time.perf_counter() - st
         par.set_ann_index(index)
         for n_probe in args.n_probe:
