@@ -24,21 +24,43 @@ import numpy as np
 # contiguous table slice — no per-row gather of the big table (TPU
 # gathers from multi-100MB tables cost ~33 ns/row; a matmul streams the
 # same rows at full HBM bandwidth) and no (B, width, d) materialization
-# (which would OOM at 10k queries x power-law cell widths).
-_BQ_CAP = 256    # queries per tile
-_L_CAP = 1024    # table rows per tile
+# (which would OOM at 10k queries x power-law cell widths).  The caps
+# are adapted to the cell/query-count distributions per index / per
+# search (see _pick_cap); these are the allowed shapes.
+_BQ_CAPS = (64, 128, 256)     # queries per tile
+_L_CAPS = (128, 256, 512, 1024)   # table rows per tile
+_L_CAP_MAX = _L_CAPS[-1]
 
 
-def _tiled_score(queries, table_pad, qidx, qmask, lo, ln, *, k):
+def _pick_cap(lens: np.ndarray, caps, overhead: int = 256) -> int:
+    """Choose the tile size minimizing padded work plus per-tile fixed
+    cost: sum over lens of ceil(len/cap) * (cap + overhead).
+
+    ``overhead`` (in row-equivalents) charges each extra tile for its
+    scan step, its top-k, and its share of readback/merge entries —
+    without it the smallest cap always "wins" on padding alone.  Fine
+    partitions get small tiles, coarse ones large tiles."""
+    lens = np.asarray(lens, dtype=np.int64)
+    if lens.size == 0:
+        return caps[0]
+    best, best_cost = caps[-1], None
+    for cap in caps:
+        cost = int((-(-lens // cap)).sum()) * (cap + overhead)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = cap, cost
+    return best
+
+
+def _tiled_score(queries, table_pad, qidx, qmask, lo, ln, *, k, l_cap):
     """Score every tile under one lax.scan: one XLA dispatch per search.
 
     queries   (B, d) f32      — query vectors
-    table_pad (N + L_CAP, d)  — cell-ordered table, zero-padded tail
-    qidx      (T, BQ_CAP) i32 — query ids per tile (0-padded)
-    qmask     (T, BQ_CAP) bool
+    table_pad (N + L_CAP_MAX, d) — cell-ordered table, zero-padded tail
+    qidx      (T, bq_cap) i32 — query ids per tile (0-padded)
+    qmask     (T, bq_cap) bool
     lo        (T,) i32        — tile's first table row
-    ln        (T,) i32        — tile's real row count (<= L_CAP)
-    Returns (T, BQ_CAP, k) partial top-k values and table positions.
+    ln        (T,) i32        — tile's real row count (<= l_cap)
+    Returns (T, bq_cap, k) partial top-k values and table positions.
     """
     import jax
     import jax.numpy as jnp
@@ -48,9 +70,9 @@ def _tiled_score(queries, table_pad, qidx, qmask, lo, ln, *, k):
     def body(_, xs):
         qi, qm, lo_t, ln_t = xs
         qg = jnp.take(queries, qi, axis=0)                  # (BQ, d)
-        tbl = jax.lax.dynamic_slice(table_pad, (lo_t, 0), (_L_CAP, d))
+        tbl = jax.lax.dynamic_slice(table_pad, (lo_t, 0), (l_cap, d))
         s = jnp.dot(qg, tbl.T, preferred_element_type=jnp.float32)
-        col_ok = jax.lax.iota(jnp.int32, _L_CAP) < ln_t
+        col_ok = jax.lax.iota(jnp.int32, l_cap) < ln_t
         s = jnp.where(col_ok[None, :] & qm[:, None], s, -jnp.inf)
         v, i = jax.lax.top_k(s, k)
         return None, (v, i + lo_t)
@@ -205,8 +227,16 @@ class IVFIndex:
         cell_lo = self.cell_ptr[ucells]
         cell_len = (self.cell_ptr[ucells + 1] - cell_lo).astype(np.int64)
 
-        nq = -(-counts // _BQ_CAP)                            # ceil-div
-        nl = np.maximum(1, -(-cell_len // _L_CAP))
+        # adapt tile sizes to this index's cell-length distribution
+        # and this call's query-count distribution (power-of-two menu
+        # keeps the jit-shape space small)
+        l_cap = getattr(self, "_l_cap", None)
+        if l_cap is None:
+            l_cap = self._l_cap = _pick_cap(
+                np.diff(self.cell_ptr), _L_CAPS)
+        bq_cap = _pick_cap(counts, _BQ_CAPS, overhead=64)
+        nq = -(-counts // bq_cap)                             # ceil-div
+        nl = np.maximum(1, -(-cell_len // l_cap))
         tiles_per_cell = nq * nl
         T = int(tiles_per_cell.sum())
         cell_of_tile = np.repeat(np.arange(len(ucells)), tiles_per_cell)
@@ -214,14 +244,14 @@ class IVFIndex:
         t_in_cell = np.arange(T, dtype=np.int64) - tstart[cell_of_tile]
         qchunk = t_in_cell // nl[cell_of_tile]
         lchunk = t_in_cell % nl[cell_of_tile]
-        lo_t = (cell_lo[cell_of_tile] + lchunk * _L_CAP).astype(np.int32)
-        ln_t = np.minimum(_L_CAP, cell_len[cell_of_tile]
-                          - lchunk * _L_CAP).astype(np.int32)
-        qoff = qchunk * _BQ_CAP
-        bq_t = np.minimum(_BQ_CAP, counts[cell_of_tile] - qoff)
+        lo_t = (cell_lo[cell_of_tile] + lchunk * l_cap).astype(np.int32)
+        ln_t = np.minimum(l_cap, cell_len[cell_of_tile]
+                          - lchunk * l_cap).astype(np.int32)
+        qoff = qchunk * bq_cap
+        bq_t = np.minimum(bq_cap, counts[cell_of_tile] - qoff)
         src = (first[cell_of_tile] + qoff)[:, None] \
-            + np.arange(_BQ_CAP, dtype=np.int64)[None, :]
-        qmask = np.arange(_BQ_CAP)[None, :] < bq_t[:, None]
+            + np.arange(bq_cap, dtype=np.int64)[None, :]
+        qmask = np.arange(bq_cap)[None, :] < bq_t[:, None]
         qidx = np.where(qmask,
                         qid_s[np.minimum(src, len(qid_s) - 1)],
                         0).astype(np.int32)
@@ -231,25 +261,27 @@ class IVFIndex:
         T_pad = 1 << max(0, int(np.ceil(np.log2(max(T, 1)))))
         if T_pad > T:
             pad = T_pad - T
-            qidx = np.vstack([qidx, np.zeros((pad, _BQ_CAP), np.int32)])
-            qmask = np.vstack([qmask, np.zeros((pad, _BQ_CAP), bool)])
+            qidx = np.vstack([qidx, np.zeros((pad, bq_cap), np.int32)])
+            qmask = np.vstack([qmask, np.zeros((pad, bq_cap), bool)])
             lo_t = np.append(lo_t, np.zeros(pad, np.int32))
             ln_t = np.append(ln_t, np.zeros(pad, np.int32))
 
         global _tiled_score_jit
         if _tiled_score_jit is None:
-            _tiled_score_jit = partial(jax.jit, static_argnames="k")(
-                _tiled_score)
+            _tiled_score_jit = partial(
+                jax.jit, static_argnames=("k", "l_cap"))(_tiled_score)
         if getattr(self, "_table_dev", None) is None:
             # transfer the (zero-tail-padded) table once; dynamic_slice
-            # may read up to _L_CAP rows past the last cell
+            # may read up to l_cap <= _L_CAP_MAX rows past the last cell
             self._table_dev = jax.device_put(np.vstack(
                 [self.table,
-                 np.zeros((_L_CAP, self.table.shape[1]), np.float32)]))
+                 np.zeros((_L_CAP_MAX, self.table.shape[1]),
+                          np.float32)]))
 
-        kk = min(topk, _L_CAP)
+        kk = min(topk, l_cap)
         vals, pos = _tiled_score_jit(queries, self._table_dev, qidx,
-                                     qmask, lo_t, ln_t, k=kk)
+                                     qmask, lo_t, ln_t, k=kk,
+                                     l_cap=l_cap)
         vals = np.asarray(vals)                   # (T_pad, BQ_CAP, kk)
         pos = np.asarray(pos)
 
