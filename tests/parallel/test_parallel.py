@@ -299,3 +299,16 @@ def test_ivf_empty_inputs():
         q = -empty.centroids[1][None, :] + 2 * empty.centroids[0][None, :]
         ids, sc = empty.search(q, topk=5)
         assert (ids == -1).all() and (sc == 0).all()
+
+
+def test_ivf_pick_cap_cost_model():
+    """Tile-size cost model: fine partitions pick small tiles, coarse
+    partitions large ones, and per-tile overhead breaks the
+    smallest-cap-always-wins degeneracy."""
+    from buffalo_tpu.parallel.ann import _pick_cap, _L_CAPS
+
+    fine = np.full(1000, 150)          # many small cells
+    coarse = np.full(10, 5000)         # few big cells
+    assert _pick_cap(fine, _L_CAPS) <= 256
+    assert _pick_cap(coarse, _L_CAPS) == 1024
+    assert _pick_cap(np.array([], dtype=np.int64), _L_CAPS) == _L_CAPS[0]
