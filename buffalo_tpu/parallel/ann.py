@@ -117,12 +117,15 @@ class IVFIndex:
     @classmethod
     def build(cls, table: np.ndarray, n_clusters: Optional[int] = None,
               n_probe: int = 32, n_iters: int = 10, seed: int = 0,
-              spill: int = 1) -> "IVFIndex":
+              spill: int = 2) -> "IVFIndex":
         """Spherical k-means over the (normalized) table rows.
 
         ``spill > 1`` indexes every row in its ``spill`` nearest cells
         (duplicates are removed at search time), trading index memory
         for recall — the IVF analog of HNSW's multi-edge redundancy.
+        Measured on converged KakaoBrunch-shaped d=32 factors
+        (sqrt(N) cells, n_probe=32): recall@10 0.86 at spill=1 vs
+        0.96 at spill=2, so 2 is the default.
         """
         import jax
         import jax.numpy as jnp
