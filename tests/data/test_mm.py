@@ -165,3 +165,21 @@ def test_corrupt_rejected(tmp_path):
     hpath.write_text(json.dumps(attrs))
     with pytest.raises(RuntimeError):
         mm.open(str(tmp_path / "corrupt.bfo"))
+
+
+def test_builder_error_removes_partial_artifact(tmp_path):
+    """A build that fails mid-parse must clean up its partial .bfo dir
+    (reference contract: delete-on-exception in Data._create)."""
+    bad = tmp_path / "bad.mm"
+    # header promises 10 nnz, body has 2 -> the parser must reject
+    bad.write_text("%%MatrixMarket matrix coordinate real general\n"
+                   "5 3 10\n1 1 1\n2 2 1\n")
+    opt = MatrixMarketOptions().get_default_option()
+    opt.input.main = str(bad)
+    opt.data.path = str(tmp_path / "bad.bfo")
+    opt.data.tmp_dir = str(tmp_path / "tmp")
+    opt.data.validation = {}
+    mm = MatrixMarket(opt)
+    with pytest.raises(Exception):
+        mm.create()
+    assert not os.path.exists(str(tmp_path / "bad.bfo"))
