@@ -15,9 +15,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _topk_wide(scores: jax.Array, k: int, seg: int = 8192):
+    """Exact top-k over very wide rows via two stages: per-segment
+    top-k, then a top-k over the (rows, segments*k) survivors.
+
+    Identical results to ``lax.top_k`` INCLUDING tie order (ties break
+    to the lower global index: per-segment top-k orders ties by index,
+    and earlier segments occupy lower positions in the merge), but the
+    sort works on ~k*N/seg elements instead of N per row — TopK over a
+    full half-million-item catalog is otherwise the scan's dominant
+    cost."""
+    import jax.numpy as _jnp
+
+    N = scores.shape[-1]
+    if N <= 2 * seg or k > seg:
+        return jax.lax.top_k(scores, k)
+    pad = (-N) % seg
+    if pad:
+        scores = _jnp.pad(scores, ((0, 0), (0, pad)),
+                          constant_values=-_jnp.inf)
+    B = scores.shape[0]
+    S = scores.shape[1] // seg
+    v, i = jax.lax.top_k(scores.reshape(B, S, seg), min(k, seg))
+    gi = i + (_jnp.arange(S, dtype=i.dtype) * seg)[None, :, None]
+    vf, sel = jax.lax.top_k(v.reshape(B, -1), k)
+    return vf, _jnp.take_along_axis(gi.reshape(B, -1), sel, axis=1)
+
+
 @partial(jax.jit, static_argnames=("k", "with_scores"))
 def _topk_from_scores(scores: jax.Array, k: int, with_scores: bool = True):
-    vals, idx = jax.lax.top_k(scores, k)
+    vals, idx = _topk_wide(scores, k)
     return (vals, idx) if with_scores else idx
 
 
@@ -34,7 +61,7 @@ def matmul_topk(p: jax.Array, Q: jax.Array, k: int,
         scores = scores + pb[:, None]
     if Qb is not None:
         scores = scores + Qb[None, :]
-    return jax.lax.top_k(scores, min(k, Q.shape[0]))
+    return _topk_wide(scores, min(k, Q.shape[0]))
 
 
 _stage_cache: "OrderedDict" = None  # lazy OrderedDict[key -> (host, dev)]
@@ -91,7 +118,7 @@ def _chunked_topn(p_chunks, Q, Qb, *, k, with_bias):
         scores = jnp.dot(pc, Q.T, preferred_element_type=jnp.float32)
         if with_bias:
             scores = scores + Qb[None, :]
-        return None, jax.lax.top_k(scores, k)
+        return None, _topk_wide(scores, k)
 
     _, (vals, idx) = jax.lax.scan(body, None, p_chunks)
     return vals, idx

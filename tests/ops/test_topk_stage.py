@@ -30,3 +30,22 @@ def test_stage_cache_pool_and_bias_not_cached():
     batch_topn(p, Q, 2, Qb=np.ones(100, np.float32))
     after = len(topk_mod._stage_cache)
     assert after - before <= 1  # only the stable full table is cached
+
+
+def test_topk_wide_matches_lax_topk_including_ties():
+    import jax
+    import jax.numpy as jnp
+    from buffalo_tpu.ops.topk import _topk_wide
+
+    rng = np.random.default_rng(2)
+    # wide row count with deliberate duplicate values to exercise ties
+    scores = rng.integers(0, 50, size=(7, 40000)).astype(np.float32)
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), 10)
+    v, i = _topk_wide(jnp.asarray(scores), 10, seg=4096)
+    np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(v))
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(i))
+    # non-multiple-of-seg width and k near seg
+    scores = rng.random((3, 10001)).astype(np.float32)
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), 64)
+    v, i = _topk_wide(jnp.asarray(scores), 64, seg=2048)
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(i))
