@@ -32,10 +32,15 @@ def test_stage_cache_pool_and_bias_not_cached():
     assert after - before <= 1  # only the stable full table is cached
 
 
-def test_topk_wide_matches_lax_topk_including_ties():
+def test_topk_wide_matches_lax_topk_including_ties(monkeypatch):
     import jax
     import jax.numpy as jnp
+    from buffalo_tpu.ops import topk as topk_mod
     from buffalo_tpu.ops.topk import _topk_wide
+
+    # the two-stage path is TPU-gated (CPU TopK is faster single-stage);
+    # force it here so CPU CI still covers its correctness
+    monkeypatch.setattr(topk_mod.jax, "default_backend", lambda: "tpu")
 
     rng = np.random.default_rng(2)
     # wide row count with deliberate duplicate values to exercise ties
