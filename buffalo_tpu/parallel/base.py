@@ -94,11 +94,15 @@ class Parallel(abc.ABC):
 
     @abc.abstractmethod
     def most_similar(self, keys, topk=10, group="item", pool=None,
-                     repr=False):
+                     repr=False, ef_search=-1, use_mmap=True):
         """Batched top-k most-similar retrieval.
 
         Returns (topks int32[B, topk] with -1 padding, scores f32) or,
         with ``repr=True``, keys instead of indexes.
+
+        ``ef_search`` / ``use_mmap`` are the reference's n2/HNSW tuning
+        knobs (``parallel/base.py:40-41``); accepted for call-site
+        compatibility and ignored (the IVF index tunes via ``n_probe``).
         """
         raise NotImplementedError
 
@@ -116,7 +120,7 @@ class ParALS(Parallel):
         super().__init__(algo, num_workers=num_workers)
 
     def most_similar(self, keys, topk=10, group="item", pool=None,
-                     repr=False):
+                     repr=False, ef_search=-1, use_mmap=True):
         self.algo.normalize(group=group)
         keys, indexes = self._resolve(keys, group)
         pool = self._resolve_pool(pool, group=group)
@@ -177,7 +181,7 @@ class ParW2V(Parallel):
         super().__init__(algo, num_workers=num_workers)
 
     def most_similar(self, keys, topk=10, pool=None, repr=False,
-                     group="item"):
+                     group="item", ef_search=-1, use_mmap=True):
         self.algo.normalize(group="item")
         indexes = self.algo.get_index(list(keys), group="item")
         kept = [(k, i) for k, i in zip(keys, indexes) if i is not None]
