@@ -35,6 +35,14 @@ def _topk_wide(scores: jax.Array, k: int, seg: int = 8192):
         return jax.lax.top_k(scores, k)
     pad = (-N) % seg
     if pad:
+        # pad slots can never reach the final k, so out-of-range
+        # indices cannot leak even for all--inf rows: the guard above
+        # ensures >= 3 segments, so the merge pool holds >= 2k non-pad
+        # candidates, every non-pad candidate scores >= -inf, and on
+        # ties lax.top_k prefers the lower merge position — which
+        # non-pads always occupy (pads sit at the tail of the last
+        # segment's index range).  Pinned by
+        # test_topk_wide_inf_rows_stay_in_range.
         scores = _jnp.pad(scores, ((0, 0), (0, pad)),
                           constant_values=-_jnp.inf)
     B = scores.shape[0]
@@ -114,6 +122,28 @@ def _stage(arr: np.ndarray) -> jax.Array:
     return staged
 
 
+def _bucketed_chunks(p: np.ndarray, chunk: int) -> np.ndarray:
+    """Pad queries into (nc_pad, chunk, d) blocks with the chunk count
+    bucketed to a power of two (bounds recompiles across query-set
+    sizes).  Shared by the single-device and sharded retrieval paths —
+    keep their bucketing/padding policy identical."""
+    B, d = p.shape
+    nc = max(1, -(-B // chunk))
+    nc_pad = 1 << max(0, int(np.ceil(np.log2(nc))))
+    p_pad = np.zeros((nc_pad * chunk, d), dtype=np.float32)
+    p_pad[:B] = p
+    return p_pad.reshape(nc_pad, chunk, d)
+
+
+def _assemble_topn(vals, idx, B: int, topk: int, k_eff: int):
+    """(nc, chunk, k_eff) device results -> (B, topk) -1/0-padded."""
+    out_keys = np.full((B, topk), -1, dtype=np.int32)
+    out_scores = np.zeros((B, topk), dtype=np.float32)
+    out_keys[:, :k_eff] = np.asarray(idx).reshape(-1, k_eff)[:B]
+    out_scores[:, :k_eff] = np.asarray(vals).reshape(-1, k_eff)[:B]
+    return out_keys, out_scores
+
+
 @partial(jax.jit, static_argnames=("k", "with_bias"))
 def _chunked_topn(p_chunks, Q, Qb, *, k, with_bias):
     """All query chunks under one lax.scan: one dispatch per call."""
@@ -165,16 +195,9 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
     Qb_d = jax.device_put(np.ascontiguousarray(np.asarray(Qb, np.float32))) \
         if with_bias else jnp.zeros((), jnp.float32)
 
-    nc = max(1, -(-B // chunk))
-    nc_pad = 1 << max(0, int(np.ceil(np.log2(nc))))
-    p_pad = np.zeros((nc_pad * chunk, d), dtype=np.float32)
-    p_pad[:B] = p
-    vals, idx = _chunked_topn(p_pad.reshape(nc_pad, chunk, d), Q_d,
+    vals, idx = _chunked_topn(_bucketed_chunks(p, chunk), Q_d,
                               Qb_d, k=k_eff, with_bias=with_bias)
-    out_keys = np.full((B, topk), -1, dtype=np.int32)
-    out_scores = np.zeros((B, topk), dtype=np.float32)
-    out_keys[:, :k_eff] = np.asarray(idx).reshape(-1, k_eff)[:B]
-    out_scores[:, :k_eff] = np.asarray(vals).reshape(-1, k_eff)[:B]
+    out_keys, out_scores = _assemble_topn(vals, idx, B, topk, k_eff)
     if pool is not None:
         mapped = np.asarray(pool)[np.maximum(out_keys, 0)]
         out_keys = np.where(out_keys >= 0, mapped, -1).astype(np.int32)
@@ -265,18 +288,10 @@ def batch_topn_sharded(p, Q, topk: int, mesh, Qb=None, chunk: int = 2048,
     B = p.shape[0]
     # one dispatch for all chunks (cf. batch_topn): scan over fixed
     # (chunk, d) query blocks, chunk count bucketed to a power of two
-    nc = max(1, -(-B // chunk))
-    nc_pad = 1 << max(0, int(np.ceil(np.log2(nc))))
-    p_pad = np.zeros((nc_pad * chunk, d), dtype=np.float32)
-    p_pad[:B] = p
     vals, idx = _sharded_scan_topn(
-        jax.device_put(p_pad.reshape(nc_pad, chunk, d), repl),
+        jax.device_put(_bucketed_chunks(p, chunk), repl),
         Q_d, Qb_d, k_eff, mesh=mesh, axis_name=axis_name)
-    out_keys = np.full((B, topk), -1, dtype=np.int32)
-    out_scores = np.zeros((B, topk), dtype=np.float32)
-    out_keys[:, :k_eff] = np.asarray(idx).reshape(-1, k_eff)[:B]
-    out_scores[:, :k_eff] = np.asarray(vals).reshape(-1, k_eff)[:B]
-    return out_keys, out_scores
+    return _assemble_topn(vals, idx, B, topk, k_eff)
 
 
 def topk(scores, k: int, sorted: bool = True, num_threads: int = 0

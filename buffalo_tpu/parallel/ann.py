@@ -285,7 +285,7 @@ class IVFIndex:
         vals, pos = _tiled_score_jit(queries, self._table_dev, qidx,
                                      qmask, lo_t, ln_t, k=kk,
                                      l_cap=l_cap)
-        vals = np.asarray(vals)                   # (T_pad, BQ_CAP, kk)
+        vals = np.asarray(vals)                   # (T_pad, bq_cap, kk)
         pos = np.asarray(pos)
 
         # ---- host merge: flatten valid partial top-k entries, sort by

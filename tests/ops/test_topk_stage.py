@@ -54,3 +54,24 @@ def test_topk_wide_matches_lax_topk_including_ties(monkeypatch):
     ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), 64)
     v, i = _topk_wide(jnp.asarray(scores), 64, seg=2048)
     np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(i))
+
+
+def test_topk_wide_inf_rows_stay_in_range(monkeypatch):
+    """Rows with fewer than k finite scores (exclude-seen masking) must
+    return in-range indices exactly like single-stage lax.top_k — pad
+    slots may never leak into the result."""
+    import jax
+    import jax.numpy as jnp
+    from buffalo_tpu.ops import topk as topk_mod
+    from buffalo_tpu.ops.topk import _topk_wide
+
+    monkeypatch.setattr(topk_mod.jax, "default_backend", lambda: "tpu")
+    N = 5000  # not a multiple of seg -> pad slots exist
+    scores = np.full((4, N), -np.inf, dtype=np.float32)
+    scores[1, 17] = 1.0           # one finite entry
+    scores[2, :3] = [3.0, 2.0, 1.0]
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), 10)
+    v, i = _topk_wide(jnp.asarray(scores), 10, seg=1024)
+    assert int(np.max(i)) < N
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(i))
+    np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(v))
