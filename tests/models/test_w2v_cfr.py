@@ -360,3 +360,40 @@ def test_cfr_item_bias_resets_without_sppmi():
     assert Ib2[0] == 0.0          # updated, no sppmi -> reset
     assert Ib2[1] != 7.0          # updated from its sppmi entries
     assert Ib2[2] == 7.0          # not in the batch -> untouched
+
+
+def test_parw2v_batched_and_ivf(stream_data):
+    """ParW2V batched most_similar matches the naive per-key API, and
+    the IVF ANN hook works on W2V embeddings (reference wires n2 the
+    same way for ParW2V)."""
+    from buffalo_tpu.parallel import ParW2V
+    from buffalo_tpu.parallel.ann import IVFIndex
+
+    opt = W2VOption().get_default_option()
+    opt.d = 16
+    opt.num_iters = 5
+    opt.min_count = 2
+    m = W2V(opt, data=stream_data)
+    m.initialize()
+    m.train()
+    m.build_itemid_map()
+
+    par = ParW2V(m)
+    keys = [m._idmanager.itemids[i] for i in range(8)]
+    topks, scores = par.most_similar(keys, topk=5)
+    for k, row in zip(keys, topks):
+        naive = [kk for kk, _ in m.most_similar(k, topk=5)]
+        batch = [m._idmanager.itemids[m._vocab.inv_index[t]]
+                 for t in row if t != -1]
+        batch = [b for b in batch if b != k][:4]
+        assert naive[:4] == batch, (k, naive, batch)
+
+    # the generic set_ann_index hook on W2V factors
+    m.normalize("item")
+    index = IVFIndex.build(m.L0, n_clusters=8, n_probe=8)
+    par.set_ann_index(index)
+    ids, sc = par.most_similar(keys, topk=5)
+    exact = np.asarray(topks)
+    recall = np.mean([len(set(a) & set(e)) / len(set(e))
+                      for a, e in zip(np.asarray(ids), exact)])
+    assert recall > 0.7, recall
