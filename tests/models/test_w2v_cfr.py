@@ -397,3 +397,36 @@ def test_parw2v_batched_and_ivf(stream_data):
     recall = np.mean([len(set(a) & set(e)) / len(set(e))
                       for a, e in zip(np.asarray(ids), exact)])
     assert recall > 0.7, recall
+
+
+def test_parcfr_batched_matches_naive(cfr_data):
+    """ParCFR (user x item factors, U/I aliased to P/Q) batched
+    retrieval matches the naive per-key API."""
+    from buffalo_tpu.parallel import ParCFR
+
+    opt = CFROption().get_default_option()
+    opt.d = 16
+    opt.num_iters = 6
+    opt.validation = {}
+    m = CFR(opt, data=cfr_data)
+    m.initialize()
+    m.train()
+    m.build_itemid_map()
+    m.build_userid_map()
+
+    par = ParCFR(m)
+    ukeys = [m._idmanager.userids[i] for i in range(5)]
+    rkeys, topks, scores = par.topk_recommendation(ukeys, topk=5)
+    assert rkeys == ukeys
+    for k, row in zip(rkeys, topks):
+        naive = m.topk_recommendation(k, topk=5)
+        batch = [m._idmanager.itemids[t] for t in row if t != -1]
+        assert naive == batch
+
+    ikeys = [m._idmanager.itemids[i] for i in range(5)]
+    topks, _ = par.most_similar(ikeys, topk=5)
+    for k, row in zip(ikeys, topks):
+        naive = [kk for kk, _ in m.most_similar(k, topk=5)]
+        batch = [m._idmanager.itemids[t] for t in row if t != -1]
+        batch = [b for b in batch if b != k][:4]
+        assert naive[:4] == batch
