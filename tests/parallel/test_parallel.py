@@ -312,3 +312,32 @@ def test_ivf_pick_cap_cost_model():
     assert _pick_cap(fine, _L_CAPS) <= 256
     assert _pick_cap(coarse, _L_CAPS) == 1024
     assert _pick_cap(np.array([], dtype=np.int64), _L_CAPS) == _L_CAPS[0]
+
+
+def test_ivf_device_merge_matches_host_merge(monkeypatch):
+    """The TPU path fuses the merge on device (lax.sort + segmented
+    rank); it must produce exactly what the CPU host merge produces —
+    run both explicitly on the CPU backend."""
+    import jax
+    from buffalo_tpu.parallel.ann import IVFIndex
+
+    rng = np.random.default_rng(7)
+    T = rng.normal(size=(3000, 12)).astype(np.float32)
+    T /= np.linalg.norm(T, axis=1, keepdims=True)
+    q = T[rng.integers(0, len(T), 200)]
+    for spill in (1, 2):
+        idx = IVFIndex.build(T, n_clusters=50, n_probe=12, spill=spill)
+        host_i, host_v = idx.search(q, topk=7)     # CPU -> host merge
+
+        # force the device-merge path on the CPU backend (search()
+        # imports the global jax module)
+        idx2 = IVFIndex.build(T, n_clusters=50, n_probe=12,
+                              spill=spill)
+        with monkeypatch.context() as mp:
+            mp.setattr(jax, "default_backend", lambda: "tpu")
+            dev_i, dev_v = idx2.search(q, topk=7)
+        np.testing.assert_allclose(host_v, dev_v, rtol=1e-6, atol=1e-7)
+        # ties may order differently between the two sorts; ids must
+        # agree wherever the score at that rank is untied
+        diff = host_i != dev_i
+        assert np.all(~diff | np.isclose(host_v, dev_v, rtol=1e-6))
