@@ -239,31 +239,61 @@ class IVFIndex:
         unit = table / np.maximum(norms, 1e-12)
         cent = unit[rng.choice(N, n_clusters, replace=False)]
 
+        # rows are processed in fixed chunks under lax.scan: the (N, C)
+        # score matrix would be a multi-GB transient at 730M-catalog
+        # scale (1.47M items x 1.2k cells); chunking bounds it to
+        # (chunk, C) while leaving the assignment math unchanged
+        # (argmax/top_k are row-independent)
+        CH = min(1 << 16, 1 << max(0, int(np.ceil(np.log2(max(N, 1))))))
+        n_pad = -(-N // CH) * CH
+        unit_pad = np.zeros((n_pad, d), dtype=np.float32)
+        unit_pad[:N] = unit
+        unit_chunks = unit_pad.reshape(-1, CH, d)
+
         @jax.jit
-        def lloyd(cent, unit):
-            assign = jnp.argmax(
-                jnp.dot(unit, cent.T,
-                        preferred_element_type=jnp.float32), axis=1)
-            sums = jax.ops.segment_sum(unit, assign,
-                                       num_segments=cent.shape[0])
-            cnt = jax.ops.segment_sum(jnp.ones(unit.shape[0]), assign,
-                                      num_segments=cent.shape[0])
+        def lloyd(cent, unit_chunks):
+            C = cent.shape[0]
+
+            def body(carry, uc):
+                sums, cnt = carry
+                a = jnp.argmax(jnp.dot(
+                    uc, cent.T, preferred_element_type=jnp.float32),
+                    axis=1)
+                # padding rows are all-zero -> they land in argmax cell
+                # 0; exclude them via their zero norm
+                w = (jnp.sum(uc * uc, axis=1) > 0).astype(jnp.float32)
+                sums = sums + jax.ops.segment_sum(uc * w[:, None], a,
+                                                  num_segments=C)
+                cnt = cnt + jax.ops.segment_sum(w, a, num_segments=C)
+                return (sums, cnt), a
+
+            (sums, cnt), assign = jax.lax.scan(
+                body, (jnp.zeros_like(cent), jnp.zeros(C)), unit_chunks)
             new = jnp.where(cnt[:, None] > 0,
                             sums / jnp.maximum(cnt[:, None], 1.0), cent)
-            return new / jnp.maximum(
-                jnp.linalg.norm(new, axis=1, keepdims=True), 1e-12), assign
+            new = new / jnp.maximum(
+                jnp.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+            return new, assign.reshape(-1)
 
-        unit_d = jax.device_put(unit)
+        @jax.jit
+        def spill_assign(cent, unit_chunks):
+            def body(_, uc):
+                s = jnp.dot(uc, cent.T,
+                            preferred_element_type=jnp.float32)
+                return None, jax.lax.top_k(s, spill)[1]
+
+            _, a = jax.lax.scan(body, None, unit_chunks)
+            return a.reshape(-1, spill)
+
+        unit_dev = jax.device_put(unit_chunks)
         cent_d = jax.device_put(cent)
         assign = None
         for _ in range(n_iters):
-            cent_d, assign = lloyd(cent_d, unit_d)
+            cent_d, assign = lloyd(cent_d, unit_dev)
         spill = max(1, min(int(spill), n_clusters))
         if spill > 1:
-            scores = jnp.dot(unit_d, cent_d.T,
-                             preferred_element_type=jnp.float32)
-            _, assign = jax.lax.top_k(scores, spill)
-        return cls(np.asarray(cent_d), np.asarray(assign), table,
+            assign = spill_assign(cent_d, unit_dev)
+        return cls(np.asarray(cent_d), np.asarray(assign)[:N], table,
                    n_probe=n_probe)
 
     # ------------------------------------------------------------- serialize
