@@ -45,3 +45,15 @@ def test_validation_types():
         opt.is_valid_option({"d": "nope"})
     with pytest.raises(RuntimeError):
         opt.is_valid_option({"flag": 1})
+
+
+def test_aux_alias_contract():
+    """The reference exposes Option as buffalo.misc.aux (tested by its
+    tests/util/test_aux.py); the alias must keep the same access
+    contract."""
+    from buffalo_tpu import aux
+
+    o = aux.Option({"string": "str", "int": 1, "float": 0.1})
+    assert o["string"] == o.string == "str"
+    assert o["int"] == o.int == 1
+    assert o["float"] == o.float == 0.1
