@@ -31,7 +31,7 @@ class Parallel(abc.ABC):
             raise ValueError(f"Not supported algo type: {type(algo)}")
         self.algo = algo
         self.num_workers = int(kwargs["num_workers"])
-        self._ann_index = None
+        self._ann_index = {}    # group -> index (reference _ann_list)
         # optional device mesh: retrieval shards the candidate table
         # and merges per-shard top-k (ops.topk.sharded_matmul_topk)
         self.mesh = kwargs.get("mesh")
@@ -39,20 +39,22 @@ class Parallel(abc.ABC):
             from buffalo_tpu import parallelism
             self.mesh = parallelism.get_mesh(int(kwargs["num_devices"]))
 
-    def set_ann_index(self, index):
+    def set_ann_index(self, index, group="item"):
         """Optional ANN hook (the reference's n2/HNSW path,
         ``examples/example_als.py:56-76``): any object exposing
         ``search(queries: (B, d) float32, topk: int) -> (ids, scores)``,
         or a path to a saved :class:`~buffalo_tpu.parallel.ann.IVFIndex`
-        (the analog of ``set_hnsw_index(path)``).  When set,
-        ``most_similar`` delegates to it instead of the exact sharded
-        matmul scan."""
+        (the analog of ``set_hnsw_index(path, group)``).  Indexes are
+        kept per ``group`` (the reference's ``_ann_list``): an index
+        built on item factors must not serve ``group="user"`` queries.
+        When set, ``most_similar`` over that group delegates to it
+        instead of the exact sharded matmul scan."""
         if isinstance(index, str):
             from buffalo_tpu.parallel.ann import IVFIndex
             index = IVFIndex.load(index)
         if not hasattr(index, "search"):
             raise ValueError("ANN index must expose search(queries, topk)")
-        self._ann_index = index
+        self._ann_index[group] = index
 
     def _resolve(self, keys, group):
         indexes = self.algo.get_index(list(keys), group=group)
@@ -78,9 +80,9 @@ class Parallel(abc.ABC):
         return batch_topn(queries, Factor, topk, pool=pool, Qb=Qb)
 
     def _most_similar(self, group, indexes, Factor, topk, pool):
-        if self._ann_index is not None and pool is None:
-            return self._ann_index.search(np.asarray(Factor)[indexes],
-                                          topk)
+        ann = self._ann_index.get(group)
+        if ann is not None and pool is None:
+            return ann.search(np.asarray(Factor)[indexes], topk)
         return self._scan(np.asarray(Factor)[indexes], Factor, topk, pool)
 
     def _topk_recommendation(self, indexes, FactorP, FactorQ, topk, pool):

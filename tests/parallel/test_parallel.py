@@ -341,3 +341,19 @@ def test_ivf_device_merge_matches_host_merge(monkeypatch):
         # agree wherever the score at that rank is untied
         diff = host_i != dev_i
         assert np.all(~diff | np.isclose(host_v, dev_v, rtol=1e-6))
+
+
+def test_ann_index_is_group_scoped(als):
+    """An item-factor index must not serve group='user' queries (the
+    reference keeps one index per group in _ann_list)."""
+    from buffalo_tpu.parallel import ParALS
+    from buffalo_tpu.parallel.ann import IVFIndex
+
+    par = ParALS(als)
+    ukeys = [als._idmanager.userids[i] for i in range(6)]
+    exact_u, _ = par.most_similar(ukeys, topk=5, group="user")
+
+    als.normalize("item")
+    par.set_ann_index(IVFIndex.build(als.Q, n_clusters=8, n_probe=8))
+    got_u, _ = par.most_similar(ukeys, topk=5, group="user")
+    np.testing.assert_array_equal(np.asarray(exact_u), np.asarray(got_u))
