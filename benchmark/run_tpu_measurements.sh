@@ -89,3 +89,5 @@ timeout 2400 python benchmark/test_performance.py --algo plsi \
 
 log "done; logs in $OUT"
 grep -h '^{' "$OUT"/*.log 2>/dev/null | tail -40
+python benchmark/summarize_measurements.py "$OUT" \
+    | tee "$OUT/SUMMARY.md"
