@@ -31,7 +31,22 @@ def main():
 
     from buffalo_tpu.utils import pin_cpu
     pin_cpu()
+    # the tunneled TPU backend can hang indefinitely when the service
+    # is down (same watchdog recipe as bench.py)
+    import threading
+
+    def _watchdog():
+        import os
+        print(json.dumps({"error": "backend init exceeded 900 s "
+                          "(TPU service unreachable?)"}))
+        os._exit(3)
+
+    timer = threading.Timer(900.0, _watchdog)
+    timer.daemon = True
+    timer.start()
     import jax
+    jax.devices()
+    timer.cancel()
     import jax.numpy as jnp
 
     from buffalo_tpu.ops.topk import _topk_wide
@@ -42,7 +57,9 @@ def main():
     k = args.k
 
     single = jax.jit(lambda s: jax.lax.top_k(s, k))
-    two = jax.jit(lambda s: _topk_wide(s, k))
+    # force=True bypasses the TPU-only gate so this row measures the
+    # actual two-stage rewrite on every backend
+    two = jax.jit(lambda s: _topk_wide(s, k, force=True))
 
     def approx(s):
         v, i = jax.lax.approx_max_k(s, k)

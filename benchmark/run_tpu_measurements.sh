@@ -37,7 +37,7 @@ step() {
         exit 1
     fi
     log "$label"
-    timeout "$to" "$@" 2>&1 | tee -a "$OUT/$name.log"
+    timeout "$to" "$@" 2>&1 | tee "$OUT/$name.log"
 }
 
 summarize() {

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _topk_wide(scores: jax.Array, k: int, seg: int = 8192):
+def _topk_wide(scores: jax.Array, k: int, seg: int = 8192,
+               force: bool = False):
     """Exact top-k over very wide rows via two stages: per-segment
     top-k, then a top-k over the (rows, segments*k) survivors.
 
@@ -31,7 +32,8 @@ def _topk_wide(scores: jax.Array, k: int, seg: int = 8192):
     import jax.numpy as _jnp
 
     N = scores.shape[-1]
-    if N <= 2 * seg or k > seg or jax.default_backend() != "tpu":
+    if N <= 2 * seg or k > seg or (
+            not force and jax.default_backend() != "tpu"):
         return jax.lax.top_k(scores, k)
     pad = (-N) % seg
     if pad:
