@@ -22,3 +22,12 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_non_power_of_two():
+    """Mesh sizes that don't divide the tables evenly (padding on
+    uneven splits) must still compile and run — pins the 6-device case
+    verified manually on the virtual CPU mesh."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(6)
