@@ -17,6 +17,7 @@ Implicit Feedback (UAI 2009).
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -160,12 +161,13 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                     verify_neg=bool(opt.verify_neg),
                     use_cum_table=self._cum_table is not None)
 
-    def _stage_epoch_chunks(self, batch_size):
+    def _stage_epoch_chunks(self, batch_size, chunk_sharding=None):
         """Device-resident (nchunks, N) positives in CSR order.
 
         The reference's job queue also walks rows in CSR order
         (``algo.cc:308-362``); padding entries beyond nnz are masked
-        inside the fused epoch.
+        inside the fused epoch.  ``chunk_sharding`` (dp mesh path)
+        shards the batch axis across devices.
         """
         import jax
 
@@ -180,8 +182,39 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         if pad:
             users = np.concatenate([users, np.zeros(pad, np.int32)])
             items = np.concatenate([items, np.zeros(pad, np.int32)])
-        return (jax.device_put(users.reshape(nchunks, batch_size)),
-                jax.device_put(items.reshape(nchunks, batch_size)), nnz)
+        put = (jax.device_put if chunk_sharding is None
+               else partial(jax.device_put, device=chunk_sharding))
+        return (put(users.reshape(nchunks, batch_size)),
+                put(items.reshape(nchunks, batch_size)), nnz)
+
+    def _select_mesh(self, resident, split_neg):
+        """dp mesh selection.  Unlike ALS (mesh by default on any
+        multi-device environment), the SGD families require an explicit
+        ``num_devices > 1`` opt-in: their single-device fused epoch is
+        the measured-fast default and dp adds a per-epoch psum cost
+        that only pays off once the megabatch compute dominates."""
+        from buffalo_tpu import parallelism
+
+        opt = self.opt
+        n_dev = opt.get("num_devices") or 0
+        if n_dev <= 1:
+            return None
+        sharding_mode = str(opt.get("sharding", "dp"))
+        if "tp" in sharding_mode:
+            self.logger.warning(
+                "%s supports sharding='dp' only (replicated tables, "
+                "batch-sharded chunks); using dp", type(self).__name__)
+        if not resident:
+            self.logger.warning(
+                "mesh training applies to the device-resident fused "
+                "epoch only; streaming path runs single-device")
+            return None
+        if split_neg:
+            self.logger.warning(
+                "epoch_dispatch='split' is a single-device mode; "
+                "running without the mesh")
+            return None
+        return parallelism.get_mesh(n_dev if n_dev else None)
 
     def train(self, training_callback: Optional[
             Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
@@ -231,19 +264,38 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                 "epoch_dispatch='split' applies to the device-resident "
                 "fused epoch only; the streaming path ignores it")
             split_neg = False
+        mesh = self._select_mesh(resident, split_neg)
+        repl = None
+        if mesh is not None:
+            from buffalo_tpu import parallelism
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = parallelism.replicated(mesh)
+            chunk_shard = NamedSharding(mesh, PartitionSpec(None, "d"))
+            # chunk width must divide evenly over the mesh
+            batch_size = -(-batch_size // mesh.size) * mesh.size
+            bloom = jax.device_put(bloom_np, repl)
+            cum_table = jax.device_put(np.asarray(cum_table), repl)
+            self._P = jax.device_put(self.P, repl)
+            self._Q = jax.device_put(self.Q, repl)
+            self._Qb = jax.device_put(self.Qb, repl)
         if resident:
-            users_c, items_c, nnz = self._stage_epoch_chunks(batch_size)
+            users_c, items_c, nnz = self._stage_epoch_chunks(
+                batch_size, chunk_sharding=(
+                    chunk_shard if mesh is not None else None))
             # random_positive (bpr.cu:53): per-slot uniform positive
             # draw needs the CSR positive lists on device
+            def put_repl(x):
+                return (jax.device_put(x, repl) if mesh is not None
+                        else jax.device_put(x))
             if bool(opt.get("random_positive")):
                 rw = self.data.get_group("rowwise")
-                self._pos_indptr = jax.device_put(
+                self._pos_indptr = put_repl(
                     np.asarray(rw["indptr"], dtype=np.int32))
-                self._pos_keys = jax.device_put(
+                self._pos_keys = put_repl(
                     np.asarray(rw["key"], dtype=np.int32))
             else:
-                self._pos_indptr = jnp.zeros(2, jnp.int32)
-                self._pos_keys = jnp.zeros(1, jnp.int32)
+                self._pos_indptr = put_repl(np.zeros(2, np.int32))
+                self._pos_keys = put_repl(np.zeros(1, np.int32))
             opt_state = {}
             if deferred:
                 opt_state = {"mP": jnp.zeros_like(self._P),
@@ -294,7 +346,22 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         self.iteration_times = []  # per-epoch train seconds
         for i in range(opt.num_iters):
             start_t = time.time()
-            if resident:
+            if resident and mesh is not None:
+                rng, sub = jax.random.split(rng)
+                self._P, self._Q, self._Qb, opt_state = K.bpr_epoch_dp(
+                    self._P, self._Q, self._Qb, opt_state,
+                    users_c, items_c, bloom, cum_table, sub,
+                    jnp.int32(i), self._pos_indptr, self._pos_keys,
+                    mesh=mesh,
+                    random_positive=bool(opt.get("random_positive")),
+                    optimizer=optimizer, bloom_log2=bloom_log2,
+                    per_coordinate_normalize=pcn, lr=float(opt.lr),
+                    min_lr=float(opt.min_lr), beta1=float(opt.beta1),
+                    beta2=float(opt.beta2), reg_u=float(opt.reg_u),
+                    reg_i=float(opt.reg_i), reg_j=float(opt.reg_j),
+                    reg_b=float(opt.reg_b), num_valid=nnz,
+                    total_samples=total_samples, **statics)
+            elif resident:
                 rng, sub = jax.random.split(rng)
                 negs = None
                 if split_neg:

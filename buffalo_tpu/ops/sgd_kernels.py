@@ -475,6 +475,196 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
     return P, Q, Qb, opt_state
 
 
+def bpr_epoch_dp(P, Q, Qb, opt_state, users, positives, bloom_words,
+                 cum_table, rng_key, step, pos_indptr, pos_keys, *,
+                 mesh, axis_name="d", optimizer, num_items, num_negatives,
+                 use_bias, update_i, update_j, verify_neg, use_cum_table,
+                 bloom_log2, per_coordinate_normalize, lr, min_lr, beta1,
+                 beta2, reg_u, reg_i, reg_j, reg_b, num_valid,
+                 total_samples, random_positive=False):
+    """One BPR epoch over a device mesh (dp): the TPU-native analog of
+    the reference's hogwild thread pool (``algo.cc:211-219``) at
+    multi-chip scale.
+
+    Chunks are sharded on the batch axis (``users``/``positives`` are
+    (nchunks, N) with N divisible by ``mesh.size``); factor tables are
+    replicated.  Sampling stays BIT-IDENTICAL to the single-device
+    fused epoch: every device draws the full global candidate tensor
+    from the same ``fold_in(rng_key, chunk)`` key (counter-based PRNG —
+    the draw is cheap VPU work) and slices its local window, so only
+    the bloom probes, gathers, and gradient math shard.  Updates are
+    dense per-table deltas psum-reduced over ICI — for sgd once per
+    chunk (the carry must stay replicated), for adam/adagrad once per
+    epoch at the deferred barrier (``algo.cc:382-465``).  Factors match
+    the fused epoch up to scatter-reduction fp ordering.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    nchunks, N = users.shape
+    D = mesh.size
+    assert N % D == 0, (N, D)
+    N_loc = N // D
+    B_loc = N_loc * num_negatives
+    B_glob = N * num_negatives
+    deferred = optimizer != "sgd"
+
+    def body_fn(P, Q, Qb, opt_state, users_s, positives_s, bloom_w,
+                cum_t, pos_ip, pos_k):
+        idx = jax.lax.axis_index(axis_name)
+        ct = cum_t if use_cum_table else None
+
+        def local_negatives(key, u_loc, lo):
+            # global-consistent draw: full candidate tensor from the
+            # chunk key (identical bits on every device), local slice
+            # for the bloom probes
+            cand_g = draw_negatives(key, (4, B_glob), num_items, ct)
+            cand = jax.lax.dynamic_slice_in_dim(cand_g, lo, B_loc, axis=1)
+            if not verify_neg:
+                return cand[0]
+            seen = jax.vmap(lambda c: bloom_contains(
+                bloom_w, bloom_log2, u_loc, c))(cand)
+            ok = ~seen
+            first = jnp.argmax(ok, axis=0)
+            any_ok = jnp.any(ok, axis=0)
+            picked = jnp.take_along_axis(cand, first[None, :], axis=0)[0]
+            return jnp.where(any_ok, picked, num_items)
+
+        def fwd(P, Q, Qb, u_chunk, pos_chunk, cidx):
+            key = jax.random.fold_in(rng_key, cidx)
+            gpos = (cidx * N + idx * N_loc
+                    + jnp.arange(N_loc, dtype=jnp.int32))
+            valid = gpos < num_valid
+            if random_positive:
+                r_g = jax.random.randint(
+                    jax.random.fold_in(key, 0x9e3779b1), (N,), 0,
+                    1 << 30, dtype=jnp.int32)
+                r = jax.lax.dynamic_slice_in_dim(r_g, idx * N_loc, N_loc)
+                lo_ = jnp.take(pos_ip, u_chunk).astype(jnp.int32)
+                deg = jnp.take(pos_ip, u_chunk + 1).astype(jnp.int32) - lo_
+                pos_chunk = jnp.take(
+                    pos_k, lo_ + r % jnp.maximum(deg, 1)).astype(
+                        pos_chunk.dtype)
+            u = jnp.repeat(u_chunk, num_negatives)
+            pos = jnp.repeat(pos_chunk, num_negatives)
+            mask = jnp.repeat(valid, num_negatives).astype(jnp.float32)
+            neg = local_negatives(key, u, idx * B_loc)
+            p, qi, qj, logit = _bpr_forward(P, Q, Qb, u, pos, neg,
+                                            use_bias)
+            return u, pos, neg, mask, p, qi, qj, logit * mask
+
+        if deferred:
+            def body(carry, xs):
+                gP, gQ, gQb, cP, cQ = carry
+                u_chunk, pos_chunk, cidx = xs
+                u, pos, neg, mask, p, qi, qj, logit = fwd(
+                    P, Q, Qb, u_chunk, pos_chunk, cidx)
+                gP = gP.at[u].add(logit[:, None] * (qi - qj))
+                item_deriv = logit[:, None] * p
+                if update_i:
+                    gQ = gQ.at[pos].add(item_deriv)
+                    if use_bias:
+                        gQb = gQb.at[pos].add(logit)
+                if update_j:
+                    gQ = gQ.at[neg].add(-item_deriv, mode="drop")
+                    if use_bias:
+                        gQb = gQb.at[neg].add(-logit, mode="drop")
+                if per_coordinate_normalize:
+                    valid1 = mask.reshape(-1, num_negatives)[:, 0]
+                    u1 = u.reshape(-1, num_negatives)[:, 0]
+                    p1 = pos.reshape(-1, num_negatives)[:, 0]
+                    cP = cP.at[u1].add(valid1)
+                    cQ = cQ.at[p1].add(valid1)
+                    cQ = cQ.at[neg].add(mask, mode="drop")
+                return (gP, gQ, gQb, cP, cQ), None
+
+            init = (jnp.zeros_like(P), jnp.zeros_like(Q),
+                    jnp.zeros_like(Qb),
+                    jnp.zeros(P.shape[0], jnp.float32),
+                    jnp.zeros(Q.shape[0], jnp.float32))
+            (gP, gQ, gQb, cP, cQ), _ = jax.lax.scan(
+                body, init,
+                (users_s, positives_s, jnp.arange(nchunks)))
+            gP = jax.lax.psum(gP, axis_name)
+            gQ = jax.lax.psum(gQ, axis_name)
+            gQb = jax.lax.psum(gQb, axis_name)
+            cP = jax.lax.psum(cP, axis_name)
+            cQ = jax.lax.psum(cQ, axis_name)
+
+            def apply(param, grad, m, v, counts, reg):
+                if per_coordinate_normalize:
+                    c = jnp.maximum(counts, 1.0)
+                    grad = grad / (c[:, None] if grad.ndim == 2 else c)
+                grad = grad - 2.0 * reg * param
+                if optimizer == "adam":
+                    delta, m, v = adam_update(grad, m, v, step, lr,
+                                              beta1, beta2)
+                else:
+                    delta, v = adagrad_update(grad, v, lr)
+                return param + delta, m, v
+
+            Po, mP, vP = apply(P, gP, opt_state["mP"], opt_state["vP"],
+                               cP, reg_u)
+            Qo, mQ, vQ = apply(Q, gQ, opt_state["mQ"], opt_state["vQ"],
+                               cQ, reg_i)
+            new_state = dict(opt_state, mP=mP, vP=vP, mQ=mQ, vQ=vQ)
+            Qbo = Qb
+            if use_bias:
+                Qbo, mQb, vQb = apply(Qb, gQb, opt_state["mQb"],
+                                      opt_state["vQb"], cQ, reg_b)
+                new_state["mQb"] = mQb
+                new_state["vQb"] = vQb
+            return Po, Qo, Qbo, new_state
+
+        def body(carry, xs):
+            P, Q, Qb = carry
+            u_chunk, pos_chunk, cidx = xs
+            u, pos, neg, mask, p, qi, qj, logit = fwd(
+                P, Q, Qb, u_chunk, pos_chunk, cidx)
+            progress = (step.astype(jnp.float32) * num_valid
+                        + cidx.astype(jnp.float32) * N) / total_samples
+            lr_t = jnp.maximum(lr - (lr - min_lr) * progress, min_lr)
+            m = mask[:, None]
+            dP = jnp.zeros_like(P).at[u].add(
+                lr_t * m * (logit[:, None] * (qi - qj) - reg_u * p))
+            item_deriv = logit[:, None] * p
+            dQ = jnp.zeros_like(Q)
+            if update_i:
+                dQ = dQ.at[pos].add(lr_t * m * (item_deriv - reg_i * qi))
+                if use_bias:
+                    # the fused epoch applies the positive-side bias
+                    # update before the negative side READS Qb for its
+                    # reg term — keep that sequencing (one extra tiny
+                    # psum of the bias vector)
+                    dQb = jnp.zeros_like(Qb).at[pos].add(
+                        lr_t * mask * (logit - reg_b * jnp.take(Qb, pos)))
+                    Qb = Qb + jax.lax.psum(dQb, axis_name)
+            if update_j:
+                dQ = dQ.at[neg].add(
+                    lr_t * m * (-item_deriv - reg_j * qj), mode="drop")
+                if use_bias:
+                    dQb = jnp.zeros_like(Qb).at[neg].add(
+                        lr_t * mask * (-logit - reg_b * jnp.take(
+                            Qb, jnp.minimum(neg, Qb.shape[0] - 1))),
+                        mode="drop")
+                    Qb = Qb + jax.lax.psum(dQb, axis_name)
+            P = P + jax.lax.psum(dP, axis_name)
+            Q = Q + jax.lax.psum(dQ, axis_name)
+            return (P, Q, Qb), None
+
+        (Po, Qo, Qbo), _ = jax.lax.scan(
+            body, (P, Q, Qb), (users_s, positives_s, jnp.arange(nchunks)))
+        return Po, Qo, Qbo, opt_state
+
+    state_spec = jax.tree.map(lambda _: PS(), opt_state)
+    run = jax.shard_map(
+        body_fn, mesh=mesh,
+        in_specs=(PS(), PS(), PS(), state_spec, PS(None, axis_name),
+                  PS(None, axis_name), PS(), PS(), PS(), PS()),
+        out_specs=(PS(), PS(), PS(), state_spec), check_vma=False)
+    return run(P, Q, Qb, opt_state, users, positives, bloom_words,
+               cum_table, pos_indptr, pos_keys)
+
+
 @partial(jax.jit, static_argnames=("use_bias",))
 def bpr_loss(P, Q, Qb, users, positives, negatives, *, use_bias):
     """Mean log(1 + exp(-x_uij)) over fixed triplets (bpr.cc:227-244)."""

@@ -146,3 +146,20 @@ def test_random_positive(ml_data):
     assert r_rnd["val_ndcg"] > 0.2
     # the positive schedule really changed
     assert np.abs(m_csr.P - m_rnd.P).max() > 1e-4
+
+
+def test_dp_mesh_training_parity(ml_data):
+    """num_devices=8 dp (shard_map batch-sharded chunks, psum'd dense
+    deltas) must match single-device training: negative sampling is
+    bit-identical by construction (global candidate draw + local
+    slice), so factors agree to scatter-reordering tolerance."""
+    for optimizer in ("sgd", "adagrad"):
+        np.random.seed(21)
+        a, ra = _train(ml_data, optimizer=optimizer, num_iters=4)
+        np.random.seed(21)
+        b, rb = _train(ml_data, optimizer=optimizer, num_iters=4,
+                       num_devices=8)
+        np.testing.assert_allclose(a.P, b.P, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(a.Q, b.Q, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(a.Qb, b.Qb, rtol=1e-3, atol=1e-4)
+        assert abs(ra["train_loss"] - rb["train_loss"]) < 1e-3
