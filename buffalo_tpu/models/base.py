@@ -262,6 +262,35 @@ class Algo(abc.ABC):
         return (mean / (np.linalg.norm(mean) + EPS)).astype(np.float32)
 
     # -------------------------------------------------------- training aids
+    def _select_dp_mesh(self, resident, split_dispatch):
+        """dp mesh selection for the SGD/EM families.  Unlike ALS (mesh
+        by default on any multi-device environment), these require an
+        explicit ``num_devices > 1`` opt-in: their single-device fused
+        epoch is the measured-fast default and dp adds per-epoch psum
+        cost that only pays off once the megabatch compute dominates."""
+        from buffalo_tpu import parallelism
+
+        opt = self.opt
+        n_dev = opt.get("num_devices") or 0
+        if n_dev <= 1:
+            return None
+        sharding_mode = str(opt.get("sharding", "dp"))
+        if "tp" in sharding_mode:
+            self.logger.warning(
+                "%s supports sharding='dp' only (replicated tables, "
+                "batch-sharded chunks); using dp", type(self).__name__)
+        if not resident:
+            self.logger.warning(
+                "mesh training applies to the device-resident fused "
+                "epoch only; streaming path runs single-device")
+            return None
+        if split_dispatch:
+            self.logger.warning(
+                "epoch_dispatch='split' is a single-device mode; "
+                "running without the mesh")
+            return None
+        return parallelism.get_mesh(n_dev)
+
     def periodical(self, period, current):
         """True when iteration ``current`` falls on the save/eval period."""
         return not period or (current + 1) % period == 0

@@ -187,35 +187,6 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         return (put(users.reshape(nchunks, batch_size)),
                 put(items.reshape(nchunks, batch_size)), nnz)
 
-    def _select_mesh(self, resident, split_neg):
-        """dp mesh selection.  Unlike ALS (mesh by default on any
-        multi-device environment), the SGD families require an explicit
-        ``num_devices > 1`` opt-in: their single-device fused epoch is
-        the measured-fast default and dp adds a per-epoch psum cost
-        that only pays off once the megabatch compute dominates."""
-        from buffalo_tpu import parallelism
-
-        opt = self.opt
-        n_dev = opt.get("num_devices") or 0
-        if n_dev <= 1:
-            return None
-        sharding_mode = str(opt.get("sharding", "dp"))
-        if "tp" in sharding_mode:
-            self.logger.warning(
-                "%s supports sharding='dp' only (replicated tables, "
-                "batch-sharded chunks); using dp", type(self).__name__)
-        if not resident:
-            self.logger.warning(
-                "mesh training applies to the device-resident fused "
-                "epoch only; streaming path runs single-device")
-            return None
-        if split_neg:
-            self.logger.warning(
-                "epoch_dispatch='split' is a single-device mode; "
-                "running without the mesh")
-            return None
-        return parallelism.get_mesh(n_dev if n_dev else None)
-
     def train(self, training_callback: Optional[
             Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
         assert self.data, "Data is not set"
@@ -264,7 +235,7 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                 "epoch_dispatch='split' applies to the device-resident "
                 "fused epoch only; the streaming path ignores it")
             split_neg = False
-        mesh = self._select_mesh(resident, split_neg)
+        mesh = self._select_dp_mesh(resident, split_neg)
         repl = None
         if mesh is not None:
             from buffalo_tpu import parallelism

@@ -229,6 +229,19 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             est_pairs = self._vocab.total_word_count * int(opt.window)
             chunk = 1 << max(12, min(18, int(np.log2(max(est_pairs
                                                          // 16, 1)))))
+        # dp mesh opt-in (num_devices > 1): pair chunks shard on the
+        # batch axis; the chunk width must divide evenly over the mesh
+        mesh = self._select_dp_mesh(True, False)
+        chunk_shard = None
+        if mesh is not None:
+            from buffalo_tpu import parallelism
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = parallelism.replicated(mesh)
+            chunk_shard = NamedSharding(mesh, PartitionSpec(None, "d"))
+            chunk = -(-chunk // mesh.size) * mesh.size
+            L0 = jax.device_put(self.L0, repl)
+            L1 = jax.device_put(self.L1, repl)
+            dist = jax.device_put(self._vocab.dist, repl)
         rng_np = np.random.default_rng(int(opt.random_seed))
         rng = jax.random.PRNGKey(int(opt.random_seed))
 
@@ -264,7 +277,20 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             wpc = raw_words / max(nchunks, 1)
             resident = (len(inputs) * 8) <= int(
                 opt.get("resident_mb", 4096)) * 1024 * 1024
-            if resident:
+            if resident and mesh is not None:
+                from buffalo_tpu.ops.w2v_kernels import w2v_epoch_dp
+                L0, L1, loss_sum, pair_cnt = w2v_epoch_dp(
+                    L0, L1,
+                    jax.device_put(inputs.reshape(nchunks, chunk),
+                                   chunk_shard),
+                    jax.device_put(targets.reshape(nchunks, chunk),
+                                   chunk_shard),
+                    dist, sub, jnp.float32(processed_words), mesh=mesh,
+                    lr=float(opt.lr), min_lr=float(opt.min_lr),
+                    total_words=float(total_words),
+                    words_per_chunk=float(wpc), **statics)
+                loss = float(loss_sum) / max(float(pair_cnt), 1.0)
+            elif resident:
                 # whole epoch in one dispatch: scan over resident
                 # chunks, lr decays by word progress inside the scan
                 L0, L1, loss_sum, pair_cnt = w2v_epoch(

@@ -199,6 +199,19 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
                 "epoch_dispatch='split' applies to the device-resident "
                 "fused epoch only; the streaming path ignores it")
             split_probe = False
+        # dp mesh opt-in (same rule as BPR: explicit num_devices > 1)
+        mesh = self._select_dp_mesh(resident, split_probe)
+        chunk_shard = repl = None
+        if mesh is not None:
+            from buffalo_tpu import parallelism
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = parallelism.replicated(mesh)
+            chunk_shard = NamedSharding(mesh, PartitionSpec(None, "d"))
+            batch_size = -(-batch_size // mesh.size) * mesh.size
+            indptr = jax.device_put(np.asarray(indptr), repl)
+            bloom = jax.device_put(bloom_np, repl)
+            self._P = jax.device_put(self.P, repl)
+            self._Q = jax.device_put(self.Q, repl)
         if resident:
             # device-resident chunks, one fused dispatch per epoch
             indptr_np = np.asarray(group["indptr"], dtype=np.int64)
@@ -214,8 +227,10 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
                                            np.zeros(pad, np.int32)])
                 items_np = np.concatenate([items_np,
                                            np.zeros(pad, np.int32)])
-            users_c = jax.device_put(users_np.reshape(nchunks, batch_size))
-            items_c = jax.device_put(items_np.reshape(nchunks, batch_size))
+            put = (jax.device_put if chunk_shard is None else
+                   lambda x: jax.device_put(x, chunk_shard))
+            users_c = put(users_np.reshape(nchunks, batch_size))
+            items_c = put(items_np.reshape(nchunks, batch_size))
             opt_state = {"mP": jnp.zeros_like(self._P),
                          "vP": jnp.zeros_like(self._P),
                          "mQ": jnp.zeros_like(self._Q),
@@ -258,7 +273,15 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         self.iteration_times = []  # per-epoch train seconds
         for i in range(opt.num_iters):
             start_t = time.time()
-            if resident:
+            if resident and mesh is not None:
+                rng, sub = jax.random.split(rng)
+                self._P, self._Q, opt_state = W.warp_epoch_dp(
+                    self._P, self._Q, opt_state, users_c, items_c,
+                    indptr, bloom, sub, jnp.int32(i), mesh=mesh,
+                    optimizer=str(opt.optimizer), lr=float(opt.lr),
+                    beta1=float(opt.beta1), beta2=float(opt.beta2),
+                    num_valid=nnz, **statics)
+            elif resident:
                 rng, sub = jax.random.split(rng)
                 seen_bits = None
                 if split_probe:

@@ -69,6 +69,56 @@ def w2v_epoch(L0, L1, inputs, targets, dist, rng_key, processed0,
     return L0, L1, loss, cnt
 
 
+def w2v_epoch_dp(L0, L1, inputs, targets, dist, rng_key, processed0,
+                 *, mesh, axis_name="d", num_negatives, vocab_size,
+                 compute_loss, lr, min_lr, total_words, words_per_chunk,
+                 max_step_norm=0.1):
+    """One W2V epoch over a device mesh (dp): pair chunks shard on the
+    batch axis, tables replicate, negatives draw globally + slice
+    locally (bit-identical to ``w2v_epoch``), and each chunk's dense
+    deltas psum before the step-norm-capped apply — the cap must see
+    the GLOBAL per-row delta, so it runs after the reduction."""
+    from jax.sharding import PartitionSpec as PS
+
+    nchunks, N = inputs.shape
+    D = mesh.size
+    assert N % D == 0, (N, D)
+    N_loc = N // D
+
+    def body_fn(L0, L1, inputs_s, targets_s, dist_):
+        idx = jax.lax.axis_index(axis_name)
+
+        def body(carry, xs):
+            L0, L1, loss, cnt = carry
+            bi, bt, cidx = xs
+            sub = jax.random.fold_in(rng_key, cidx)
+            progress = jnp.minimum(
+                (processed0 + cidx.astype(jnp.float32) * words_per_chunk)
+                / jnp.maximum(total_words, 1.0), 1.0)
+            lr_t = jnp.maximum(lr - (lr - min_lr) * progress, min_lr)
+            L0, L1, l, c = _w2v_step_body(
+                L0, L1, bi, bt, dist_, sub, lr_t,
+                num_negatives=num_negatives, vocab_size=vocab_size,
+                compute_loss=compute_loss, max_step_norm=max_step_norm,
+                axis_name=axis_name, row_offset=idx * N_loc,
+                global_B=N)
+            return (L0, L1, loss + l, cnt + c), None
+
+        init = (L0, L1, jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32))
+        (L0, L1, loss, cnt), _ = jax.lax.scan(
+            body, init, (inputs_s, targets_s, jnp.arange(nchunks)))
+        return (L0, L1, jax.lax.psum(loss, axis_name),
+                jax.lax.psum(cnt, axis_name))
+
+    run = jax.shard_map(
+        body_fn, mesh=mesh,
+        in_specs=(PS(), PS(), PS(None, axis_name), PS(None, axis_name),
+                  PS()),
+        out_specs=(PS(), PS(), PS(), PS()), check_vma=False)
+    return run(L0, L1, inputs, targets, dist)
+
+
 @partial(jax.jit, static_argnames=("num_negatives", "vocab_size",
                                    "compute_loss", "max_step_norm"),
          donate_argnums=(0, 1))
@@ -88,7 +138,13 @@ def w2v_step(L0, L1, inputs, targets, dist, rng_key, lr,
 
 def _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
                    *, num_negatives, vocab_size, compute_loss,
-                   max_step_norm=0.1):
+                   max_step_norm=0.1, axis_name=None, row_offset=None,
+                   global_B=None):
+    """One pair-chunk update.  With ``axis_name`` set (dp mesh path)
+    the chunk is a LOCAL slice of a global batch: negatives are drawn
+    from the GLOBAL shape and row-sliced (bit-identical to the
+    single-device stream), and the dense deltas psum before the
+    clipped apply so the replicated tables stay in sync."""
     B = inputs.shape[0]
     d = L0.shape[1]
     valid = (inputs < vocab_size).astype(jnp.float32)
@@ -101,9 +157,14 @@ def _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
     hi = dist[-1]
 
     def _draw(k):
-        r = jax.random.randint(k, (B, num_negatives), 0, hi,
+        nb = B if axis_name is None else global_B
+        r = jax.random.randint(k, (nb, num_negatives), 0, hi,
                                dtype=jnp.int32)
-        return jnp.searchsorted(dist, r, side="left").astype(jnp.int32)
+        negs = jnp.searchsorted(dist, r, side="left").astype(jnp.int32)
+        if axis_name is not None:
+            negs = jax.lax.dynamic_slice_in_dim(negs, row_offset, B,
+                                                axis=0)
+        return negs
 
     t = targets[:, None]
     negs = _draw(k1)
@@ -151,11 +212,15 @@ def _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
     dL1 = dL1.at[negs.reshape(-1)].add(
         (lr * g_neg[..., None] * l0[:, None, :]).reshape(-1, d),
         mode="drop")
+    if axis_name is not None:
+        dL1 = jax.lax.psum(dL1, axis_name)
     L1 = _clipped_apply(L1, dL1, step_cap)
 
     work = g_pos[:, None] * lt + jnp.einsum(
         "bk,bkd->bd", g_neg, ln, preferred_element_type=jnp.float32)
     dL0 = jnp.zeros_like(L0)
     dL0 = dL0.at[inputs].add(lr * work, mode="drop")
+    if axis_name is not None:
+        dL0 = jax.lax.psum(dL0, axis_name)
     L0 = _clipped_apply(L0, dL0, step_cap)
     return L0, L1, loss, jnp.sum(valid)

@@ -260,6 +260,131 @@ def warp_epoch(P, Q, opt_state, users, positives, indptr, bloom_words,
     return P, Q, opt_state
 
 
+def warp_epoch_dp(P, Q, opt_state, users, positives, indptr, bloom_words,
+                  rng_key, step, *, mesh, axis_name="d", optimizer,
+                  num_items, num_candidates, score_func, threshold,
+                  reg_u, reg_i, reg_j, update_i, update_j,
+                  per_coordinate_normalize, lr, beta1, beta2, num_valid,
+                  bloom_log2):
+    """One WARP epoch over a device mesh (dp).
+
+    Chunks shard on the batch axis; tables replicate.  The candidate
+    tensor is drawn GLOBALLY from the chunk key on every device
+    (bit-identical to ``warp_epoch``) and row-sliced locally, so the
+    bloom probes, candidate scoring matmuls, and gradient math shard
+    while the trial-rank statistics match the single-device epoch
+    exactly.  WARP is fully deferred (``algo.cc:382-465``), so the
+    accumulated gradients psum ONCE at the epoch barrier, then the
+    optimizer step and unit-ball projection (``warp.cc:192-201``) run
+    replicated.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    from buffalo_tpu.ops.sgd_kernels import adagrad_update, adam_update
+
+    nchunks, N = users.shape
+    D = mesh.size
+    assert N % D == 0, (N, D)
+    N_loc = N // D
+
+    def body_fn(P, Q, opt_state, users_s, positives_s, indptr_, bloom_w):
+        idx = jax.lax.axis_index(axis_name)
+
+        def body(carry, xs):
+            gP, gQ, cP, cQ = carry
+            u_chunk, pos_chunk, cidx = xs
+            key = jax.random.fold_in(rng_key, cidx)
+            gpos = (cidx * N + idx * N_loc
+                    + jnp.arange(N_loc, dtype=jnp.int32))
+            valid = (gpos < num_valid).astype(jnp.float32)
+
+            p = jnp.take(P, u_chunk, axis=0)
+            qi = jnp.take(Q, pos_chunk, axis=0)
+            ui = _scores(p, qi, score_func)
+            cand_g = jax.random.randint(key, (N, num_candidates), 0,
+                                        num_items, dtype=jnp.int32)
+            cand = jax.lax.dynamic_slice_in_dim(cand_g, idx * N_loc,
+                                                N_loc, axis=0)
+            seen = jax.vmap(lambda c: bloom_contains(
+                bloom_w, bloom_log2, u_chunk, c),
+                            in_axes=1, out_axes=1)(cand)
+            qc = jnp.take(Q, cand, axis=0)
+            uj = _scores(p[:, None, :], qc, score_func)
+            violating = (~seen) & ((ui[:, None] - uj) < threshold)
+            any_v = jnp.any(violating, axis=1)
+            f = jnp.argmax(violating, axis=1)
+            tried = jnp.cumsum((~seen).astype(jnp.int32), axis=1)
+            v = jnp.take_along_axis(tried, f[:, None], axis=1)[:, 0]
+            trial = jnp.maximum(2 * v, 1)
+            seen_size = (indptr_[u_chunk + 1]
+                         - indptr_[u_chunk]).astype(jnp.int32)
+            avail = jnp.maximum(num_items - seen_size - 1, 0)
+            phi = jnp.log(jnp.maximum(
+                1, (avail // trial)).astype(jnp.float32))
+            w = jnp.where(any_v, phi, 0.0) * valid
+
+            neg = jnp.take_along_axis(cand, f[:, None], axis=1)[:, 0]
+            qj = jnp.take_along_axis(qc, f[:, None, None],
+                                     axis=1)[:, 0, :]
+            if score_func == "l2":
+                u_deriv = (2.0 * w)[:, None] * (qi - qj)
+                i_deriv = w[:, None] * (p - qi)
+                j_deriv = -w[:, None] * (p - qj)
+            else:
+                u_deriv = w[:, None] * (qi - qj)
+                i_deriv = w[:, None] * p
+                j_deriv = -i_deriv
+            m = (any_v.astype(jnp.float32) * valid)[:, None]
+            gP = gP.at[u_chunk].add(u_deriv - m * reg_u * p)
+            if update_i:
+                gQ = gQ.at[pos_chunk].add(i_deriv - m * reg_i * qi)
+            if update_j:
+                gQ = gQ.at[neg].add(j_deriv - m * reg_j * qj)
+            if per_coordinate_normalize:
+                mv = any_v.astype(jnp.float32) * valid
+                cP = cP.at[u_chunk].add(mv)
+                cQ = cQ.at[pos_chunk].add(mv)
+                cQ = cQ.at[neg].add(mv)
+            return (gP, gQ, cP, cQ), None
+
+        init = (jnp.zeros_like(P), jnp.zeros_like(Q),
+                jnp.zeros(P.shape[0], jnp.float32),
+                jnp.zeros(Q.shape[0], jnp.float32))
+        (gP, gQ, cP, cQ), _ = jax.lax.scan(
+            body, init, (users_s, positives_s, jnp.arange(nchunks)))
+        gP = jax.lax.psum(gP, axis_name)
+        gQ = jax.lax.psum(gQ, axis_name)
+        cP = jax.lax.psum(cP, axis_name)
+        cQ = jax.lax.psum(cQ, axis_name)
+
+        def apply(param, grad, m, v, counts, reg):
+            if per_coordinate_normalize:
+                c = jnp.maximum(counts, 1.0)
+                grad = grad / c[:, None]
+            grad = grad - 2.0 * reg * param
+            if optimizer == "adam":
+                delta, m, v = adam_update(grad, m, v, step, lr, beta1,
+                                          beta2)
+            else:
+                delta, v = adagrad_update(grad, v, lr)
+            return param + delta, m, v
+
+        Po, mP, vP = apply(P, gP, opt_state["mP"], opt_state["vP"],
+                           cP, reg_u)
+        Qo, mQ, vQ = apply(Q, gQ, opt_state["mQ"], opt_state["vQ"],
+                           cQ, reg_i)
+        new_state = dict(opt_state, mP=mP, vP=vP, mQ=mQ, vQ=vQ)
+        return (project_unit_ball(Po), project_unit_ball(Qo), new_state)
+
+    state_spec = jax.tree.map(lambda _: PS(), opt_state)
+    run = jax.shard_map(
+        body_fn, mesh=mesh,
+        in_specs=(PS(), PS(), state_spec, PS(None, axis_name),
+                  PS(None, axis_name), PS(), PS()),
+        out_specs=(PS(), PS(), state_spec), check_vma=False)
+    return run(P, Q, opt_state, users, positives, indptr, bloom_words)
+
+
 @jax.jit
 def project_unit_ball(X):
     """Row-wise projection onto the unit L2 ball (warp.cc:192-201)."""

@@ -430,3 +430,27 @@ def test_parcfr_batched_matches_naive(cfr_data):
         batch = [m._idmanager.itemids[t] for t in row if t != -1]
         batch = [b for b in batch if b != k][:4]
         assert naive[:4] == batch
+
+
+def test_w2v_dp_mesh_training_parity(stream_data):
+    """num_devices=8 dp W2V must match single-device training: the
+    unigram-table negative draws are bit-identical by construction
+    (global draw + local row slice) and the step-norm cap sees the
+    psum'd global delta, so factors agree to fp-reorder tolerance."""
+    def run(**kw):
+        np.random.seed(31)
+        opt = W2VOption().get_default_option()
+        opt.d = 12
+        opt.num_iters = 3
+        opt.min_count = 1
+        for k, v in kw.items():
+            opt[k] = v
+        m = W2V(opt, data=stream_data)
+        m.initialize()
+        m.train()
+        return m
+
+    a = run()
+    b = run(num_devices=8)
+    np.testing.assert_allclose(a.L0, b.L0, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(a.L1, b.L1, rtol=1e-3, atol=1e-4)

@@ -135,3 +135,18 @@ def test_split_dispatch_parity(ml_data):
     split = run("split")
     np.testing.assert_array_equal(fused.P, split.P)
     np.testing.assert_array_equal(fused.Q, split.Q)
+
+
+def test_dp_mesh_training_parity(ml_data):
+    """num_devices=8 dp (shard_map batch-sharded chunks, one psum at
+    the deferred barrier) must match single-device training: the
+    candidate draw is bit-identical by construction (global draw +
+    local row slice), so factors agree to fp-reordering tolerance."""
+    for kw in (dict(), dict(score_func="l2")):
+        np.random.seed(23)
+        a, ra = _train(ml_data, num_iters=4, **kw)
+        np.random.seed(23)
+        b, rb = _train(ml_data, num_iters=4, num_devices=8, **kw)
+        np.testing.assert_allclose(a.P, b.P, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(a.Q, b.Q, rtol=1e-3, atol=1e-4)
+        assert abs(ra["train_loss"] - rb["train_loss"]) < 1e-3
