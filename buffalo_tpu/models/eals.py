@@ -122,6 +122,7 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
 
         from buffalo_tpu.data.batching import (BatchPlanner,
                                                build_range_layout,
+                                               build_sharded_range_layout,
                                                choose_group_dispatch,
                                                padded_entry_count,
                                                stack_batches)
@@ -132,6 +133,47 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
         rp = BatchPlanner(rw_indptr, entries_per_batch=entries)
         cp = BatchPlanner(np.asarray(cw["indptr"]),
                           entries_per_batch=entries)
+
+        n_dev = int(self.opt.get("num_devices") or 0)
+        if n_dev > 1:
+            # mesh training: per-shard bucket-order layout under
+            # shard_map (mirrors the ALS/pLSI sharded epochs)
+            from buffalo_tpu import parallelism
+            mesh = parallelism.get_mesh(n_dev)
+            (row_g, col_g, row_seg, col_seg, u_pos, i_pos, S_u,
+             S_i) = build_sharded_range_layout(
+                rp, cp, u_keys, u_vals,
+                np.asarray(cw["key"], np.int32),
+                np.asarray(cw["val"], np.float32), mesh.size)
+            u_pad, i_pad = mesh.size * S_u, mesh.size * S_i
+            C_perm = np.zeros(i_pad, np.float32)
+            C_perm[i_pos] = C
+            row_shard = parallelism.shard_rows(mesh)
+            repl = parallelism.replicated(mesh)
+
+            def put_sharded(tree):
+                return jax.device_put(
+                    tree, jax.tree.map(lambda _: row_shard, tree))
+
+            def put_repl(tree):
+                return jax.device_put(
+                    tree, jax.tree.map(lambda _: repl, tree))
+
+            return {
+                "mode": "mesh", "mesh": mesh,
+                "row_shard": row_shard,
+                "row_groups": tuple(put_sharded(g) for g in row_g),
+                "col_groups": tuple(put_sharded(g) for g in col_g),
+                "row_segments": tuple(put_repl(s) for s in row_seg),
+                "col_segments": tuple(put_repl(s) for s in col_seg),
+                "C_perm": jax.device_put(C_perm, row_shard),
+                "u_pos": u_pos, "i_pos": i_pos,
+                "u_pad": u_pad, "i_pad": i_pad,
+                "u": (u_pos[u_rows].astype(np.int32),
+                      i_pos[u_keys].astype(np.int32), u_vals),
+                "num_users": num_users, "num_items": num_items,
+            }
+
         row_b, col_b, u_pos, i_pos, u_pad, i_pad = build_range_layout(
             rp, cp, u_keys, u_vals,
             np.asarray(cw["key"], np.int32),
@@ -168,17 +210,25 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
         du = (jax.device_put(u_rows), jax.device_put(u_keys),
               jax.device_put(u_vals))
 
-        if st["mode"] == "range":
+        if st["mode"] in ("range", "mesh"):
             from buffalo_tpu.data.batching import permute_table
+            from buffalo_tpu import parallelism
             Pp = permute_table(self.P, st["u_pos"], st["u_pad"])
             Qp = permute_table(self.Q, st["i_pos"], st["i_pad"])
-            P = jax.device_put(Pp)
-            Q = jax.device_put(Qp)
+            if st["mode"] == "mesh":
+                P = jax.device_put(Pp, st["row_shard"])
+                Q = jax.device_put(Qp, st["row_shard"])
+                repl = parallelism.replicated(st["mesh"])
+                du = tuple(jax.device_put(np.asarray(x), repl)
+                           for x in st["u"])
+            else:
+                P = jax.device_put(Pp)
+                Q = jax.device_put(Qp)
             C = st["C_perm"]
 
             def to_host(P, Q):
-                return (np.asarray(P)[st["u_pos"]],
-                        np.asarray(Q)[st["i_pos"]])
+                return (parallelism.host_local_copy(P)[st["u_pos"]],
+                        parallelism.host_local_copy(Q)[st["i_pos"]])
         else:
             cw = self.data.get_group("colwise")
             cw_indptr = np.asarray(cw["indptr"])
@@ -211,7 +261,15 @@ class EALS(Algo, EALSOption, Evaluable, Serializable):
         self.iteration_times = []  # per-epoch train seconds
         for i in range(opt.num_iters):
             start_t = time.time()
-            if st["mode"] == "range":
+            if st["mode"] == "mesh":
+                P, Q = K.eals_epoch_sharded_range(
+                    P, Q, st["row_groups"], st["col_groups"],
+                    st["row_segments"], st["col_segments"], C,
+                    mesh=st["mesh"], axis_name="d",
+                    alpha=float(opt.alpha), reg_u=float(opt.reg_u),
+                    reg_i=float(opt.reg_i))
+                vhat_u = K.compute_vhat(P, Q, du[0], du[1])
+            elif st["mode"] == "range":
                 if st["group_dispatch"]:
                     Sq = K.eals_gramian(Q, C)
                     for g in st["row_groups"]:

@@ -144,11 +144,73 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
         group = self.data.get_group("rowwise")
         loss_deno = float(np.sum(group["val"], dtype=np.float64))
 
+        # mesh training (num_devices > 1): per-shard bucket-order range
+        # layout under shard_map, mirroring the ALS sharded epoch
+        self._range = None
+        self._mesh_range = None
+        n_dev = int(opt.get("num_devices") or 0)
+        mesh = None
+        if n_dev > 1:
+            from buffalo_tpu import parallelism
+            if (batcher.resident and self.data.has_group("colwise")
+                    and bool(opt.get("range_layout", True))):
+                mesh = parallelism.get_mesh(n_dev)
+            else:
+                self.logger.warning(
+                    "mesh pLSI needs a device-resident dataset, the "
+                    "colwise group, and range_layout; training "
+                    "single-device")
+        if mesh is not None:
+            from buffalo_tpu.data.batching import (
+                build_sharded_range_layout, permute_table)
+            cb = DeviceBatcher(
+                self.data, "colwise",
+                batch_mb=int(self.data.opt.data.get("batch_mb", 1024)),
+                resident_mb=int(opt.get("resident_mb", 4096)),
+                d=int(opt.d))
+            (row_g, col_g, row_seg, col_seg, u_pos, i_pos, S_u,
+             S_i) = build_sharded_range_layout(
+                batcher.planner, cb.planner, batcher.key, batcher.val,
+                cb.key, cb.val, mesh.size)
+            row_shard = parallelism.shard_rows(mesh)
+            repl = parallelism.replicated(mesh)
+
+            def put_sharded(tree):
+                return jax.device_put(
+                    tree, jax.tree.map(lambda _: row_shard, tree))
+
+            def put_repl(tree):
+                return jax.device_put(
+                    tree, jax.tree.map(lambda _: repl, tree))
+
+            p_mask = np.zeros(mesh.size * S_u, np.float32)
+            p_mask[u_pos] = 1.0
+            q_mask = np.zeros(mesh.size * S_i, np.float32)
+            q_mask[i_pos] = 1.0
+            self._mesh_range = {
+                "row_groups": tuple(put_sharded(g) for g in row_g),
+                "col_groups": tuple(put_sharded(g) for g in col_g),
+                "row_segments": tuple(put_repl(s) for s in row_seg),
+                "col_segments": tuple(put_repl(s) for s in col_seg),
+                "u_pos": u_pos, "i_pos": i_pos,
+                "p_mask": jax.device_put(p_mask, row_shard),
+                "q_mask": jax.device_put(q_mask, row_shard),
+                "mesh": mesh,
+            }
+            P = jax.device_put(
+                permute_table(self.P, u_pos, mesh.size * S_u), row_shard)
+            Q = jax.device_put(
+                permute_table(self.Q, i_pos, mesh.size * S_i), row_shard)
+
+            def to_host(P, Q):
+                return (parallelism.host_local_copy(P)[u_pos],
+                        parallelism.host_local_copy(Q)[i_pos])
+
         # bucket-order range layout over BOTH orientations: contiguous
         # accumulator writes instead of per-nnz scatter-adds (the
         # measured epoch bound); needs the colwise group + residency
-        self._range = None
-        if (batcher.resident and self.data.has_group("colwise")
+        if (mesh is None and batcher.resident
+                and self.data.has_group("colwise")
                 and bool(opt.get("range_layout", True))):
             from buffalo_tpu.data.batching import (build_range_layout,
                                                    choose_group_dispatch,
@@ -193,7 +255,9 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
                         opt, padded_entry_count(row_b + col_b)),
                 }
 
-        if self._range is not None:
+        if self._mesh_range is not None:
+            pass  # tables already staged sharded above
+        elif self._range is not None:
             from buffalo_tpu.data.batching import permute_table
             Pp = permute_table(self.P, self._range["u_pos"],
                                self._range["u_pad"])
@@ -228,7 +292,19 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
 
         for i in range(opt.num_iters):
             start_t = time.time()
-            if self._range is not None:
+            if self._mesh_range is not None:
+                mr = self._mesh_range
+                from buffalo_tpu.ops.plsi_kernels import \
+                    plsi_epoch_sharded_range
+                P, Q, epoch_loss = plsi_epoch_sharded_range(
+                    P, Q, mr["row_groups"], mr["col_groups"],
+                    mr["row_segments"], mr["col_segments"],
+                    mr["p_mask"], mr["q_mask"], mesh=mr["mesh"],
+                    axis_name="d", alpha1=float(opt.alpha1),
+                    alpha2=float(opt.alpha2),
+                    num_items=int(self.num_items))
+                loss_nume = float(epoch_loss)
+            elif self._range is not None:
                 rs = self._range
                 if rs["group_dispatch"]:
                     Pn = jnp.zeros_like(P)
@@ -315,6 +391,7 @@ class PLSI(Algo, PLSIOption, Evaluable, Serializable):
         self.P, self.Q = to_host(P, Q)
         self._sync_host_factors = None
         self._range = None
+        self._mesh_range = None
         self.logger.info(
             f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
         ret = {"train_loss": loss}

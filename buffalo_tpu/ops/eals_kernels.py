@@ -239,6 +239,69 @@ def eals_gramian(T, C_perm=None):
     return jnp.dot(T.T, T, preferred_element_type=jnp.float32)
 
 
+def eals_epoch_sharded_range(P, Q, row_groups, col_groups, row_segments,
+                             col_segments, C_perm, *, mesh, axis_name,
+                             alpha, reg_u, reg_i):
+    """One eALS epoch over a device mesh, per-shard range layout.
+
+    TPU-native replacement for the reference's OpenMP row loop
+    (``eals.cc:201``) at multi-chip scale, mirroring
+    ``als_epoch_sharded_range``: tables (and the item negative-weight
+    vector ``C_perm``) row-shard over the mesh in the per-shard bucket
+    order of ``build_sharded_range_layout``; each half all-gathers the
+    fixed side over ICI (the user pass also gathers ``C_perm``, whose
+    entries are read at fixed-side positions) and runs the dimension
+    sweeps on contiguous LOCAL ranges.  The weighted gramians Sq/Sp
+    are computed eagerly on the sharded tables (GSPMD all-reduce) and
+    enter shard_map replicated.  Long rows (SegmentBatch, global ids)
+    update outside shard_map with GSPMD gather/scatter.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    def sharded_half(A, Bf, C_sh, S, groups, *, item_axis, reg):
+        if not groups:
+            return A
+
+        def body(A_loc, Bf_loc, C_loc, S, *groups_loc):
+            Bf_full = jax.lax.all_gather(Bf_loc, axis_name, axis=0,
+                                         tiled=True)
+            if item_axis:
+                C_other, c_self = None, C_loc  # local A positions
+            else:
+                C_other = jax.lax.all_gather(C_loc, axis_name, axis=0,
+                                             tiled=True)
+                c_self = None
+            for g in groups_loc:
+                g = jax.tree.map(lambda x: x[0], g)
+                A_loc = _eals_apply_group(
+                    A_loc, Bf_full, C_other, c_self, S, g,
+                    item_axis=item_axis, alpha=alpha, reg=reg)
+            return A_loc
+
+        specs = tuple(jax.tree.map(lambda _: PS(axis_name), g)
+                      for g in groups)
+        run = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(PS(axis_name), PS(axis_name), PS(axis_name),
+                      PS()) + specs,
+            out_specs=PS(axis_name), check_vma=False)
+        return run(A, Bf, C_sh, S, *groups)
+
+    Sq = eals_gramian(Q, C_perm)  # GSPMD reduces the partial products
+    P = sharded_half(P, Q, C_perm, Sq, row_groups, item_axis=False,
+                     reg=reg_u)
+    for sb in row_segments:
+        P = _eals_apply_batch(P, Q, C_perm, None, Sq, sb,
+                              item_axis=False, alpha=alpha, reg=reg_u)
+    Sp = eals_gramian(P)
+    Q = sharded_half(Q, P, C_perm, Sp, col_groups, item_axis=True,
+                     reg=reg_i)
+    for sb in col_segments:
+        Q = _eals_apply_batch(Q, P, None, C_perm, Sp, sb,
+                              item_axis=True, alpha=alpha, reg=reg_i)
+    return P, Q
+
+
 @partial(jax.jit, static_argnames=("alpha", "reg_u", "reg_i"),
          donate_argnums=(0, 1))
 def eals_epoch(P, Q, row_groups, col_groups, C_perm, *, alpha, reg_u,

@@ -236,6 +236,62 @@ def plsi_epoch_range(P, Q, row_groups, col_groups, row_segments,
     return Pn, Qn, loss
 
 
+def plsi_epoch_sharded_range(P, Q, row_groups, col_groups, row_segments,
+                             col_segments, p_mask, q_mask, *, mesh,
+                             axis_name, alpha1, alpha2, num_items):
+    """One EM epoch over a device mesh, range-layout accumulators.
+
+    The TPU-native replacement for the reference's OpenMP EM loop
+    (``plsi.cc:80``) at multi-chip scale, mirroring
+    ``als_epoch_sharded_range``: both tables row-shard over the mesh
+    in the per-shard bucket order of ``build_sharded_range_layout``;
+    each orientation all-gathers the fixed side over ICI and
+    accumulates its LOCAL next-epoch rows with contiguous
+    ``dynamic_update_slice`` ranges.  Long rows (SegmentBatch, global
+    ids) accumulate outside shard_map with GSPMD scatter.  The M-step
+    runs on the sharded accumulators — the column normalization's
+    axis-0 sum is a GSPMD all-reduce.  Loss is psum-replicated.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    zero = jnp.zeros((), jnp.float32)
+
+    def sharded_side(A, Bf, groups, *, with_loss):
+        if not groups:
+            return jnp.zeros_like(A), zero
+
+        def body(A_loc, Bf_loc, *groups_loc):
+            Bf_full = jax.lax.all_gather(Bf_loc, axis_name, axis=0,
+                                         tiled=True)
+            local = tuple(jax.tree.map(lambda x: x[0], g)
+                          for g in groups_loc)
+            An, loss = _accumulate_side(
+                jnp.zeros_like(A_loc), A_loc, Bf_full, local, (),
+                with_loss=with_loss)
+            return An, jax.lax.psum(loss, axis_name)
+
+        specs = tuple(jax.tree.map(lambda _: PS(axis_name), g)
+                      for g in groups)
+        # check_vma off: scan carries accumulate device-varying terms
+        # from unvarying zeros (same caveat as the ALS sharded epoch);
+        # the explicit psum makes the loss replicated.
+        run = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(PS(axis_name), PS(axis_name)) + specs,
+            out_specs=(PS(axis_name), PS()), check_vma=False)
+        return run(A, Bf, *groups)
+
+    Pn, loss = sharded_side(P, Q, row_groups, with_loss=True)
+    for s in row_segments:
+        Pn, l_ = _segment_accumulate(Pn, P, Q, s, with_loss=True)
+        loss = loss + l_
+    Qn, _ = sharded_side(Q, P, col_groups, with_loss=False)
+    for s in col_segments:
+        Qn, _ = _segment_accumulate(Qn, Q, P, s, with_loss=False)
+    Pn, Qn = _mstep(Pn, Qn, p_mask, q_mask, alpha1, alpha2, num_items)
+    return Pn, Qn, loss
+
+
 @partial(jax.jit, static_argnames=("alpha1", "alpha2"))
 def plsi_normalize_swap(Pn, Qn, *, alpha1, alpha2):
     """M-step smoothing + normalization (plsi.cc:108-125).

@@ -252,3 +252,50 @@ def test_plsi_normalize_swap_guards_zero_sums():
     np.testing.assert_allclose(np.asarray(P)[0], [0.2, 0.8], rtol=1e-6)
     assert np.all(np.asarray(P)[1] == 0)
     assert np.all(np.asarray(Q)[:, 1] == 0)
+
+
+def test_plsi_mesh_training_parity(ml_data):
+    """num_devices=8 sharded-range pLSI (shard_map EM over row-sharded
+    tables) must match single-device training."""
+    def run(**kw):
+        np.random.seed(41)
+        opt = PLSIOption().get_default_option()
+        opt.d = 8
+        opt.num_iters = 4
+        opt.validation = {}
+        for k, v in kw.items():
+            opt[k] = v
+        m = PLSI(opt, data=ml_data)
+        m.initialize()
+        r = m.train()
+        return m, r
+
+    m1, r1 = run()
+    m2, r2 = run(num_devices=8)
+    assert m2._mesh_range is None  # path ran and was cleaned up
+    assert r1["train_loss"] == pytest.approx(r2["train_loss"], rel=1e-4)
+    np.testing.assert_allclose(m1.Q, m2.Q, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(m1.P, m2.P, rtol=1e-3, atol=1e-5)
+
+
+def test_eals_mesh_training_parity(ml_data):
+    """num_devices=8 sharded-range eALS (shard_map dimension sweeps
+    over row-sharded tables) must match single-device training."""
+    def run(**kw):
+        np.random.seed(43)
+        opt = EALSOption().get_default_option()
+        opt.d = 8
+        opt.num_iters = 4
+        opt.validation = {}
+        for k, v in kw.items():
+            opt[k] = v
+        m = EALS(opt, data=ml_data)
+        m.initialize()
+        r = m.train()
+        return m, r
+
+    m1, r1 = run()
+    m2, r2 = run(num_devices=8)
+    assert r1["train_loss"] == pytest.approx(r2["train_loss"], rel=1e-4)
+    np.testing.assert_allclose(m1.Q, m2.Q, rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(m1.P, m2.P, rtol=2e-3, atol=1e-3)
