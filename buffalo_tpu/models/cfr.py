@@ -319,7 +319,63 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
             for a in entry_arrays(e))
         resident = staged_bytes <= int(
             opt.get("resident_mb", 4096)) * 1024 * 1024
-        if resident:
+        mesh = self._select_dp_mesh(resident, False)
+        if resident and mesh is not None:
+            # dp mesh staging: pad every padded batch's row axis to a
+            # mesh multiple and shard it; segments stay replicated
+            from buffalo_tpu import parallelism
+            from buffalo_tpu.data.batching import PaddedBatch, SegmentBatch
+            from jax.sharding import NamedSharding, PartitionSpec
+            shard = NamedSharding(mesh, PartitionSpec("d"))
+            repl = parallelism.replicated(mesh)
+            D = mesh.size
+
+            def pad_rows_to(arr, B_new, fill):
+                pad = B_new - arr.shape[0]
+                if pad == 0:
+                    return np.asarray(arr)
+                block = np.full((pad,) + arr.shape[1:], fill, arr.dtype)
+                return np.concatenate([np.asarray(arr), block])
+
+            def pad_padded(b, sentinel):
+                B_new = -(-b.rows.shape[0] // D) * D
+                return B_new, PaddedBatch(
+                    rows=pad_rows_to(b.rows, B_new, sentinel),
+                    lens=pad_rows_to(b.lens, B_new, 0),
+                    cols=pad_rows_to(b.cols, B_new, 0),
+                    vals=pad_rows_to(b.vals, B_new, 0.0))
+
+            def stage(entry, sentinel):
+                # NB: PaddedBatch/SegmentBatch are NamedTuples — test
+                # for them BEFORE the plain-tuple item entries
+                if isinstance(entry, SegmentBatch) or (
+                        not isinstance(entry, PaddedBatch)
+                        and isinstance(entry[0], SegmentBatch)):
+                    return jax.device_put(
+                        entry, jax.tree.map(lambda _: repl, entry))
+                if isinstance(entry, PaddedBatch):
+                    _, b = pad_padded(entry, sentinel)
+                    return jax.device_put(
+                        b, jax.tree.map(lambda _: shard, b))
+                b, lens_c, cols_c, vals_c = entry
+                B_new, b = pad_padded(b, sentinel)
+                entry = (b, pad_rows_to(lens_c, B_new, 0),
+                         pad_rows_to(cols_c, B_new, 0),
+                         pad_rows_to(vals_c, B_new, 0.0))
+                return jax.device_put(
+                    entry, jax.tree.map(lambda _: shard, entry))
+
+            nu, ni, nc = (self.U.shape[0], self.I.shape[0],
+                          self.C.shape[0])
+            user_b = tuple(stage(b, nu) for b in batches["user"])
+            item_b = tuple(stage(e, ni) for e in batches["item"])
+            ctx_b = tuple(stage(b, nc) for b in batches["context"])
+            U, I, C = (jax.device_put(self.U, repl),
+                       jax.device_put(self.I, repl),
+                       jax.device_put(self.C, repl))
+            Ib = jax.device_put(self.Ib, repl)
+            Cb = jax.device_put(self.Cb, repl)
+        elif resident:
             # stage all three phases' batches on device once; the whole
             # 3-phase epoch then runs as a single XLA dispatch
             user_b = tuple(jax.device_put(b) for b in batches["user"])
@@ -327,7 +383,14 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
             ctx_b = tuple(jax.device_put(b) for b in batches["context"])
         for i in range(opt.num_iters):
             start_t = time.time()
-            if resident:
+            if resident and mesh is not None:
+                U, I, C, Ib, Cb, epoch_loss = K.cfr_epoch_dp(
+                    U, I, C, Ib, Cb, user_b, item_b, ctx_b,
+                    mesh=mesh, axis_name="d",
+                    alpha=float(opt.alpha), l=float(opt.l),
+                    reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
+                    reg_c=float(opt.reg_c), **com)
+            elif resident:
                 U, I, C, Ib, Cb, epoch_loss = K.cfr_epoch(
                     U, I, C, Ib, Cb, user_b, item_b, ctx_b,
                     alpha=float(opt.alpha), l=float(opt.l),

@@ -418,6 +418,123 @@ def cfr_epoch(U, I, C, Ib, Cb, user_batches, item_batches,
     return U, I, C, Ib, Cb, loss
 
 
+def cfr_epoch_dp(U, I, C, Ib, Cb, user_batches, item_batches,
+                 context_batches, *, mesh, axis_name, alpha, l, reg_u,
+                 reg_i, reg_c, optimizer, cg_iters, cg_tol,
+                 compute_loss):
+    """Full 3-phase CoFactor epoch over a device mesh (dp).
+
+    TPU-native analog of the reference's OpenMP row loops at
+    multi-chip scale (``cfr.cc:105-110``): every padded batch shards
+    its ROW axis over the mesh while the tables replicate; each phase
+    runs its local row solves, then the per-table delta (updates are
+    row-disjoint set-writes, so deltas sum exactly) and loss psum over
+    ICI once per phase.  Long rows (SegmentBatch) update outside
+    shard_map on the replicated tables, matching the segment
+    convention of the other sharded epochs.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    from buffalo_tpu.data.batching import SegmentBatch
+
+    kw = dict(optimizer=optimizer, cg_iters=cg_iters, cg_tol=cg_tol,
+              compute_loss=compute_loss)
+    zero = jnp.zeros((), jnp.float32)
+
+    def specs_of(bs):
+        return tuple(jax.tree.map(lambda _: PS(axis_name), b)
+                     for b in bs)
+
+    loss = zero
+
+    # ---- user phase
+    FF = jnp.dot(I.T, I, preferred_element_type=jnp.float32)
+    padded = [b for b in user_batches if not isinstance(b, SegmentBatch)]
+    segs = [b for b in user_batches if isinstance(b, SegmentBatch)]
+    if padded:
+        def u_body(U_r, I_r, FF_r, *bs):
+            U_cur, ls = U_r, zero
+            for b in bs:
+                U_cur, l_ = _cfr_user_body(
+                    U_cur, I_r, FF_r, b.rows, b.lens, b.cols, b.vals,
+                    alpha=alpha, l=l, reg_u=reg_u, **kw)
+                ls = ls + l_
+            return (U_r + jax.lax.psum(U_cur - U_r, axis_name),
+                    jax.lax.psum(ls, axis_name))
+
+        run = jax.shard_map(
+            u_body, mesh=mesh,
+            in_specs=(PS(), PS(), PS()) + specs_of(padded),
+            out_specs=(PS(), PS()), check_vma=False)
+        U, l_ = run(U, I, FF, *padded)
+        loss = loss + l_
+    for sb in segs:
+        U, l_ = cfr_user_segment_step(U, I, FF, sb, alpha=alpha, l=l,
+                                      reg_u=reg_u, **kw)
+        loss = loss + l_
+
+    # ---- item phase
+    FF = jnp.dot(U.T, U, preferred_element_type=jnp.float32)
+    pad_items = [e for e in item_batches
+                 if not isinstance(e[0], SegmentBatch)]
+    seg_items = [e for e in item_batches
+                 if isinstance(e[0], SegmentBatch)]
+    if pad_items:
+        def i_body(I_r, Ib_r, U_r, C_r, Cb_r, FF_r, *es):
+            I_cur, Ib_cur, ls = I_r, Ib_r, zero
+            for e in es:
+                b, lens_c, cols_c, vals_c = e
+                I_cur, Ib_cur, l_ = _cfr_item_body(
+                    I_cur, U_r, C_r, Ib_cur, Cb_r, FF_r, b.rows,
+                    b.lens, b.cols, b.vals, lens_c, cols_c, vals_c,
+                    alpha=alpha, l=l, reg_i=reg_i, **kw)
+                ls = ls + l_
+            return (I_r + jax.lax.psum(I_cur - I_r, axis_name),
+                    Ib_r + jax.lax.psum(Ib_cur - Ib_r, axis_name),
+                    jax.lax.psum(ls, axis_name))
+
+        run = jax.shard_map(
+            i_body, mesh=mesh,
+            in_specs=(PS(), PS(), PS(), PS(), PS(), PS())
+            + specs_of(pad_items),
+            out_specs=(PS(), PS(), PS()), check_vma=False)
+        I, Ib, l_ = run(I, Ib, U, C, Cb, FF, *pad_items)
+        loss = loss + l_
+    for sb_u, sb_c in seg_items:
+        I, Ib, l_ = cfr_item_segment_step(
+            I, U, C, Ib, Cb, FF, sb_u, sb_c, alpha=alpha, l=l,
+            reg_i=reg_i, **kw)
+        loss = loss + l_
+
+    # ---- context phase
+    pad_ctx = [b for b in context_batches
+               if not isinstance(b, SegmentBatch)]
+    seg_ctx = [b for b in context_batches if isinstance(b, SegmentBatch)]
+    if pad_ctx:
+        def c_body(C_r, Cb_r, I_r, Ib_r, *bs):
+            C_cur, Cb_cur, ls = C_r, Cb_r, zero
+            for b in bs:
+                C_cur, Cb_cur, l_ = _cfr_context_body(
+                    C_cur, I_r, Ib_r, Cb_cur, b.rows, b.lens, b.cols,
+                    b.vals, reg_c=reg_c, **kw)
+                ls = ls + l_
+            return (C_r + jax.lax.psum(C_cur - C_r, axis_name),
+                    Cb_r + jax.lax.psum(Cb_cur - Cb_r, axis_name),
+                    jax.lax.psum(ls, axis_name))
+
+        run = jax.shard_map(
+            c_body, mesh=mesh,
+            in_specs=(PS(), PS(), PS(), PS()) + specs_of(pad_ctx),
+            out_specs=(PS(), PS(), PS()), check_vma=False)
+        C, Cb, l_ = run(C, Cb, I, Ib, *pad_ctx)
+        loss = loss + l_
+    for sb in seg_ctx:
+        C, Cb, l_ = cfr_context_segment_step(
+            C, I, Ib, Cb, sb, reg_c=reg_c, **kw)
+        loss = loss + l_
+    return U, I, C, Ib, Cb, loss
+
+
 @partial(jax.jit, static_argnames=("reg_c", "optimizer", "cg_iters",
                                    "cg_tol", "compute_loss"),
          donate_argnums=(0, 3))

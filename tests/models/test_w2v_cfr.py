@@ -454,3 +454,29 @@ def test_w2v_dp_mesh_training_parity(stream_data):
     b = run(num_devices=8)
     np.testing.assert_allclose(a.L0, b.L0, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(a.L1, b.L1, rtol=1e-3, atol=1e-4)
+
+
+def test_cfr_dp_mesh_training_parity(cfr_data):
+    """num_devices=8 dp CFR (row-sharded padded batches, per-phase
+    psum'd deltas) must match single-device training: phase updates
+    are row-disjoint set-writes, so the deltas sum exactly."""
+    def run(**kw):
+        np.random.seed(47)
+        opt = CFROption().get_default_option()
+        opt.d = 8
+        opt.num_iters = 3
+        opt.validation = {}
+        for k, v in kw.items():
+            opt[k] = v
+        m = CFR(opt, data=cfr_data)
+        m.initialize()
+        r = m.train()
+        return m, r
+
+    m1, r1 = run()
+    m2, r2 = run(num_devices=8)
+    assert r1["train_loss"] == pytest.approx(r2["train_loss"], rel=1e-4)
+    np.testing.assert_allclose(m1.U, m2.U, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(m1.I, m2.I, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(m1.C, m2.C, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(m1.Ib, m2.Ib, rtol=2e-3, atol=1e-4)
