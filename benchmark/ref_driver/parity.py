@@ -33,20 +33,21 @@ for p in ("/opt/venv/lib/python3.12/site-packages/tensorflow/include",):
     if os.path.isdir(p):
         TF_INC = p
 
-BUILD_CMD = [
-    "g++", "-O3", "-mavx2", "-mfma", "-fopenmp", "-std=c++17",
-    "-I" + os.path.join(DRIVER_DIR, "stub"),
-    "-I" + os.path.join(REF, "include"),
-    "-I" + (TF_INC or ""),
-    os.path.join(DRIVER_DIR, "als_driver.cc"),
-    os.path.join(REF, "lib/algo_impl/als/als.cc"),
-    os.path.join(REF, "lib/algo.cc"),
-    os.path.join(REF, "lib/misc/log.cc"),
-]
+def build_cmd(algo):
+    return [
+        "g++", "-O3", "-mavx2", "-mfma", "-fopenmp", "-std=c++17",
+        "-I" + os.path.join(DRIVER_DIR, "stub"),
+        "-I" + os.path.join(REF, "include"),
+        "-I" + (TF_INC or ""),
+        os.path.join(DRIVER_DIR, f"{algo}_driver.cc"),
+        os.path.join(REF, f"lib/algo_impl/{algo}/{algo}.cc"),
+        os.path.join(REF, "lib/algo.cc"),
+        os.path.join(REF, "lib/misc/log.cc"),
+    ]
 
 
-def build(binary):
-    subprocess.run(BUILD_CMD + ["-o", binary], check=True)
+def build(binary, algo="als"):
+    subprocess.run(build_cmd(algo) + ["-o", binary], check=True)
 
 
 def synth(U=500, I=300, d=16, density=0.05, seed=7):
@@ -155,8 +156,100 @@ def ranking_metrics(P, Q, train_mat, topk=10, seed=3):
     return scores
 
 
+def run_reference_plsi(binary, mat, P0, Q0, alpha1, alpha2, opt,
+                       iters, workdir):
+    U, I = mat.shape
+    d = P0.shape[1]
+    r_ip, r_k, r_v = csr(mat)
+    data = os.path.join(workdir, "pdata.bin")
+    with open(data, "wb") as f:
+        f.write(struct.pack("<4i", U, I, d, iters))
+        f.write(struct.pack("<2f", alpha1, alpha2))
+        f.write(r_ip[1:].astype("<i8").tobytes())
+        f.write(r_k.astype("<i4").tobytes())
+        f.write(r_v.astype("<f4").tobytes())
+        f.write(P0.astype("<f4").tobytes())
+        f.write(Q0.astype("<f4").tobytes())
+    optp = os.path.join(workdir, "popt.json")
+    with open(optp, "w") as f:
+        json.dump(opt, f)
+    out = os.path.join(workdir, "pout.bin")
+    res = subprocess.run([binary, optp, data, out],
+                         capture_output=True, text=True, check=True)
+    raw = np.fromfile(out, dtype="<f4")
+    return (raw[:U * d].reshape(U, d).copy(),
+            raw[U * d:].reshape(I, d).copy(), res.stdout)
+
+
+def run_buffalo_tpu_plsi(mat, P0, Q0, alpha1, alpha2, iters):
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from buffalo_tpu.ops.plsi_kernels import (plsi_accumulate,
+                                              plsi_normalize_swap)
+
+    r_ip, r_k, r_v = csr(mat)
+    U, I = mat.shape
+    lens = np.diff(r_ip).astype(np.int32)
+    L = int(lens.max())
+    cols = np.zeros((U, L), np.int32)
+    vv = np.zeros((U, L), np.float32)
+    for r in range(U):
+        s_, e_ = r_ip[r], r_ip[r + 1]
+        cols[r, :e_ - s_] = r_k[s_:e_]
+        vv[r, :e_ - s_] = r_v[s_:e_]
+    rows = jnp.arange(U, dtype=jnp.int32)
+    P = jnp.asarray(P0.copy())
+    Q = jnp.asarray(Q0.copy())
+    for _ in range(iters):
+        Pn, Qn, loss = plsi_accumulate(
+            jnp.zeros_like(P), jnp.zeros_like(Q), P, Q, rows,
+            jnp.asarray(lens), jnp.asarray(cols), jnp.asarray(vv))
+        P, Q = plsi_normalize_swap(Pn, Qn, alpha1=alpha1, alpha2=alpha2)
+    return np.asarray(P), np.asarray(Q)
+
+
+def plsi_main(args, work):
+    binary = os.path.join(work, "ref_plsi")
+    build(binary, "plsi")
+    mat = synth(d=args.d)
+    U, I = mat.shape
+    rng = np.random.default_rng(11)
+    d = args.d
+    P0 = np.abs(rng.normal(scale=1.0 / d,
+                           size=(U, d))).astype(np.float32)
+    P0 /= P0.sum(axis=1, keepdims=True)
+    Q0 = np.abs(rng.normal(scale=1.0 / d,
+                           size=(I, d))).astype(np.float32)
+    Q0 /= Q0.sum(axis=0, keepdims=True)
+    alpha1, alpha2 = 0.1, 0.1
+    opt = {"d": d, "num_workers": args.workers, "random_seed": 1}
+    Pr, Qr, log = run_reference_plsi(binary, mat, P0, Q0, alpha1,
+                                     alpha2, opt, args.iters, work)
+    print(log.strip())
+    Pt, Qt = run_buffalo_tpu_plsi(mat, P0, Q0, alpha1, alpha2,
+                                  args.iters)
+    perr = np.max(np.abs(Pr - Pt)) / max(np.max(np.abs(Pr)), 1e-9)
+    qerr = np.max(np.abs(Qr - Qt)) / max(np.max(np.abs(Qr)), 1e-9)
+    Sr = Pr @ Qr.T
+    St = Pt @ Qt.T
+    top_r = np.argsort(-Sr, axis=1)[:, :10]
+    top_t = np.argsort(-St, axis=1)[:, :10]
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(top_r, top_t)])
+    out = {"metric": "plsi_factor_parity_relmax", "P": float(perr),
+           "Q": float(qerr), "top10_overlap": float(overlap),
+           "d": d, "iters": args.iters}
+    print(json.dumps(out))
+    ok = perr < 1e-3 and qerr < 1e-3 and overlap > 0.97
+    print("PARITY", "OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", default="als", choices=["als", "plsi"])
     ap.add_argument("--d", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--optimizer", default="manual_cg")
@@ -164,6 +257,8 @@ def main():
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="bt_parity_")
+    if args.algo == "plsi":
+        return plsi_main(args, work)
     binary = os.path.join(work, "ref_als")
     build(binary)
     mat = synth(d=args.d)

@@ -216,7 +216,7 @@ class IVFIndex:
     @classmethod
     def build(cls, table: np.ndarray, n_clusters: Optional[int] = None,
               n_probe: int = 32, n_iters: int = 10, seed: int = 0,
-              spill: int = 2) -> "IVFIndex":
+              spill: int = 2, mips_augment: bool = True) -> "IVFIndex":
         """Spherical k-means over the (normalized) table rows.
 
         ``spill > 1`` indexes every row in its ``spill`` nearest cells
@@ -225,6 +225,16 @@ class IVFIndex:
         Measured on converged KakaoBrunch-shaped d=32 factors
         (sqrt(N) cells, n_probe=32): recall@10 0.86 at spill=1 vs
         0.96 at spill=2, so 2 is the default.
+
+        ``mips_augment`` (default on) clusters in the MIPS-to-cosine
+        augmented space (Shrivastava & Li 2014): each row gains the
+        coordinate ``sqrt(M^2 - |x|^2)`` (M = max row norm) before
+        normalization, so nearest-centroid-by-cosine in d+1 dims
+        equals nearest-by-inner-product — cells partition by
+        (direction, norm) jointly instead of direction alone, which is
+        where the high-d candidate-coverage ceiling came from (top
+        items with large norms sat in direction cells the query never
+        probed).  Member scoring is unchanged (exact full-d dots).
         """
         import jax
         import jax.numpy as jnp
@@ -236,7 +246,17 @@ class IVFIndex:
         n_clusters = min(n_clusters, N)
         rng = np.random.default_rng(seed)
         norms = np.linalg.norm(table, axis=1, keepdims=True)
-        unit = table / np.maximum(norms, 1e-12)
+        cluster_space = table
+        if mips_augment:
+            M = float(norms.max())
+            aug = np.sqrt(np.maximum(M * M - norms[:, 0] ** 2, 0.0)
+                          ).astype(np.float32)
+            cluster_space = np.concatenate([table, aug[:, None]], axis=1)
+            d = d + 1
+        unit = cluster_space / np.maximum(norms if not mips_augment
+                                          else np.full_like(norms,
+                                                            max(M, 1e-12)),
+                                          1e-12)
         cent = unit[rng.choice(N, n_clusters, replace=False)]
 
         # rows are processed in fixed chunks under lax.scan: the (N, C)
@@ -337,7 +357,9 @@ class IVFIndex:
 
         qn = queries / np.maximum(
             np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-        cell_scores = qn @ self.centroids.T
+        # MIPS-augmented centroids carry one extra coordinate; the
+        # augmented query coordinate is 0, so probing slices it off
+        cell_scores = qn @ self.centroids[:, :queries.shape[1]].T
         if n_probe < cell_scores.shape[1]:
             # probe order is irrelevant (every candidate is exact-
             # scored), so an O(C) partition beats a full argsort

@@ -357,3 +357,38 @@ def test_ann_index_is_group_scoped(als):
     par.set_ann_index(IVFIndex.build(als.Q, n_clusters=8, n_probe=8))
     got_u, _ = par.most_similar(ukeys, topk=5, group="user")
     np.testing.assert_array_equal(np.asarray(exact_u), np.asarray(got_u))
+
+
+def test_ivf_mips_augment_coverage_and_roundtrip(tmp_path):
+    """MIPS-augmented cells (d+1 centroids) must search correctly,
+    round-trip through save/load, and — on a norm-spread catalog —
+    cover at least as well as direction-only cells."""
+    from buffalo_tpu.parallel.ann import IVFIndex
+
+    rng = np.random.default_rng(17)
+    N, d, B, topk = 4000, 48, 64, 10
+    table = rng.normal(size=(N, d)).astype(np.float32)
+    table *= rng.lognormal(0.0, 0.7, N).astype(np.float32)[:, None]
+    queries = rng.normal(size=(B, d)).astype(np.float32)
+    exact = np.argsort(-(queries @ table.T), axis=1)[:, :topk]
+
+    def recall(idx):
+        ids, _ = idx.search(queries, topk)
+        return np.mean([len(set(ids[b]) & set(exact[b])) / topk
+                        for b in range(B)])
+
+    aug = IVFIndex.build(table, n_probe=16, spill=2, seed=0,
+                         mips_augment=True)
+    assert aug.centroids.shape[1] == d + 1  # augmented coordinate
+    plain = IVFIndex.build(table, n_probe=16, spill=2, seed=0,
+                           mips_augment=False)
+    r_aug, r_plain = recall(aug), recall(plain)
+    assert r_aug >= r_plain - 0.02, (r_aug, r_plain)
+    assert r_aug > 0.5
+
+    path = str(tmp_path / "ivf_aug.npz")
+    aug.save(path)
+    loaded = IVFIndex.load(path)
+    ids_a, vals_a = aug.search(queries, topk)
+    ids_l, vals_l = loaded.search(queries, topk)
+    np.testing.assert_array_equal(ids_a, ids_l)
