@@ -43,11 +43,29 @@ def build_cmd(algo):
         os.path.join(REF, f"lib/algo_impl/{algo}/{algo}.cc"),
         os.path.join(REF, "lib/algo.cc"),
         os.path.join(REF, "lib/misc/log.cc"),
+        os.path.join(DRIVER_DIR, "stub", "blas_stub.cc"),
     ]
 
 
 def build(binary, algo="als"):
-    subprocess.run(build_cmd(algo) + ["-o", binary], check=True)
+    """Build (or reuse) the reference driver binary.
+
+    Compiling the reference core against Eigen takes minutes, so the
+    result is cached under ref_driver/.build/ keyed by the driver
+    sources' mtimes.
+    """
+    cache_dir = os.path.join(DRIVER_DIR, ".build")
+    os.makedirs(cache_dir, exist_ok=True)
+    cached = os.path.join(cache_dir, f"ref_{algo}")
+    srcs = [p for p in build_cmd(algo) if p.endswith(".cc")]
+    if os.path.exists(cached) and all(
+            os.path.getmtime(cached) > os.path.getmtime(s) for s in srcs):
+        import shutil
+        shutil.copy2(cached, binary)
+        return
+    subprocess.run(build_cmd(algo) + ["-o", cached], check=True)
+    import shutil
+    shutil.copy2(cached, binary)
 
 
 def synth(U=500, I=300, d=16, density=0.05, seed=7):
@@ -210,6 +228,293 @@ def run_buffalo_tpu_plsi(mat, P0, Q0, alpha1, alpha2, iters):
     return np.asarray(P), np.asarray(Q)
 
 
+def run_reference_eals(binary, mat, P0, Q0, C, opt, iters, workdir):
+    U, I = mat.shape
+    d = P0.shape[1]
+    r_ip, r_k, r_v = csr(mat)
+    c_ip, c_k, c_v = csr(mat.T)
+    data = os.path.join(workdir, "edata.bin")
+    with open(data, "wb") as f:
+        f.write(struct.pack("<4i", U, I, d, iters))
+        f.write(C.astype("<f4").tobytes())
+        f.write(r_ip[1:].astype("<i8").tobytes())
+        f.write(r_k.astype("<i4").tobytes())
+        f.write(r_v.astype("<f4").tobytes())
+        f.write(c_ip[1:].astype("<i8").tobytes())
+        f.write(c_k.astype("<i4").tobytes())
+        f.write(c_v.astype("<f4").tobytes())
+        f.write(P0.astype("<f4").tobytes())
+        f.write(Q0.astype("<f4").tobytes())
+    optp = os.path.join(workdir, "eopt.json")
+    with open(optp, "w") as f:
+        json.dump(opt, f)
+    out = os.path.join(workdir, "eout.bin")
+    res = subprocess.run([binary, optp, data, out],
+                         capture_output=True, text=True, check=True)
+    raw = np.fromfile(out, dtype="<f4")
+    return (raw[:U * d].reshape(U, d).copy(),
+            raw[U * d:].reshape(I, d).copy(), res.stdout)
+
+
+def run_buffalo_tpu_eals(mat, P0, Q0, C, opt, iters):
+    """Mirror of models/eals.py's COO fallback loop (the formulation
+    structurally closest to the reference's incremental vhat caches;
+    the range-layout default is parity-tested against this path in
+    tests/models/test_eals_plsi.py)."""
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from buffalo_tpu.ops import eals_kernels as K
+
+    r_ip, r_k, r_v = csr(mat)
+    c_ip, c_k, c_v = csr(mat.T)
+    U, I = mat.shape
+    u_rows = np.repeat(np.arange(U, dtype=np.int32), np.diff(r_ip))
+    i_rows = np.repeat(np.arange(I, dtype=np.int32), np.diff(c_ip))
+    u2i = np.lexsort((u_rows, r_k))
+    du = (jnp.asarray(u_rows), jnp.asarray(r_k), jnp.asarray(r_v))
+    di = (jnp.asarray(i_rows), jnp.asarray(c_k), jnp.asarray(c_v))
+    u2i_d = jnp.asarray(u2i)
+    Cd = jnp.asarray(C)
+    ones_u = jnp.ones(U, jnp.float32)
+    P = jnp.asarray(P0.copy())
+    Q = jnp.asarray(Q0.copy())
+    vhat_u = K.compute_vhat(P, Q, du[0], du[1])
+    alpha = float(opt["alpha"])
+    for _ in range(iters):
+        CQ = Q * jnp.sqrt(Cd)[:, None]
+        Sq = jnp.dot(CQ.T, CQ, preferred_element_type=jnp.float32)
+        P, vhat_u = K.eals_half_epoch(
+            P, Q, vhat_u, du[0], du[1], du[2], jnp.take(Cd, du[1]),
+            ones_u, Sq, num_rows=U, alpha=alpha,
+            reg=float(opt["reg_u"]))
+        vhat_i = jnp.take(vhat_u, u2i_d)
+        Sp = jnp.dot(P.T, P, preferred_element_type=jnp.float32)
+        Q, vhat_i = K.eals_half_epoch(
+            Q, P, vhat_i, di[0], di[1], di[2], jnp.take(Cd, di[0]),
+            Cd, Sp, num_rows=I, alpha=alpha, reg=float(opt["reg_i"]))
+        vhat_u = jnp.zeros_like(vhat_u).at[u2i_d].set(vhat_i)
+    return np.asarray(P), np.asarray(Q)
+
+
+def eals_main(args, work):
+    binary = os.path.join(work, "ref_eals")
+    build(binary, "eals")
+    mat = synth(d=args.d)
+    U, I = mat.shape
+    rng = np.random.default_rng(11)
+    d = args.d
+    P0 = np.abs(rng.normal(scale=1.0 / d ** 2,
+                           size=(U, d))).astype(np.float32)
+    Q0 = np.abs(rng.normal(scale=1.0 / d ** 2,
+                           size=(I, d))).astype(np.float32)
+    # popularity negative weights, both sides identical
+    # (models/eals.py::_get_negative_weights <-> buffalo eals.py:104-112)
+    pop = (mat > 0).sum(axis=0).astype(np.float32)
+    pop /= max(pop.max(), 1.0)
+    pe = pop ** 0.0
+    C = (1.0 * pe / pe.sum()).astype(np.float32)
+    opt = {"d": d, "num_workers": args.workers, "alpha": 8.0,
+           "reg_u": 0.1, "reg_i": 0.1, "random_seed": 1}
+    Pr, Qr, log = run_reference_eals(binary, mat, P0, Q0, C, opt,
+                                     args.iters, work)
+    print(log.strip())
+    Pt, Qt = run_buffalo_tpu_eals(mat, P0, Q0, C, opt, args.iters)
+    perr = np.max(np.abs(Pr - Pt)) / max(np.max(np.abs(Pr)), 1e-9)
+    qerr = np.max(np.abs(Qr - Qt)) / max(np.max(np.abs(Qr)), 1e-9)
+    Sr = Pr @ Qr.T
+    St = Pt @ Qt.T
+    top_r = np.argsort(-Sr, axis=1)[:, :10]
+    top_t = np.argsort(-St, axis=1)[:, :10]
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(top_r, top_t)])
+    out = {"metric": "eals_factor_parity_relmax", "P": float(perr),
+           "Q": float(qerr), "top10_overlap": float(overlap),
+           "d": d, "iters": args.iters}
+    print(json.dumps(out))
+    ok = perr < 1e-3 and qerr < 1e-3 and overlap > 0.97
+    print("PARITY", "OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def holdout_split(mat, frac=0.2, seed=5):
+    """Per-user split: carve `frac` of each user's items as holdout."""
+    rng = np.random.default_rng(seed)
+    train = mat.copy()
+    hold = [[] for _ in range(mat.shape[0])]
+    for u in range(mat.shape[0]):
+        items = np.nonzero(mat[u])[0]
+        if len(items) < 5:
+            continue
+        k = max(1, int(len(items) * frac))
+        sel = rng.choice(items, size=k, replace=False)
+        train[u, sel] = 0.0
+        hold[u] = sel.tolist()
+    # keep every item reachable: ensure no item column went empty
+    for i in np.nonzero((train > 0).sum(axis=0) == 0)[0]:
+        users = np.nonzero(mat[:, i])[0]
+        if len(users):
+            u = users[0]
+            train[u, i] = mat[u, i]
+            if i in hold[u]:
+                hold[u].remove(i)
+    return train, hold
+
+
+def rank_metrics(P, Q, Qb, train, hold, topk=10):
+    """NDCG@k and AUC over per-user holdout sets (same code path for
+    both implementations — only the factor tables differ)."""
+    scores = P @ Q.T
+    if Qb is not None:
+        scores = scores + Qb[None, :]
+    scores = np.where(train > 0, -np.inf, scores)
+    idcg_tab = np.cumsum(1.0 / np.log2(np.arange(2, topk + 2)))
+    ndcgs, aucs = [], []
+    for u, h in enumerate(hold):
+        if not h:
+            continue
+        hs = set(h)
+        order = np.argsort(-scores[u])
+        top = order[:topk]
+        dcg = sum(1.0 / np.log2(r + 2) for r, it in enumerate(top)
+                  if it in hs)
+        idcg = idcg_tab[min(len(hs), topk) - 1]
+        ndcgs.append(dcg / idcg)
+        # AUC: fraction of (held, unseen-neg) pairs ranked correctly
+        ranks = np.empty(len(order), dtype=np.int64)
+        ranks[order] = np.arange(len(order))
+        n_cand = np.isfinite(scores[u]).sum()
+        hr = ranks[list(hs)]
+        n_neg = n_cand - len(hs)
+        worse = (np.sort(hr) - np.arange(len(hs))).sum()
+        aucs.append(1.0 - worse / max(len(hs) * n_neg, 1))
+    return float(np.mean(ndcgs)), float(np.mean(aucs))
+
+
+def run_reference_bpr(binary, train, P0, Q0, Qb0, opt, iters, work,
+                      seed):
+    U, I = train.shape
+    d = P0.shape[1]
+    r_ip, r_k, _ = csr(train)
+    counts = (train > 0).sum(axis=0).astype(np.int64)
+    # bpr.py:99-111 — counts ** int(power), then cumulative
+    cum = np.cumsum(counts ** int(opt.get("sampling_power", 0.0)))
+    rng = np.random.default_rng(seed + 77)
+    n_loss = 2048
+    lu = np.repeat(np.arange(U, dtype=np.int32),
+                   np.diff(r_ip).astype(np.int64))
+    sel = rng.integers(0, len(lu), n_loss)
+    lu_s = lu[sel].astype(np.int32)
+    li_s = r_k[sel].astype(np.int32)
+    lj_s = rng.integers(0, I, n_loss).astype(np.int32)
+    data = os.path.join(work, f"bdata_{seed}.bin")
+    with open(data, "wb") as f:
+        f.write(struct.pack("<4i", U, I, d, iters))
+        f.write(cum.astype("<i8").tobytes())
+        f.write(r_ip[1:].astype("<i8").tobytes())
+        f.write(r_k.astype("<i4").tobytes())
+        f.write(struct.pack("<i", n_loss))
+        f.write(lu_s.tobytes())
+        f.write(li_s.tobytes())
+        f.write(lj_s.tobytes())
+        f.write(P0.astype("<f4").tobytes())
+        f.write(Q0.astype("<f4").tobytes())
+        f.write(Qb0.astype("<f4").tobytes())
+    optp = os.path.join(work, f"bopt_{seed}.json")
+    o = dict(opt)
+    o["random_seed"] = seed
+    with open(optp, "w") as f:
+        json.dump(o, f)
+    out = os.path.join(work, f"bout_{seed}.bin")
+    res = subprocess.run([binary, optp, data, out],
+                         capture_output=True, text=True, check=True)
+    raw = np.fromfile(out, dtype="<f4")
+    P = raw[:U * d].reshape(U, d).copy()
+    Q = raw[U * d:U * d + I * d].reshape(I, d).copy()
+    Qb = raw[U * d + I * d:].copy()
+    return P, Q, Qb, res.stdout
+
+
+def run_buffalo_tpu_bpr(train, d, iters, work, seed):
+    """End-to-end through the BPR model on an MM build of the SAME
+    train matrix (dense input keeps row/col indices)."""
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from buffalo_tpu.data import MatrixMarketOptions, load
+    from buffalo_tpu.models import BPRMF
+    from buffalo_tpu.models.options import BPRMFOption
+
+    dopt = MatrixMarketOptions().get_default_option()
+    dopt.input.main = train
+    dopt.data.path = os.path.join(work, f"bpr_mm_{seed}.bfo")
+    dopt.data.tmp_dir = os.path.join(work, "tmp")
+    dopt.data.validation = {}
+    data = load(dopt)
+    data.create()
+    opt = BPRMFOption().get_default_option()
+    opt.d = d
+    opt.num_iters = iters
+    opt.validation = {}
+    opt.random_seed = seed
+    np.random.seed(seed)
+    m = BPRMF(opt, data=data)
+    m.initialize()
+    m.train()
+    return np.asarray(m.P), np.asarray(m.Q), np.asarray(m.Qb).ravel()
+
+
+def bpr_main(args, work):
+    binary = os.path.join(work, "ref_bpr")
+    build(binary, "bpr")
+    mat = synth(U=1000, I=500, density=0.08, d=args.d)
+    train, hold = holdout_split(mat)
+    U, I = train.shape
+    d = args.d
+    opt = {"d": d, "num_workers": args.workers, "optimizer": "sgd",
+           "use_bias": True, "update_i": True, "update_j": True,
+           "reg_u": 0.025, "reg_i": 0.025, "reg_j": 0.025,
+           "reg_b": 0.025, "lr": 0.002, "min_lr": 0.0001,
+           "beta1": 0.9, "beta2": 0.999, "eps": 1e-10,
+           "per_coordinate_normalize": False,
+           "num_negative_samples": 1, "sampling_power": 0.0,
+           "verify_neg": True, "num_iters": args.iters,
+           "batch_size": -1}
+    seeds = [11, 23, 47]
+    ref_nd, ref_auc, tpu_nd, tpu_auc = [], [], [], []
+    for s in seeds:
+        rng = np.random.default_rng(s)
+        P0 = ((rng.random((U, d)) - 0.5) / d).astype(np.float32)
+        Q0 = ((rng.random((I, d)) - 0.5) / d).astype(np.float32)
+        Qb0 = np.zeros(I, np.float32)
+        Pr, Qr, Qbr, log = run_reference_bpr(
+            binary, train, P0, Q0, Qb0, opt, args.iters, work, s)
+        nd, auc = rank_metrics(Pr, Qr, Qbr, train, hold)
+        ref_nd.append(nd)
+        ref_auc.append(auc)
+        Pt, Qt, Qbt = run_buffalo_tpu_bpr(train, d, args.iters, work, s)
+        nd, auc = rank_metrics(Pt, Qt, Qbt, train, hold)
+        tpu_nd.append(nd)
+        tpu_auc.append(auc)
+    r_nd, t_nd = np.mean(ref_nd), np.mean(tpu_nd)
+    r_auc, t_auc = np.mean(ref_auc), np.mean(tpu_auc)
+    band = 3 * max(np.std(ref_nd), np.std(tpu_nd), 0.01)
+    band_auc = 3 * max(np.std(ref_auc), np.std(tpu_auc), 0.01)
+    out = {"metric": "bpr_accuracy_band_parity",
+           "ref_ndcg": round(float(r_nd), 4),
+           "tpu_ndcg": round(float(t_nd), 4),
+           "ref_auc": round(float(r_auc), 4),
+           "tpu_auc": round(float(t_auc), 4),
+           "ndcg_band": round(float(band), 4), "seeds": len(seeds),
+           "d": d, "iters": args.iters}
+    print(json.dumps(out))
+    # parity = buffalo_tpu lands at or above the reference's band floor
+    ok = (t_nd >= r_nd - band) and (t_auc >= r_auc - band_auc)
+    print("PARITY", "OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def plsi_main(args, work):
     binary = os.path.join(work, "ref_plsi")
     build(binary, "plsi")
@@ -249,7 +554,8 @@ def plsi_main(args, work):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--algo", default="als", choices=["als", "plsi"])
+    ap.add_argument("--algo", default="als",
+                    choices=["als", "plsi", "eals", "bpr"])
     ap.add_argument("--d", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--optimizer", default="manual_cg")
@@ -259,6 +565,10 @@ def main():
     work = tempfile.mkdtemp(prefix="bt_parity_")
     if args.algo == "plsi":
         return plsi_main(args, work)
+    if args.algo == "eals":
+        return eals_main(args, work)
+    if args.algo == "bpr":
+        return bpr_main(args, work)
     binary = os.path.join(work, "ref_als")
     build(binary)
     mat = synth(d=args.d)
