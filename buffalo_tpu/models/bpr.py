@@ -331,7 +331,9 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                     beta2=float(opt.beta2), reg_u=float(opt.reg_u),
                     reg_i=float(opt.reg_i), reg_j=float(opt.reg_j),
                     reg_b=float(opt.reg_b), num_valid=nnz,
-                    total_samples=total_samples, **statics)
+                    total_samples=total_samples,
+                    max_step_norm=float(opt.get("max_step_norm", 0.0)),
+                    **statics)
             elif resident:
                 rng, sub = jax.random.split(rng)
                 negs = None
@@ -359,7 +361,9 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                     beta2=float(opt.beta2), reg_u=float(opt.reg_u),
                     reg_i=float(opt.reg_i), reg_j=float(opt.reg_j),
                     reg_b=float(opt.reg_b), num_valid=nnz,
-                    total_samples=total_samples, **statics)
+                    total_samples=total_samples,
+                    max_step_norm=float(opt.get("max_step_norm", 0.0)),
+                    **statics)
             else:
                 for users, positives, _vals in coo:
                     rng, sub = jax.random.split(rng)
@@ -384,6 +388,8 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
                             reg_u=float(opt.reg_u), reg_i=float(opt.reg_i),
                             reg_j=float(opt.reg_j), reg_b=float(opt.reg_b),
                             bloom_log2=bloom_log2,
+                            max_step_norm=float(
+                                opt.get("max_step_norm", 0.0)),
                             **statics)
                     processed += len(users)
                 if deferred:

@@ -207,6 +207,15 @@ class BPRMFOption(AlgoOption):
             program — bit-identical factors, one extra dispatch per
             epoch, and the bloom-probe gathers never share a program
             with the gradient scatter-adds.
+        :ivar float max_step_norm: TPU-only — per-row L2 cap on each
+            megabatch's aggregated sgd update (0 disables; cf.
+            W2VOption).  The hogwild reference interleaves a popular
+            item's updates with re-reads (each step sees the partly
+            updated factors, so the pairwise logit self-damps); the
+            fused megabatch aggregates per-sample gradients computed
+            from ONE stale snapshot, which diverges on popularity-
+            skewed data (measured: ML-20M-shaped zipf corpus explodes
+            to 1e16 within one epoch uncapped, trains capped).
         """
         opt = super().get_default_option()
         opt.update({
@@ -234,6 +243,7 @@ class BPRMFOption(AlgoOption):
             "sampling_power": 0.0,
             "verify_neg": True,
             "random_positive": False,
+            "max_step_norm": 0.1,
             "batch_size": 0,
             "epoch_dispatch": "auto",
             "model_path": "",

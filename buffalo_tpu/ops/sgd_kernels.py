@@ -161,6 +161,21 @@ def clipped_logit(x: jax.Array) -> jax.Array:
 
 
 # ------------------------------------------------------------- optimizers
+def clip_row_norm(delta, cap):
+    """Per-row L2 cap on an aggregated update table (cap 0 = off).
+
+    The deterministic megabatch sums per-sample gradients taken from
+    one stale factor snapshot; a popularity-skewed row can collect
+    thousands of same-direction terms per chunk where the hogwild
+    reference's sequential re-reads would have self-damped
+    (bpr.cc:157-172).  Capping the aggregated row step bounds that
+    (same remedy as W2V's max_step_norm, A/B-validated there)."""
+    if delta.ndim == 1:
+        return jnp.clip(delta, -cap, cap)
+    n = jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True))
+    return delta * jnp.minimum(1.0, cap / jnp.maximum(n, 1e-12))
+
+
 def adam_update(grad, m, v, step, lr, beta1, beta2):
     """One deferred-gradient adam step (algo.cc:367-380, per-epoch)."""
     m = beta1 * m + (1.0 - beta1) * grad
@@ -254,12 +269,13 @@ def bpr_accumulate_step(P, Q, Qb, gradP, gradQ, gradQb, countP, countQ,
 @partial(jax.jit, static_argnames=(
     "num_items", "num_negatives", "use_bias", "update_i", "update_j",
     "verify_neg", "use_cum_table", "reg_u", "reg_i", "reg_j", "reg_b",
-    "bloom_log2"),
+    "bloom_log2", "max_step_norm"),
     donate_argnums=(0, 1, 2))
 def bpr_sgd_step(P, Q, Qb, users, positives, bloom_words, cum_table,
                  rng_key, lr, *, num_items, num_negatives, use_bias,
                  update_i, update_j, verify_neg, use_cum_table,
-                 bloom_log2, reg_u, reg_i, reg_j, reg_b):
+                 bloom_log2, reg_u, reg_i, reg_j, reg_b,
+                 max_step_norm=0.0):
     """Plain-SGD megabatch: the deterministic stand-in for hogwild
     in-place updates (bpr.cc:157-172), with per-sample L2 terms."""
     u = jnp.repeat(users, num_negatives)
@@ -270,8 +286,29 @@ def bpr_sgd_step(P, Q, Qb, users, positives, bloom_words, cum_table,
     p, qi, qj, logit = _bpr_forward(P, Q, Qb, u, pos, neg, use_bias)
 
     gp = logit[:, None] * (qi - qj) - reg_u * p
-    P = P.at[u].add(lr * gp)
     item_deriv = logit[:, None] * p
+    if max_step_norm:
+        dP = jnp.zeros_like(P).at[u].add(lr * gp)
+        P = P + clip_row_norm(dP, max_step_norm)
+        dQ = jnp.zeros_like(Q)
+        if update_i:
+            dQ = dQ.at[pos].add(lr * (item_deriv - reg_i * qi))
+            if use_bias:
+                dQb = jnp.zeros_like(Qb).at[pos].add(
+                    lr * (logit - reg_b * jnp.take(Qb, pos)))
+                Qb = Qb + clip_row_norm(dQb, max_step_norm)
+        if update_j:
+            dQ = dQ.at[neg].add(lr * (-item_deriv - reg_j * qj),
+                                mode="drop")
+            if use_bias:
+                dQb = jnp.zeros_like(Qb).at[neg].add(
+                    lr * (-logit - reg_b * jnp.take(
+                        Qb, jnp.minimum(neg, Qb.shape[0] - 1))),
+                    mode="drop")
+                Qb = Qb + clip_row_norm(dQb, max_step_norm)
+        Q = Q + clip_row_norm(dQ, max_step_norm)
+        return P, Q, Qb
+    P = P.at[u].add(lr * gp)
     if update_i:
         Q = Q.at[pos].add(lr * (item_deriv - reg_i * qi))
         if use_bias:
@@ -324,7 +361,7 @@ def bpr_sample_negatives_epoch(users, bloom_words, cum_table, rng_key, *,
     "update_j", "verify_neg", "use_cum_table", "per_coordinate_normalize",
     "lr", "min_lr", "beta1", "beta2", "reg_u", "reg_i", "reg_j", "reg_b",
     "num_valid", "total_samples", "bloom_log2", "random_positive",
-    "precomputed_neg"),
+    "precomputed_neg", "max_step_norm"),
     donate_argnums=(0, 1, 2, 3))
 def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
               cum_table, rng_key, step, pos_indptr=None, pos_keys=None,
@@ -333,7 +370,7 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
               use_cum_table, bloom_log2, per_coordinate_normalize, lr,
               min_lr, beta1, beta2, reg_u, reg_i, reg_j, reg_b, num_valid,
               total_samples, random_positive=False,
-              precomputed_neg=False):
+              precomputed_neg=False, max_step_norm=0.0):
     """One full BPR epoch in ONE dispatch: lax.scan over resident chunks.
 
     ``users``/``positives`` are the epoch's positives pre-reshaped to
@@ -454,8 +491,34 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
                     + cidx.astype(jnp.float32) * N) / total_samples
         lr_t = jnp.maximum(lr - (lr - min_lr) * progress, min_lr)
         m = mask[:, None]
-        P = P.at[u].add(lr_t * m * (logit[:, None] * (qi - qj) - reg_u * p))
         item_deriv = logit[:, None] * p
+        if max_step_norm:
+            # aggregated per-chunk deltas with a per-row step cap (see
+            # clip_row_norm; groupings match bpr_epoch_dp so fused and
+            # dp stay fp-equivalent: one combined dQ, Qb pos applied
+            # before the negative side reads Qb for its reg term)
+            dP = jnp.zeros_like(P).at[u].add(
+                lr_t * m * (logit[:, None] * (qi - qj) - reg_u * p))
+            P = P + clip_row_norm(dP, max_step_norm)
+            dQ = jnp.zeros_like(Q)
+            if update_i:
+                dQ = dQ.at[pos].add(lr_t * m * (item_deriv - reg_i * qi))
+                if use_bias:
+                    dQb = jnp.zeros_like(Qb).at[pos].add(
+                        lr_t * mask * (logit - reg_b * jnp.take(Qb, pos)))
+                    Qb = Qb + clip_row_norm(dQb, max_step_norm)
+            if update_j:
+                dQ = dQ.at[neg].add(
+                    lr_t * m * (-item_deriv - reg_j * qj), mode="drop")
+                if use_bias:
+                    dQb = jnp.zeros_like(Qb).at[neg].add(
+                        lr_t * mask * (-logit - reg_b * jnp.take(
+                            Qb, jnp.minimum(neg, Qb.shape[0] - 1))),
+                        mode="drop")
+                    Qb = Qb + clip_row_norm(dQb, max_step_norm)
+            Q = Q + clip_row_norm(dQ, max_step_norm)
+            return (P, Q, Qb), None
+        P = P.at[u].add(lr_t * m * (logit[:, None] * (qi - qj) - reg_u * p))
         if update_i:
             Q = Q.at[pos].add(lr_t * m * (item_deriv - reg_i * qi))
             if use_bias:
@@ -481,7 +544,7 @@ def bpr_epoch_dp(P, Q, Qb, opt_state, users, positives, bloom_words,
                  use_bias, update_i, update_j, verify_neg, use_cum_table,
                  bloom_log2, per_coordinate_normalize, lr, min_lr, beta1,
                  beta2, reg_u, reg_i, reg_j, reg_b, num_valid,
-                 total_samples, random_positive=False):
+                 total_samples, random_positive=False, max_step_norm=0.0):
     """One BPR epoch over a device mesh (dp): the TPU-native analog of
     the reference's hogwild thread pool (``algo.cc:211-219``) at
     multi-chip scale.
@@ -624,6 +687,10 @@ def bpr_epoch_dp(P, Q, Qb, opt_state, users, positives, bloom_words,
                         + cidx.astype(jnp.float32) * N) / total_samples
             lr_t = jnp.maximum(lr - (lr - min_lr) * progress, min_lr)
             m = mask[:, None]
+            def capped(d):
+                return clip_row_norm(d, max_step_norm) if max_step_norm \
+                    else d
+
             dP = jnp.zeros_like(P).at[u].add(
                 lr_t * m * (logit[:, None] * (qi - qj) - reg_u * p))
             item_deriv = logit[:, None] * p
@@ -637,7 +704,7 @@ def bpr_epoch_dp(P, Q, Qb, opt_state, users, positives, bloom_words,
                     # psum of the bias vector)
                     dQb = jnp.zeros_like(Qb).at[pos].add(
                         lr_t * mask * (logit - reg_b * jnp.take(Qb, pos)))
-                    Qb = Qb + jax.lax.psum(dQb, axis_name)
+                    Qb = Qb + capped(jax.lax.psum(dQb, axis_name))
             if update_j:
                 dQ = dQ.at[neg].add(
                     lr_t * m * (-item_deriv - reg_j * qj), mode="drop")
@@ -646,9 +713,9 @@ def bpr_epoch_dp(P, Q, Qb, opt_state, users, positives, bloom_words,
                         lr_t * mask * (-logit - reg_b * jnp.take(
                             Qb, jnp.minimum(neg, Qb.shape[0] - 1))),
                         mode="drop")
-                    Qb = Qb + jax.lax.psum(dQb, axis_name)
-            P = P + jax.lax.psum(dP, axis_name)
-            Q = Q + jax.lax.psum(dQ, axis_name)
+                    Qb = Qb + capped(jax.lax.psum(dQb, axis_name))
+            P = P + capped(jax.lax.psum(dP, axis_name))
+            Q = Q + capped(jax.lax.psum(dQ, axis_name))
             return (P, Q, Qb), None
 
         (Po, Qo, Qbo), _ = jax.lax.scan(
