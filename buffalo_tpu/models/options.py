@@ -264,6 +264,17 @@ class WARPOption(AlgoOption):
             addition, cf. BPRMFOption): "split" runs the candidate
             bloom probes as a separate dispatch feeding packed seen
             bits to the update program — bit-identical factors.
+        :ivar bool adaptive_trials: TPU addition, default off — start
+            at a small fixed candidate budget (K=16) and double it (up
+            to min(max_trials, 64)) whenever more than 2% of positives
+            fail to find a violating negative.  Early epochs find
+            violators in a couple of trials (the reference's average
+            trial count rises the same way, warp.cc:118-136), so most
+            of a fixed K=64's candidate gathers/bloom probes are
+            wasted there.  Off by default: an 8-seed A/B on the CI
+            planted-cluster fixture measured NDCG 0.145+-0.011 vs
+            0.153+-0.012 fixed (~0.7 sigma lower) — opt in when epoch
+            time dominates and validate accuracy on your data.
         """
         opt = super().get_default_option()
         opt.update({
@@ -276,6 +287,7 @@ class WARPOption(AlgoOption):
             "threshold": 1.0,
             "score_func": "dot",
             "max_trials": 500,
+            "adaptive_trials": False,
             "epoch_dispatch": "auto",
             "update_i": True,
             "update_j": True,

@@ -175,6 +175,13 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
             # whole-epoch megabatch step cannot match its learning
             # dynamics at small nnz (cf. w2v.py's same rule)
             batch_size = min(max(self.num_nnz // 32, 1024), 1 << 18)
+            # bound the per-chunk candidate live-set: the epoch
+            # materializes a (batch, K, d) gathered-candidate tensor,
+            # and 2^18 x 64 x 64 x 4B = 4.3 GB OOMed a 16 GB chip
+            # (measured, ML-20M d=64); budget it at ~512 MB worst-case
+            k_worst = int(min(max(int(opt.max_trials), 2), 64))
+            cap = (512 << 20) // max(k_worst * int(opt.d) * 4, 1)
+            batch_size = max(min(batch_size, cap), 1024)
 
         group = self.data.get_group("rowwise")
         indptr = jax.device_put(np.asarray(group["indptr"], dtype=np.int64))
@@ -247,7 +254,9 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
             mQ = jnp.zeros_like(self._Q)
             vQ = jnp.zeros_like(self._Q)
 
-        num_candidates = int(min(max(int(opt.max_trials), 2), 64))
+        cand_cap = int(min(max(int(opt.max_trials), 2), 64))
+        adaptive = bool(opt.get("adaptive_trials", False)) and resident
+        num_candidates = min(16, cand_cap) if adaptive else cand_cap
         statics = dict(num_items=num_items, num_candidates=num_candidates,
                        score_func=str(opt.score_func),
                        threshold=float(opt.threshold),
@@ -273,9 +282,10 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         self.iteration_times = []  # per-epoch train seconds
         for i in range(opt.num_iters):
             start_t = time.time()
+            found_frac = None
             if resident and mesh is not None:
                 rng, sub = jax.random.split(rng)
-                self._P, self._Q, opt_state = W.warp_epoch_dp(
+                self._P, self._Q, opt_state, found_frac = W.warp_epoch_dp(
                     self._P, self._Q, opt_state, users_c, items_c,
                     indptr, bloom, sub, jnp.int32(i), mesh=mesh,
                     optimizer=str(opt.optimizer), lr=float(opt.lr),
@@ -290,9 +300,9 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
                     # same key and consumes the packed probe bits
                     seen_bits = W.warp_probe_epoch(
                         users_c, bloom, sub, num_items=num_items,
-                        num_candidates=num_candidates,
+                        num_candidates=statics["num_candidates"],
                         bloom_log2=bloom_log2)
-                self._P, self._Q, opt_state = W.warp_epoch(
+                self._P, self._Q, opt_state, found_frac = W.warp_epoch(
                     self._P, self._Q, opt_state, users_c, items_c,
                     indptr, bloom, sub, jnp.int32(i), seen_bits,
                     precomputed_probe=split_probe,
@@ -325,6 +335,18 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
             loss = self.compute_loss()  # device readback: fences the epoch
             train_t = time.time() - start_t
             self.iteration_times.append(train_t)
+            if adaptive and found_frac is not None:
+                # grow the fixed-K candidate budget as violations get
+                # rarer — the analog of the reference's rising average
+                # trial count (warp.cc:118-136).  K only grows, and
+                # each distinct K compiles once (few powers of two).
+                ff = float(found_frac)
+                k_now = statics["num_candidates"]
+                if ff < 0.98 and k_now < cand_cap:
+                    statics["num_candidates"] = min(2 * k_now, cand_cap)
+                    self.logger.debug(
+                        f"found_frac {ff:0.3f} at K={k_now}: raising "
+                        f"num_candidates to {statics['num_candidates']}")
             metrics = {"train_loss": loss}
             if opt.get("validation") and opt.evaluation_on_learning and \
                     self.periodical(opt.evaluation_period, i):

@@ -178,7 +178,7 @@ def warp_epoch(P, Q, opt_state, users, positives, indptr, bloom_words,
         xs_all = (users, positives, jnp.arange(nchunks))
 
     def body(carry, xs):
-        gP, gQ, cP, cQ = carry
+        gP, gQ, cP, cQ, found, possible = carry
         if precomputed_probe:
             u_chunk, pos_chunk, bits_chunk, cidx = xs
         else:
@@ -233,12 +233,16 @@ def warp_epoch(P, Q, opt_state, users, positives, indptr, bloom_words,
             cP = cP.at[u_chunk].add(mv)
             cQ = cQ.at[pos_chunk].add(mv)
             cQ = cQ.at[neg].add(mv)
-        return (gP, gQ, cP, cQ), None
+        found = found + jnp.sum(any_v.astype(jnp.float32) * valid)
+        possible = possible + jnp.sum(valid)
+        return (gP, gQ, cP, cQ, found, possible), None
 
     init = (jnp.zeros_like(P), jnp.zeros_like(Q),
             jnp.zeros(P.shape[0], jnp.float32),
-            jnp.zeros(Q.shape[0], jnp.float32))
-    (gP, gQ, cP, cQ), _ = jax.lax.scan(body, init, xs_all)
+            jnp.zeros(Q.shape[0], jnp.float32),
+            jnp.float32(0.0), jnp.float32(0.0))
+    (gP, gQ, cP, cQ, found, possible), _ = jax.lax.scan(body, init,
+                                                        xs_all)
 
     def apply(param, grad, m, v, counts, reg):
         if per_coordinate_normalize:
@@ -257,7 +261,11 @@ def warp_epoch(P, Q, opt_state, users, positives, indptr, bloom_words,
         Q, gQ, opt_state["mQ"], opt_state["vQ"], cQ, reg_i)
     P = project_unit_ball(P)
     Q = project_unit_ball(Q)
-    return P, Q, opt_state
+    # found-violator fraction: the driver's adaptive trial schedule
+    # grows num_candidates as violations get rarer (the analog of the
+    # reference's rising average trial count, warp.cc:118-136)
+    found_frac = found / jnp.maximum(possible, 1.0)
+    return P, Q, opt_state, found_frac
 
 
 def warp_epoch_dp(P, Q, opt_state, users, positives, indptr, bloom_words,
@@ -291,7 +299,7 @@ def warp_epoch_dp(P, Q, opt_state, users, positives, indptr, bloom_words,
         idx = jax.lax.axis_index(axis_name)
 
         def body(carry, xs):
-            gP, gQ, cP, cQ = carry
+            gP, gQ, cP, cQ, found, possible = carry
             u_chunk, pos_chunk, cidx = xs
             key = jax.random.fold_in(rng_key, cidx)
             gpos = (cidx * N + idx * N_loc
@@ -345,17 +353,22 @@ def warp_epoch_dp(P, Q, opt_state, users, positives, indptr, bloom_words,
                 cP = cP.at[u_chunk].add(mv)
                 cQ = cQ.at[pos_chunk].add(mv)
                 cQ = cQ.at[neg].add(mv)
-            return (gP, gQ, cP, cQ), None
+            found = found + jnp.sum(any_v.astype(jnp.float32) * valid)
+            possible = possible + jnp.sum(valid)
+            return (gP, gQ, cP, cQ, found, possible), None
 
         init = (jnp.zeros_like(P), jnp.zeros_like(Q),
                 jnp.zeros(P.shape[0], jnp.float32),
-                jnp.zeros(Q.shape[0], jnp.float32))
-        (gP, gQ, cP, cQ), _ = jax.lax.scan(
+                jnp.zeros(Q.shape[0], jnp.float32),
+                jnp.float32(0.0), jnp.float32(0.0))
+        (gP, gQ, cP, cQ, found, possible), _ = jax.lax.scan(
             body, init, (users_s, positives_s, jnp.arange(nchunks)))
         gP = jax.lax.psum(gP, axis_name)
         gQ = jax.lax.psum(gQ, axis_name)
         cP = jax.lax.psum(cP, axis_name)
         cQ = jax.lax.psum(cQ, axis_name)
+        found = jax.lax.psum(found, axis_name)
+        possible = jax.lax.psum(possible, axis_name)
 
         def apply(param, grad, m, v, counts, reg):
             if per_coordinate_normalize:
@@ -374,14 +387,16 @@ def warp_epoch_dp(P, Q, opt_state, users, positives, indptr, bloom_words,
         Qo, mQ, vQ = apply(Q, gQ, opt_state["mQ"], opt_state["vQ"],
                            cQ, reg_i)
         new_state = dict(opt_state, mP=mP, vP=vP, mQ=mQ, vQ=vQ)
-        return (project_unit_ball(Po), project_unit_ball(Qo), new_state)
+        found_frac = found / jnp.maximum(possible, 1.0)
+        return (project_unit_ball(Po), project_unit_ball(Qo), new_state,
+                found_frac)
 
     state_spec = jax.tree.map(lambda _: PS(), opt_state)
     run = jax.shard_map(
         body_fn, mesh=mesh,
         in_specs=(PS(), PS(), state_spec, PS(None, axis_name),
                   PS(None, axis_name), PS(), PS()),
-        out_specs=(PS(), PS(), state_spec), check_vma=False)
+        out_specs=(PS(), PS(), state_spec, PS()), check_vma=False)
     return run(P, Q, opt_state, users, positives, indptr, bloom_words)
 
 
