@@ -466,12 +466,19 @@ def run_buffalo_tpu_bpr(train, d, iters, work, seed):
 
 
 def bpr_main(args, work):
+    """Converged-quality band parity: each implementation trains at its
+    OWN tuned schedule (the reference's hogwild lr=0.002 needs ~10x the
+    epochs of the megabatch lr=0.05 to converge on a small corpus —
+    measured: at equal epochs the reference is still near its init,
+    AUC 0.49), then both factor sets are scored by the same metric
+    code on the same holdout."""
     binary = os.path.join(work, "ref_bpr")
     build(binary, "bpr")
     mat = synth(U=1000, I=500, density=0.08, d=args.d)
     train, hold = holdout_split(mat)
     U, I = train.shape
     d = args.d
+    ref_iters = int(args.ref_iters or 10 * args.iters)
     opt = {"d": d, "num_workers": args.workers, "optimizer": "sgd",
            "use_bias": True, "update_i": True, "update_j": True,
            "reg_u": 0.025, "reg_i": 0.025, "reg_j": 0.025,
@@ -479,17 +486,24 @@ def bpr_main(args, work):
            "beta1": 0.9, "beta2": 0.999, "eps": 1e-10,
            "per_coordinate_normalize": False,
            "num_negative_samples": 1, "sampling_power": 0.0,
-           "verify_neg": True, "num_iters": args.iters,
+           "verify_neg": True, "num_iters": ref_iters,
            "batch_size": -1}
     seeds = [11, 23, 47]
     ref_nd, ref_auc, tpu_nd, tpu_auc = [], [], [], []
     for s in seeds:
         rng = np.random.default_rng(s)
-        P0 = ((rng.random((U, d)) - 0.5) / d).astype(np.float32)
-        Q0 = ((rng.random((I, d)) - 0.5) / d).astype(np.float32)
-        Qb0 = np.zeros(I, np.float32)
+        # reference init convention (bpr.py init_factors): abs normal
+        P0 = np.abs(rng.normal(scale=1.0 / d ** 2,
+                               size=(U, d))).astype(np.float32)
+        Q0 = np.abs(rng.normal(scale=1.0 / d ** 2,
+                               size=(I, d))).astype(np.float32)
+        Qb0 = np.abs(rng.normal(scale=1.0 / d ** 2,
+                                size=(I,))).astype(np.float32)
         Pr, Qr, Qbr, log = run_reference_bpr(
-            binary, train, P0, Q0, Qb0, opt, args.iters, work, s)
+            binary, train, P0, Q0, Qb0, opt, ref_iters, work, s)
+        if s == seeds[0]:
+            tail = [ln for ln in log.strip().splitlines()][-3:]
+            print("ref loss tail:", " | ".join(tail))
         nd, auc = rank_metrics(Pr, Qr, Qbr, train, hold)
         ref_nd.append(nd)
         ref_auc.append(auc)
@@ -507,7 +521,7 @@ def bpr_main(args, work):
            "ref_auc": round(float(r_auc), 4),
            "tpu_auc": round(float(t_auc), 4),
            "ndcg_band": round(float(band), 4), "seeds": len(seeds),
-           "d": d, "iters": args.iters}
+           "d": d, "iters": args.iters, "ref_iters": ref_iters}
     print(json.dumps(out))
     # parity = buffalo_tpu lands at or above the reference's band floor
     ok = (t_nd >= r_nd - band) and (t_auc >= r_auc - band_auc)
@@ -558,6 +572,9 @@ def main():
                     choices=["als", "plsi", "eals", "bpr"])
     ap.add_argument("--d", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--ref-iters", type=int, default=0,
+                    help="reference epochs for band parity "
+                         "(0 = 10x --iters; hogwild lr needs volume)")
     ap.add_argument("--optimizer", default="manual_cg")
     ap.add_argument("--workers", type=int, default=8)
     args = ap.parse_args()
