@@ -529,6 +529,137 @@ def bpr_main(args, work):
     return 0 if ok else 1
 
 
+def run_reference_warp(binary, train, P0, Q0, Qb0, opt, iters, work,
+                       seed):
+    """warp_driver.cc protocol — same as BPR minus the cumulative
+    table (reference WARP draws negatives uniformly, warp.cc:113)."""
+    U, I = train.shape
+    d = P0.shape[1]
+    r_ip, r_k, _ = csr(train)
+    rng = np.random.default_rng(seed + 77)
+    n_loss = 2048
+    lu = np.repeat(np.arange(U, dtype=np.int32),
+                   np.diff(r_ip).astype(np.int64))
+    sel = rng.integers(0, len(lu), n_loss)
+    lu_s = lu[sel].astype(np.int32)
+    li_s = r_k[sel].astype(np.int32)
+    lj_s = rng.integers(0, I, n_loss).astype(np.int32)
+    data = os.path.join(work, f"wdata_{seed}.bin")
+    with open(data, "wb") as f:
+        f.write(struct.pack("<4i", U, I, d, iters))
+        f.write(r_ip[1:].astype("<i8").tobytes())
+        f.write(r_k.astype("<i4").tobytes())
+        f.write(struct.pack("<i", n_loss))
+        f.write(lu_s.tobytes())
+        f.write(li_s.tobytes())
+        f.write(lj_s.tobytes())
+        f.write(P0.astype("<f4").tobytes())
+        f.write(Q0.astype("<f4").tobytes())
+        f.write(Qb0.astype("<f4").tobytes())
+    optp = os.path.join(work, f"wopt_{seed}.json")
+    o = dict(opt)
+    o["random_seed"] = seed
+    with open(optp, "w") as f:
+        json.dump(o, f)
+    out = os.path.join(work, f"wout_{seed}.bin")
+    res = subprocess.run([binary, optp, data, out],
+                         capture_output=True, text=True, check=True)
+    raw = np.fromfile(out, dtype="<f4")
+    P = raw[:U * d].reshape(U, d).copy()
+    Q = raw[U * d:U * d + I * d].reshape(I, d).copy()
+    Qb = raw[U * d + I * d:].copy()
+    return P, Q, Qb, res.stdout
+
+
+def run_buffalo_tpu_warp(train, d, iters, work, seed):
+    """End-to-end through the WARP model on an MM build of the SAME
+    train matrix."""
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from buffalo_tpu.data import MatrixMarketOptions, load
+    from buffalo_tpu.models import WARP
+    from buffalo_tpu.models.options import WARPOption
+
+    dopt = MatrixMarketOptions().get_default_option()
+    dopt.input.main = train
+    dopt.data.path = os.path.join(work, f"warp_mm_{seed}.bfo")
+    dopt.data.tmp_dir = os.path.join(work, "tmp")
+    dopt.data.validation = {}
+    data = load(dopt)
+    data.create()
+    opt = WARPOption().get_default_option()
+    opt.d = d
+    opt.num_iters = iters
+    opt.validation = {}
+    opt.random_seed = seed
+    np.random.seed(seed)
+    m = WARP(opt, data=data)
+    m.initialize()
+    m.train()
+    return np.asarray(m.P), np.asarray(m.Q), None
+
+
+def warp_main(args, work):
+    """Converged-quality band parity for WARP, same shape as bpr_main:
+    each implementation trains at its own tuned schedule, both factor
+    sets scored by the same metric code on the same holdout."""
+    binary = os.path.join(work, "ref_warp")
+    build(binary, "warp")
+    mat = synth(U=1000, I=500, density=0.08, d=args.d)
+    train, hold = holdout_split(mat)
+    U, I = train.shape
+    d = args.d
+    ref_iters = int(args.ref_iters or 2 * args.iters)
+    # reference WARPOption defaults (buffalo/algo/options.py:286-311)
+    opt = {"d": d, "num_workers": args.workers, "optimizer": "adagrad",
+           "score_func": "dot", "threshold": 1.0, "max_trials": 500,
+           "use_bias": False, "update_i": True, "update_j": True,
+           "reg_u": 0.0, "reg_i": 0.0, "reg_j": 0.0,
+           "lr": 0.05, "min_lr": 0.0001,
+           "beta1": 0.9, "beta2": 0.999, "eps": 1e-10,
+           "per_coordinate_normalize": False,
+           "num_iters": ref_iters, "batch_size": -1}
+    seeds = [11, 23, 47]
+    ref_nd, ref_auc, tpu_nd, tpu_auc = [], [], [], []
+    for s in seeds:
+        rng = np.random.default_rng(s)
+        P0 = np.abs(rng.normal(scale=1.0 / d ** 2,
+                               size=(U, d))).astype(np.float32)
+        Q0 = np.abs(rng.normal(scale=1.0 / d ** 2,
+                               size=(I, d))).astype(np.float32)
+        Qb0 = np.abs(rng.normal(scale=1.0 / d ** 2,
+                                size=(I,))).astype(np.float32)
+        Pr, Qr, Qbr, log = run_reference_warp(
+            binary, train, P0, Q0, Qb0, opt, ref_iters, work, s)
+        if s == seeds[0]:
+            tail = [ln for ln in log.strip().splitlines()][-3:]
+            print("ref loss tail:", " | ".join(tail))
+        nd, auc = rank_metrics(Pr, Qr, None, train, hold)
+        ref_nd.append(nd)
+        ref_auc.append(auc)
+        Pt, Qt, Qbt = run_buffalo_tpu_warp(train, d, args.iters, work,
+                                           s)
+        nd, auc = rank_metrics(Pt, Qt, None, train, hold)
+        tpu_nd.append(nd)
+        tpu_auc.append(auc)
+    r_nd, t_nd = np.mean(ref_nd), np.mean(tpu_nd)
+    r_auc, t_auc = np.mean(ref_auc), np.mean(tpu_auc)
+    band = 3 * max(np.std(ref_nd), np.std(tpu_nd), 0.01)
+    band_auc = 3 * max(np.std(ref_auc), np.std(tpu_auc), 0.01)
+    out = {"metric": "warp_accuracy_band_parity",
+           "ref_ndcg": round(float(r_nd), 4),
+           "tpu_ndcg": round(float(t_nd), 4),
+           "ref_auc": round(float(r_auc), 4),
+           "tpu_auc": round(float(t_auc), 4),
+           "ndcg_band": round(float(band), 4), "seeds": len(seeds),
+           "d": d, "iters": args.iters, "ref_iters": ref_iters}
+    print(json.dumps(out))
+    ok = (t_nd >= r_nd - band) and (t_auc >= r_auc - band_auc)
+    print("PARITY", "OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def plsi_main(args, work):
     binary = os.path.join(work, "ref_plsi")
     build(binary, "plsi")
@@ -569,7 +700,7 @@ def plsi_main(args, work):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", default="als",
-                    choices=["als", "plsi", "eals", "bpr"])
+                    choices=["als", "plsi", "eals", "bpr", "warp"])
     ap.add_argument("--d", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--ref-iters", type=int, default=0,
@@ -586,6 +717,8 @@ def main():
         return eals_main(args, work)
     if args.algo == "bpr":
         return bpr_main(args, work)
+    if args.algo == "warp":
+        return warp_main(args, work)
     binary = os.path.join(work, "ref_als")
     build(binary)
     mat = synth(d=args.d)
