@@ -15,49 +15,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _topk_wide(scores: jax.Array, k: int, seg: int = 8192,
-               force: bool = False):
-    """Exact top-k over very wide rows via two stages: per-segment
-    top-k, then a top-k over the (rows, segments*k) survivors.
+def _select_topk(scores: jax.Array, k: int, approx: bool = False):
+    """Row-wise top-k of a score matrix.
 
-    Identical results to ``lax.top_k`` INCLUDING tie order (ties break
-    to the lower global index: per-segment top-k orders ties by index,
-    and earlier segments occupy lower positions in the merge), but the
-    sort works on ~k*N/seg elements instead of N per row — TopK over a
-    full half-million-item catalog is otherwise the scan's dominant
-    cost.  TPU only: CPU's TopK is selection-based and the two-stage
-    rewrite measures 2.6x SLOWER there (76.9 s vs 29.1 s for 8192
-    queries x 505k items) — the backend check is a trace-time constant.
+    Exact selection is a single ``lax.top_k`` on EVERY backend.  A
+    hand-written two-stage rewrite (per-segment top-k + survivor merge)
+    was tried for wide catalogs and measured SLOWER on both backends —
+    2.6x on CPU and 16.6x on a v5e chip (42.9 ms vs 713.9 ms for
+    2048 x 505840, ``benchmark/microbench_topk.py``; its compile also
+    wedged the remote TPU compiler for >45 min) — so it was removed.
+
+    ``approx=True`` selects ``lax.approx_max_k`` (TPU-optimized partial
+    reduction, 2.1x faster than exact at the same shape) at measured
+    recall@10 0.98 vs exact; callers must surface that accuracy cost.
     """
-    import jax.numpy as _jnp
-
-    N = scores.shape[-1]
-    if N <= 2 * seg or k > seg or (
-            not force and jax.default_backend() != "tpu"):
-        return jax.lax.top_k(scores, k)
-    pad = (-N) % seg
-    if pad:
-        # pad slots can never reach the final k, so out-of-range
-        # indices cannot leak even for all--inf rows: the guard above
-        # ensures >= 3 segments, so the merge pool holds >= 2k non-pad
-        # candidates, every non-pad candidate scores >= -inf, and on
-        # ties lax.top_k prefers the lower merge position — which
-        # non-pads always occupy (pads sit at the tail of the last
-        # segment's index range).  Pinned by
-        # test_topk_wide_inf_rows_stay_in_range.
-        scores = _jnp.pad(scores, ((0, 0), (0, pad)),
-                          constant_values=-_jnp.inf)
-    B = scores.shape[0]
-    S = scores.shape[1] // seg
-    v, i = jax.lax.top_k(scores.reshape(B, S, seg), min(k, seg))
-    gi = i + (_jnp.arange(S, dtype=i.dtype) * seg)[None, :, None]
-    vf, sel = jax.lax.top_k(v.reshape(B, -1), k)
-    return vf, _jnp.take_along_axis(gi.reshape(B, -1), sel, axis=1)
+    if approx:
+        return jax.lax.approx_max_k(scores, k)
+    return jax.lax.top_k(scores, k)
 
 
 @partial(jax.jit, static_argnames=("k", "with_scores"))
 def _topk_from_scores(scores: jax.Array, k: int, with_scores: bool = True):
-    vals, idx = _topk_wide(scores, k)
+    vals, idx = _select_topk(scores, k)
     return (vals, idx) if with_scores else idx
 
 
@@ -74,7 +53,7 @@ def matmul_topk(p: jax.Array, Q: jax.Array, k: int,
         scores = scores + pb[:, None]
     if Qb is not None:
         scores = scores + Qb[None, :]
-    return _topk_wide(scores, min(k, Q.shape[0]))
+    return _select_topk(scores, min(k, Q.shape[0]))
 
 
 _stage_cache: "OrderedDict" = None  # lazy OrderedDict[key -> (host, dev)]
@@ -146,20 +125,21 @@ def _assemble_topn(vals, idx, B: int, topk: int, k_eff: int):
     return out_keys, out_scores
 
 
-@partial(jax.jit, static_argnames=("k", "with_bias"))
-def _chunked_topn(p_chunks, Q, Qb, *, k, with_bias):
+@partial(jax.jit, static_argnames=("k", "with_bias", "approx"))
+def _chunked_topn(p_chunks, Q, Qb, *, k, with_bias, approx=False):
     """All query chunks under one lax.scan: one dispatch per call."""
     def body(_, pc):
         scores = jnp.dot(pc, Q.T, preferred_element_type=jnp.float32)
         if with_bias:
             scores = scores + Qb[None, :]
-        return None, _topk_wide(scores, k)
+        return None, _select_topk(scores, k, approx=approx)
 
     _, (vals, idx) = jax.lax.scan(body, None, p_chunks)
     return vals, idx
 
 
-def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
+def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048,
+               approx: bool = False):
     """Bulk MIPS retrieval: top-k of ``p @ Q^T (+ Qb)`` per query row.
 
     The device analog of ``parallel::dot_topn`` (``_core.hpp:88-142``):
@@ -171,6 +151,10 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
     set (indices are mapped back); results are ``-1``-padded when the
     pool is smaller than ``topk``, matching the reference's padding
     semantics.
+
+    ``approx=True`` swaps the exact per-chunk selection for
+    ``lax.approx_max_k`` (measured 2.1x faster at 505k-wide rows on a
+    v5e chip, recall@10 0.98 vs exact — see ``_select_topk``).
 
     Returns (keys int32[B, topk], scores float32[B, topk]).
     """
@@ -198,7 +182,8 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048):
         if with_bias else jnp.zeros((), jnp.float32)
 
     vals, idx = _chunked_topn(_bucketed_chunks(p, chunk), Q_d,
-                              Qb_d, k=k_eff, with_bias=with_bias)
+                              Qb_d, k=k_eff, with_bias=with_bias,
+                              approx=approx)
     out_keys, out_scores = _assemble_topn(vals, idx, B, topk, k_eff)
     if pool is not None:
         mapped = np.asarray(pool)[np.maximum(out_keys, 0)]

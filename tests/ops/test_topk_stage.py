@@ -32,46 +32,16 @@ def test_stage_cache_pool_and_bias_not_cached():
     assert after - before <= 1  # only the stable full table is cached
 
 
-def test_topk_wide_matches_lax_topk_including_ties(monkeypatch):
-    import jax
-    import jax.numpy as jnp
-    from buffalo_tpu.ops import topk as topk_mod
-    from buffalo_tpu.ops.topk import _topk_wide
-
-    # the two-stage path is TPU-gated (CPU TopK is faster single-stage);
-    # force it here so CPU CI still covers its correctness
-    monkeypatch.setattr(topk_mod.jax, "default_backend", lambda: "tpu")
-
+def test_batch_topn_approx_mode_close_to_exact():
+    """approx=True routes to lax.approx_max_k; on small catalogs the
+    partial reduction degenerates to exact, so results must match."""
     rng = np.random.default_rng(2)
-    # wide row count with deliberate duplicate values to exercise ties
-    scores = rng.integers(0, 50, size=(7, 40000)).astype(np.float32)
-    ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), 10)
-    v, i = _topk_wide(jnp.asarray(scores), 10, seg=4096)
-    np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(v))
-    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(i))
-    # non-multiple-of-seg width and k near seg
-    scores = rng.random((3, 10001)).astype(np.float32)
-    ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), 64)
-    v, i = _topk_wide(jnp.asarray(scores), 64, seg=2048)
-    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(i))
-
-
-def test_topk_wide_inf_rows_stay_in_range(monkeypatch):
-    """Rows with fewer than k finite scores (exclude-seen masking) must
-    return in-range indices exactly like single-stage lax.top_k — pad
-    slots may never leak into the result."""
-    import jax
-    import jax.numpy as jnp
-    from buffalo_tpu.ops import topk as topk_mod
-    from buffalo_tpu.ops.topk import _topk_wide
-
-    monkeypatch.setattr(topk_mod.jax, "default_backend", lambda: "tpu")
-    N = 5000  # not a multiple of seg -> pad slots exist
-    scores = np.full((4, N), -np.inf, dtype=np.float32)
-    scores[1, 17] = 1.0           # one finite entry
-    scores[2, :3] = [3.0, 2.0, 1.0]
-    ref_v, ref_i = jax.lax.top_k(jnp.asarray(scores), 10)
-    v, i = _topk_wide(jnp.asarray(scores), 10, seg=1024)
-    assert int(np.max(i)) < N
-    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(i))
-    np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(v))
+    Q = rng.random((400, 8)).astype(np.float32)
+    p = rng.random((6, 8)).astype(np.float32)
+    ek, es = batch_topn(p, Q, 5)
+    ak, as_ = batch_topn(p, Q, 5, approx=True)
+    # recall of the approximate set vs exact (1.0 at this size)
+    rec = np.mean([len(set(a) & set(e)) / 5.0 for a, e in zip(ak, ek)])
+    assert rec == 1.0
+    np.testing.assert_allclose(np.sort(as_, axis=1),
+                               np.sort(es, axis=1), rtol=1e-6)
