@@ -1,9 +1,13 @@
 """Micro-benchmark: wide-row top-k strategies on the live backend.
 
-Decides (on real TPU hardware) between single-pass ``lax.top_k``, the
-two-stage ``_topk_wide`` (tie-exact, currently TPU-gated), and
-``lax.approx_max_k`` (TPU-optimized partial reduction; approximate —
-reported with its recall so speed is never quoted without accuracy).
+Compares single-pass ``lax.top_k`` against ``lax.approx_max_k``
+(TPU-optimized partial reduction; approximate — reported with its
+recall so speed is never quoted without accuracy).
+
+The two-stage tie-exact rewrite was measured on the v5e (2026-08-19):
+16.6x SLOWER than single ``lax.top_k`` (713.9 ms vs 42.9 ms at
+2048x505840) and its compile wedged the remote compiler — the strategy
+is settled and the implementation was deleted (see CLAUDE.md).
 
 Run on the chip when the service is healthy:
   python benchmark/microbench_topk.py [--rows 2048] [--cols 505840]
@@ -49,17 +53,12 @@ def main():
     timer.cancel()
     import jax.numpy as jnp
 
-    from buffalo_tpu.ops.topk import _topk_wide
-
     rng = np.random.default_rng(0)
     scores = jnp.asarray(
         rng.random((args.rows, args.cols)).astype(np.float32))
     k = args.k
 
     single = jax.jit(lambda s: jax.lax.top_k(s, k))
-    # force=True bypasses the TPU-only gate so this row measures the
-    # actual two-stage rewrite on every backend
-    two = jax.jit(lambda s: _topk_wide(s, k, force=True))
 
     def approx(s):
         v, i = jax.lax.approx_max_k(s, k)
@@ -91,7 +90,6 @@ def main():
                           "backend": jax.default_backend()}))
 
     bench(single, "lax.top_k")
-    bench(two, "two_stage_topk_wide")
     bench(approx_j, "lax.approx_max_k")
 
 

@@ -95,11 +95,15 @@ def build_bloom(indptr: "np.ndarray", keys: "np.ndarray",
     of a pair live in the same uint32 word (``_bloom_hashes``).  Never
     false-negative — a true positive is always flagged seen; false
     positives only cause a valid negative to be resampled.  At the
-    default 12 bits/entry the blocked layout's FP rate is ~2.8%
-    ((2*32/12 set bits per 32-bit word)^2 / 32^2), comparable to the
-    old two-gather layout at 8 bits/entry while gathering half the
-    words from a table 1.5x its size (still ~30 MB at 20M positives —
-    inside the chip's fast-gather range, CLAUDE.md hardware facts).
+    default 12 bits/entry the blocked layout's FP rate is ~3.2%:
+    the two-bit term ((2*32/12 set bits per 32-bit word)^2 / 32^2
+    ~ 2.8%) plus a same-bit collision term — b1 and b2 both derive
+    from h2 (bits 0-4 and 5-9) and coincide with probability 1/32,
+    degrading those pairs to a single-bit test (~ +0.4%).  Still
+    comparable to the old two-gather layout at 8 bits/entry while
+    gathering half the words from a table 1.5x its size (~30 MB at
+    20M positives — inside the chip's fast-gather range, CLAUDE.md
+    hardware facts), and well inside the 5% bound the tests assert.
 
     Returns (words uint32[M/32], log2_bits).
     """
