@@ -115,6 +115,9 @@ def main():
 
     import jax
 
+    from buffalo_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     from functools import partial
 
     from buffalo_tpu.data.batching import DeviceBatcher

