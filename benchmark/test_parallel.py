@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--queries", type=int, default=10000)
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--approx", action="store_true",
+                    help="also time the approx=True facade (full scan "
+                         "with lax.approx_max_k selection) and report "
+                         "its recall vs the exact scan")
     ap.add_argument("--ann", action="store_true",
                     help="also time the IVF ANN path and report its "
                          "recall vs the exact scan (reference HNSW "
@@ -86,6 +90,17 @@ def main():
     topks, scores = par.most_similar(qs, topk=args.topk)
     ms_t = time.perf_counter() - st
 
+    approx_row = None
+    if args.approx:
+        par_ax = ParALS(als, approx=True)
+        par_ax.most_similar(qs, topk=args.topk)   # warmup at full count
+        st = time.perf_counter()
+        ax_topks, _ = par_ax.most_similar(qs, topk=args.topk)
+        ax_t = time.perf_counter() - st
+        hits = sum(len(set(a) & set(e)) for a, e in
+                   zip(np.asarray(ax_topks), np.asarray(topks)))
+        approx_row = (ax_t, hits / np.asarray(topks).size)
+
     ann_rows = []
     if args.ann:
         from buffalo_tpu.parallel import IVFIndex
@@ -120,6 +135,13 @@ def main():
            "topk_s": round(tk_t, 4),
            "queries": len(qs), "d": args.d,
            "vs_baseline_1t": round(63.9 / max(ms_t, 1e-9), 1)}
+    if approx_row is not None:
+        ax_t, ax_recall = approx_row
+        print(f"| most_similar_approx | {len(qs)} | {args.d} "
+              f"| {ax_t:.3f} | {len(qs) / ax_t:.0f} |")
+        print(f"approx recall@{args.topk} {ax_recall:.3f} vs exact")
+        out.update({"approx_s": round(ax_t, 4),
+                    "approx_recall": round(ax_recall, 4)})
     for n_probe, ann_t, ann_recall in ann_rows:
         print(f"| most_similar_ivf (probe={n_probe}) | {len(qs)} "
               f"| {args.d} | {ann_t:.3f} | {len(qs) / ann_t:.0f} |")
