@@ -65,6 +65,14 @@ step "5/9 WARP d-sweep fixed (d=64,128)" warp_dsweep 5400 \
     python benchmark/test_performance.py --algo warp \
     --dataset ml20m --d 64 128 --epochs 3
 
+step "5/9 BPR verify ablation (bloom cost, Pallas question)" \
+    bpr_verify_ab 3600 \
+    python benchmark/test_performance.py --algo bpr \
+    --dataset ml20m --d 32 --epochs 3
+step "5/9 BPR no-verify" bpr_noverify_ab 3600 \
+    python benchmark/test_performance.py --algo bpr \
+    --dataset ml20m --d 32 --epochs 3 --set verify_neg=false
+
 step "6/9 retrieval ML-20M d=100 (approx + IVF probe sweep)" \
     retrieval_ml20m_d100 4800 \
     python benchmark/test_parallel.py --dataset ml20m --d 100 \
