@@ -12,6 +12,7 @@
 #   bash benchmark/run_r4_measurements.sh [outdir]
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONUNBUFFERED=1   # keep partial output when a step times out
 OUT=${1:-/tmp/bt_tpu_measurements/r4}
 mkdir -p "$OUT"
 log() { echo "[$(date -u +%H:%M:%S)] $*"; }
