@@ -391,3 +391,32 @@ class Serializable(abc.ABC):
         model = cls(cls_opt().get_default_option())
         model.load(path, data_fields)
         return model
+
+    def save_sharded(self, path, with_itemid_map=True,
+                     with_userid_map=True, data_fields=[]):
+        """Orbax directory checkpoint of the same records ``save``
+        writes: factor tables go to a sharded array tree (every process
+        writes only its own shards — the multi-host path pickle cannot
+        take), everything else to ``meta.pkl`` with the reference's
+        record framing.  See ``utils/checkpoint.py``."""
+        from buffalo_tpu.utils.checkpoint import save_checkpoint
+
+        if with_itemid_map:
+            self._id_state("item")
+        if with_userid_map:
+            self._id_state("user")
+        save_checkpoint(self._get_data(), path, data_fields)
+
+    def load_sharded(self, path, data_fields=[], sharding=None,
+                     shardings=None):
+        """Restore a ``save_sharded`` checkpoint.  ``sharding`` (one
+        ``NamedSharding`` for all arrays) or ``shardings`` ({name:
+        NamedSharding}) places factors directly into device shards;
+        with neither, arrays restore as host numpy.  Partial loads via
+        ``data_fields`` seek-skip like ``load``."""
+        from buffalo_tpu.utils.checkpoint import load_checkpoint
+
+        for name, obj in load_checkpoint(
+                path, data_fields, sharding=sharding,
+                shardings=shardings).items():
+            setattr(self, name, obj)
