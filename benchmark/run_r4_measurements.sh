@@ -34,10 +34,18 @@ step() {
         log "$label: $name.log already has results — skipping"
         return 0
     fi
-    if ! probe; then
-        log "$label: TPU service unhealthy — aborting session"
-        exit 1
-    fi
+    # a wedged remote compiler can take tens of minutes to drain;
+    # retry the health probe for up to an hour before giving up
+    local tries=0
+    while ! probe; do
+        tries=$((tries + 1))
+        if [ "$tries" -ge 12 ]; then
+            log "$label: TPU service unhealthy for 60 min — aborting"
+            exit 1
+        fi
+        log "$label: service unhealthy, retry $tries/12 in 5 min"
+        sleep 300
+    done
     log "$label"
     timeout "$to" "$@" 2>&1 | tee "$OUT/$name.log"
 }
