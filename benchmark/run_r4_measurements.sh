@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 step() {
     local label=$1 name=$2 to=$3; shift 3
-    if [ -s "$OUT/$name.log" ] && grep -q '"' "$OUT/$name.log" \
+    if [ -s "$OUT/$name.log" ] && grep -q '^{' "$OUT/$name.log" \
         && ! grep -q '"error"' "$OUT/$name.log"; then
         log "$label: $name.log already has results — skipping"
         return 0
@@ -86,6 +86,11 @@ step "6/9 retrieval ML-20M d=100 (approx + IVF probe sweep)" \
     retrieval_ml20m_d100 4800 \
     python benchmark/test_parallel.py --dataset ml20m --d 100 \
     --queries 10000 --approx --ann --n_probe 8 16 32 64 --spill 2
+step "7/9 retrieval brunch d=100 (headline; retry if the manual run
+died)" retrieval_brunch_d100 4800 \
+    python benchmark/test_parallel.py --dataset kakao_brunch_12m \
+    --d 100 --queries 10000 --approx --ann --n_probe 8 16 32 64 \
+    --spill 2
 step "7/9 retrieval brunch d=32" retrieval_brunch_d32 4800 \
     python benchmark/test_parallel.py --dataset kakao_brunch_12m \
     --d 32 --queries 10000 --approx --ann --n_probe 8 16 32 64 \
