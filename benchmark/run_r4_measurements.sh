@@ -82,6 +82,10 @@ step "5/9 BPR no-verify" bpr_noverify_ab 3600 \
     python benchmark/test_performance.py --algo bpr \
     --dataset ml20m --d 32 --epochs 3 --set verify_neg=false
 
+step "6/9 IVF merge A/B (device-fused sort vs host merge)" \
+    ivf_merge_ab 3600 \
+    python benchmark/microbench_ivf_merge.py
+
 step "6/9 retrieval ML-20M d=100 (approx + IVF probe sweep)" \
     retrieval_ml20m_d100 4800 \
     python benchmark/test_parallel.py --dataset ml20m --d 100 \

@@ -211,6 +211,9 @@ class IVFIndex:
         self.table = np.ascontiguousarray(
             np.asarray(table, dtype=np.float32)[item[order]])
         self.n_probe = int(n_probe)
+        # "auto" | "host" | "device": where the per-tile partial top-k
+        # merge runs (see search); auto = device on TPU, host on CPU
+        self.merge = "auto"
 
     # ----------------------------------------------------------------- build
     @classmethod
@@ -433,7 +436,16 @@ class IVFIndex:
 
         kk = min(topk, l_cap)
         spill = getattr(self, "spill", 1)
-        if jax.default_backend() == "tpu":
+        # merge placement: "auto" fuses scan+merge on TPU and merges on
+        # host for CPU (lax.sort measured 3x slower than the numpy
+        # composite-key merge there); "host"/"device" force one side —
+        # the A/B knob for benchmark/microbench_ivf_merge.py and an
+        # escape hatch if the fused multi-key lax.sort compiles
+        # pathologically on some backend build
+        merge = getattr(self, "merge", "auto")
+        use_device_merge = (merge == "device") or (
+            merge == "auto" and jax.default_backend() == "tpu")
+        if use_device_merge:
             # one dispatch for scan + merge; only (B, topk) comes back
             if _tiled_search_jit is None:
                 _tiled_search_jit = partial(
