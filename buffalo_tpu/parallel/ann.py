@@ -436,16 +436,16 @@ class IVFIndex:
 
         kk = min(topk, l_cap)
         spill = getattr(self, "spill", 1)
-        # merge placement: "auto" fuses scan+merge on TPU and merges on
-        # host for CPU (lax.sort measured 3x slower than the numpy
-        # composite-key merge there); "host"/"device" force one side —
-        # the A/B knob for benchmark/microbench_ivf_merge.py and an
-        # escape hatch if the fused multi-key lax.sort compiles
-        # pathologically on some backend build
+        # merge placement: "auto" currently merges on host everywhere —
+        # on CPU because lax.sort measured 3x slower than the numpy
+        # composite-key merge, on TPU because the fused multi-key
+        # lax.sort is in the compile class that wedged the remote
+        # compiler for the (deleted) two-stage top-k and has not yet
+        # been measured safe (benchmark/microbench_ivf_merge.py is the
+        # bounded A/B; flip auto back if "device" wins there).
+        # "device" forces the fused scan+merge single-dispatch path.
         merge = getattr(self, "merge", "auto")
-        use_device_merge = (merge == "device") or (
-            merge == "auto" and jax.default_backend() == "tpu")
-        if use_device_merge:
+        if merge == "device":
             # one dispatch for scan + merge; only (B, topk) comes back
             if _tiled_search_jit is None:
                 _tiled_search_jit = partial(
