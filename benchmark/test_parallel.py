@@ -78,14 +78,23 @@ def main():
     rng = np.random.default_rng(0)
     itemids = als._idmanager.itemids
     userids = als._idmanager.userids
+    def phase(msg):
+        # timestamped + flushed: a timed-out run's log shows exactly
+        # which compile/run it died in
+        print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
     uqs = [userids[i] for i in rng.integers(0, len(userids), args.queries)]
+    phase("warmup: topk_recommendation compile (64 queries)")
     par.topk_recommendation(uqs[:64], topk=args.topk)   # warmup compile
+    phase(f"timed: topk_recommendation x{args.queries}")
     st = time.perf_counter()
     _keys, topks, scores = par.topk_recommendation(uqs, topk=args.topk)
     tk_t = time.perf_counter() - st
 
     qs = [itemids[i] for i in rng.integers(0, len(itemids), args.queries)]
+    phase("warmup: most_similar (normalize + compile)")
     par.most_similar(qs[:64], topk=args.topk)  # normalizes factors
+    phase(f"timed: most_similar x{args.queries}")
     st = time.perf_counter()
     topks, scores = par.most_similar(qs, topk=args.topk)
     ms_t = time.perf_counter() - st
@@ -93,7 +102,9 @@ def main():
     approx_row = None
     if args.approx:
         par_ax = ParALS(als, approx=True)
+        phase("warmup: approx most_similar compile")
         par_ax.most_similar(qs, topk=args.topk)   # warmup at full count
+        phase("timed: approx most_similar")
         st = time.perf_counter()
         ax_topks, _ = par_ax.most_similar(qs, topk=args.topk)
         ax_t = time.perf_counter() - st
@@ -105,6 +116,7 @@ def main():
     if args.ann:
         from buffalo_tpu.parallel import IVFIndex
         exact_topks = np.asarray(topks)
+        phase("ivf: index build")
         st = time.perf_counter()
         index = IVFIndex.build(als.Q, n_probe=max(args.n_probe),
                                spill=args.spill,
@@ -116,7 +128,9 @@ def main():
             # warm up at the FULL query count: the IVF scorer's jit
             # cache is keyed on the tile shapes, so a small warmup
             # would leave one compile inside the timed region
+            phase(f"ivf: warmup probe={n_probe}")
             par.most_similar(qs, topk=args.topk)
+            phase(f"ivf: timed probe={n_probe}")
             st = time.perf_counter()
             ann_topks, _ = par.most_similar(qs, topk=args.topk)
             ann_t = time.perf_counter() - st
