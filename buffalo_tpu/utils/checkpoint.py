@@ -67,8 +67,9 @@ def save_checkpoint(records, path: str, data_fields=()):
     others = [(n, o) for n, o in records if not _is_array(o)]
 
     arr_dir = os.path.join(path, "arrays")
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(arr_dir, arrays, force=True)
+    if arrays:   # orbax rejects an empty tree (meta-only checkpoints)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(arr_dir, arrays, force=True)
 
     # meta.pkl is only written by process 0 (identical on all hosts)
     if jax.process_index() == 0:
@@ -113,6 +114,8 @@ def load_checkpoint(path: str, data_fields=(), sharding=None,
                     out[name] = pickle.loads(fh.read(size))
 
     arr_dir = os.path.join(path, "arrays")
+    if not os.path.isdir(arr_dir):   # meta-only checkpoint
+        return out
     with ocp.PyTreeCheckpointer() as ckptr:
         meta = ckptr.metadata(arr_dir).item_metadata.tree
         names = [n for n in meta.keys()
