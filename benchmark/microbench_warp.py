@@ -174,6 +174,10 @@ def main():
     ap.add_argument("--nnz", type=int, default=20_000_000)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--k", type=int, nargs="+", default=[8, 16, 32, 64])
+    ap.add_argument("--probe", default="lazy", choices=["lazy", "all"],
+                    help="probe mode for the production-kernel rows "
+                         "(the r4 lazy-probe optimization; ablation "
+                         "rows always replicate the all-probe body)")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
 
@@ -279,6 +283,8 @@ def main():
     prod = W.warp_epoch(P0, Q0, st0, users_c[:2], items_c[:2],
                         indptr_d, bloom, jax.random.PRNGKey(9),
                         jnp.int32(0), None, precomputed_probe=False,
+                        probe="all",   # the ablation body replicates
+                                       # the all-probe semantics
                         num_candidates=k_par, **full_statics)
     abl = make_ablate_epoch(frozenset())(
         P0b, Q0b, st0b, users_c[:2], items_c[:2], indptr_d, bloom,
@@ -291,16 +297,16 @@ def main():
     print(json.dumps({"parity": "ablation body == warp_epoch",
                       "ok": True}))
 
-    # production kernel: K sweep
+    # production kernel: K sweep at the requested probe mode
     def prod_epoch(P, Q, st, u, it, ip, bl, key, step, *,
                    num_candidates):
         return W.warp_epoch(P, Q, st, u, it, ip, bl, key, step, None,
-                            precomputed_probe=False,
+                            precomputed_probe=False, probe=args.probe,
                             num_candidates=num_candidates,
                             **full_statics)
 
     for k in args.k:
-        run(prod_epoch, {}, "warp_epoch", k)
+        run(prod_epoch, {}, f"warp_epoch[{args.probe}]", k)
 
     # ablations at max K
     kmax = max(args.k)

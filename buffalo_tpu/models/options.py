@@ -275,6 +275,15 @@ class WARPOption(AlgoOption):
             planted-cluster fixture measured NDCG 0.145+-0.011 vs
             0.153+-0.012 fixed (~0.7 sigma lower) — opt in when epoch
             time dominates and validate accuracy on your data.
+        :ivar str probe_mode: "lazy" (default) | "all" — TPU addition.
+            "lazy" bloom-probes only each sample's first few
+            margin-violating candidates (the all-K probe was measured
+            at 61% of the epoch; lazy cut ML-20M d=32 from 18.1 s to
+            ~8 s/epoch).  Trial ranks count seen non-violators as
+            tried (~0.5% inflation through Phi's log; see
+            ops/warp_kernels._select_violator_lazy); "all" keeps the
+            reference-exact trial-rank semantics and is forced under
+            epoch_dispatch="split".
         """
         opt = super().get_default_option()
         opt.update({
@@ -288,6 +297,7 @@ class WARPOption(AlgoOption):
             "score_func": "dot",
             "max_trials": 500,
             "adaptive_trials": False,
+            "probe_mode": "lazy",
             "epoch_dispatch": "auto",
             "update_i": True,
             "update_j": True,

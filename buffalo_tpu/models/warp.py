@@ -257,6 +257,16 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         cand_cap = int(min(max(int(opt.max_trials), 2), 64))
         adaptive = bool(opt.get("adaptive_trials", False)) and resident
         num_candidates = min(16, cand_cap) if adaptive else cand_cap
+        probe_mode = str(opt.get("probe_mode") or "lazy")
+        if probe_mode not in ("lazy", "all"):
+            raise ValueError(
+                f"probe_mode must be lazy|all, got {probe_mode!r}")
+        if split_probe and probe_mode == "lazy":
+            # the split dispatch ships all-K packed probe bits; lazy
+            # probing would leave them unread — keep semantics aligned
+            self.logger.debug("epoch_dispatch='split' forces "
+                              "probe_mode='all'")
+            probe_mode = "all"
         statics = dict(num_items=num_items, num_candidates=num_candidates,
                        score_func=str(opt.score_func),
                        threshold=float(opt.threshold),
@@ -266,7 +276,7 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
                        update_j=bool(opt.update_j),
                        per_coordinate_normalize=bool(
                            opt.per_coordinate_normalize),
-                       bloom_log2=bloom_log2)
+                       bloom_log2=bloom_log2, probe=probe_mode)
 
         self.sampling_loss_samples()
         rng = jax.random.PRNGKey(int(opt.random_seed))

@@ -58,12 +58,25 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     ``BUFFALO_TPU_CACHE_DIR=off`` to disable.  Safe to call repeatedly
     and after backend init (the config keys are runtime-settable).
     Returns the cache dir in use, or None when disabled.
+
+    On the CPU backend the cache only engages when explicitly
+    requested (env var or ``path``): CPU compiles are cheap, and
+    XLA:CPU AOT reloads warn about pseudo-feature mismatches
+    (+prefer-no-scatter et al.) and can SIGILL across machines.
     """
-    path = path or os.environ.get("BUFFALO_TPU_CACHE_DIR") \
-        or os.path.expanduser("~/.cache/buffalo_tpu/jax_cache")
+    explicit = path or os.environ.get("BUFFALO_TPU_CACHE_DIR")
+    path = explicit or os.path.expanduser("~/.cache/buffalo_tpu/jax_cache")
     if str(path).lower() in ("off", "none", "0", ""):
         return None
     import jax
+
+    # decide by the DECLARED platform (jax_platforms / JAX_PLATFORMS),
+    # not default_backend(): the latter would initialize the backend at
+    # model-construction time, ahead of the callers' init watchdogs
+    declared = (jax.config.jax_platforms
+                or os.environ.get("JAX_PLATFORMS", ""))
+    if not explicit and str(declared).startswith("cpu"):
+        return None
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(path))

@@ -48,6 +48,55 @@ def test_accuracy_floor_dot(ml_data):
     assert r["val_map"] > 0.15
 
 
+def test_probe_all_matches_floor(ml_data):
+    """probe_mode="all" (reference-exact trial ranks) meets the same
+    accuracy floor as the lazy default — the two differ only through
+    seen candidates (~3% bloom rate) in trial counts and the 4-probe
+    violator cap."""
+    _, r = _train(ml_data, num_iters=30, probe_mode="all")
+    assert r["val_ndcg"] > 0.25
+    assert r["val_map"] > 0.15
+
+
+def test_lazy_probe_bitwise_parity_when_nothing_seen():
+    """With an all-zeros bloom filter (no candidate is ever seen) the
+    lazy path's selection and trial ranks are BIT-IDENTICAL to the
+    all-candidates probe — the semantic deltas exist only through
+    seen candidates."""
+    import jax
+    import jax.numpy as jnp
+
+    from buffalo_tpu.ops import warp_kernels as W
+
+    rng = np.random.default_rng(0)
+    N, K, d, U, I = 64, 8, 8, 50, 40
+    P = jnp.asarray(rng.standard_normal((U, d)).astype(np.float32))
+    Q = jnp.asarray(rng.standard_normal((I, d)).astype(np.float32))
+    users = jnp.asarray(rng.integers(0, U, (2, N)).astype(np.int32))
+    pos = jnp.asarray(rng.integers(0, I, (2, N)).astype(np.int32))
+    indptr = jnp.asarray(np.zeros(U + 1, np.int64))
+    bloom = jnp.zeros(1 << 11, jnp.uint32)   # log2_bits=16 -> 2^11 words
+
+    def run(probe):
+        st = {"mP": jnp.zeros_like(P), "vP": jnp.zeros_like(P),
+              "mQ": jnp.zeros_like(Q), "vQ": jnp.zeros_like(Q)}
+        out = W.warp_epoch(
+            jnp.array(P), jnp.array(Q), st, users, pos, indptr, bloom,
+            jax.random.PRNGKey(3), jnp.int32(0), None,
+            precomputed_probe=False, probe=probe, optimizer="adagrad",
+            num_items=I, num_candidates=K, score_func="dot",
+            threshold=1.0, reg_u=0.0, reg_i=0.0, reg_j=0.0,
+            update_i=True, update_j=True,
+            per_coordinate_normalize=False, lr=0.05, beta1=0.9,
+            beta2=0.999, num_valid=2 * N, bloom_log2=16)
+        return np.asarray(out[0]), np.asarray(out[1])
+
+    P_lazy, Q_lazy = run("lazy")
+    P_all, Q_all = run("all")
+    np.testing.assert_array_equal(P_lazy, P_all)
+    np.testing.assert_array_equal(Q_lazy, Q_all)
+
+
 def test_l2_cml_variant(ml_data):
     m, r = _train(ml_data, score_func="l2", num_iters=25)
     assert r["val_ndcg"] > 0.06
@@ -125,10 +174,13 @@ def test_l2_most_similar_ranks_by_distance(ml_data):
 def test_split_dispatch_parity(ml_data):
     """epoch_dispatch="split" probes the bloom filter in a separate
     program (packed seen bits) while the update program redraws the
-    same candidates — factors must match the fused epoch exactly."""
+    same candidates — factors must match the fused epoch exactly.
+    split ships all-K probe bits, so both sides pin probe_mode="all"
+    (the lazy default probes violators only)."""
     def run(dispatch):
         np.random.seed(11)
-        m, _ = _train(ml_data, num_iters=4, epoch_dispatch=dispatch)
+        m, _ = _train(ml_data, num_iters=4, epoch_dispatch=dispatch,
+                      probe_mode="all")
         return m
 
     fused = run("fused")
