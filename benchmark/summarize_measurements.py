@@ -47,6 +47,10 @@ REF_RETRIEVAL = {"exact_1t": 63.93, "exact_4t": 21.76, "hnsw_1t": 0.223}
 def parse_records(outdir: str):
     recs = []
     for path in sorted(glob.glob(os.path.join(outdir, "*.log"))):
+        # meta-logs re-echo every step's lines (tee) — skip to avoid
+        # duplicate rows
+        if os.path.basename(path) in ("runner.log", "followups.log"):
+            continue
         with open(path) as f:
             for line in f:
                 line = line.strip()
