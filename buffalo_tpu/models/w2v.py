@@ -115,6 +115,21 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         self._vocab.total_word_count = total_word_count
         self.logger.info(f"Vocab({total_vocab}) TotalWords({total_word_count})")
 
+    def get_sampling_distribution(self, uni, use, total_vocab):
+        """Cumulative unigram^0.75 negative-sampling table — the
+        reference's public helper (w2v.py:140-157), kept for call-site
+        parity: ``uni`` per-raw-item counts, ``use`` 1-based compacted
+        index (0 = dropped), returns int32 cum table scaled to 2^31-1.
+        ``build_vocab`` computes the same table vectorized."""
+        dist0 = np.zeros(total_vocab, dtype=np.float64)
+        use = np.asarray(use)
+        uni = np.asarray(uni)
+        kept = use > 0
+        dist0[use[kept] - 1] = uni[kept]
+        dist0 = dist0 ** 0.75
+        dist0 /= dist0.sum()
+        return (np.cumsum(dist0) * 0x7FFFFFFF).astype(np.int32)
+
     def init_factors(self, vocab_size):
         d = self.opt.d
         self.L0 = np.abs(np.random.normal(
