@@ -1,18 +1,27 @@
-"""Micro-benchmark: IVF partial-top-k merge — device-fused vs host.
+"""IVF merge placement: the decision record (settled 2026-08-19, r4).
 
-The TPU search path fuses the per-tile partial-top-k merge into the
-scoring dispatch (two/three multi-key stable ``lax.sort`` passes over
-~B * n_probe * k elements, ``parallel/ann.py::_tiled_search``); the
-CPU path reads the partials back and merges with numpy composite keys.
-The fused sort belongs to the compile class that wedged the remote TPU
-compiler for the (deleted) two-stage top-k, so the decision needs its
-own bounded measurement instead of riding inside every retrieval
-benchmark.  ``IVFIndex.merge = "host" | "device"`` is the knob.
+Two merges of the per-tile partial top-k existed:
 
-Run on the chip:
+- **host** (numpy composite int64 keys + argsort): the shipped path.
+- **device-fused** (two/three multi-key stable ``lax.sort`` passes
+  inside the scoring dispatch): built for TPU, DELETED on this data —
+  its compile ran 45 minutes and then killed the remote compiler
+  connection (``UNAVAILABLE: remote_compile: Network Error: Unexpected
+  EOF``), the same pathological-compile class as the (also deleted)
+  two-stage top-k.  Measured rows from the deciding run
+  (v5e, 505840x100 table, 10k queries, n_probe=32, spill=2):
+
+      {"merge": "host",   "search_s": 7.886, "q_per_s": 1268}
+      {"merge": "device", "error": "UNAVAILABLE: ... Unexpected EOF"}
+
+  For scale: the EXACT full-scan at the same shape is 0.76 s warm
+  (one MXU matmul + top_k per chunk) — on one chip, dense scan beats
+  IVF up to at least ~500k items, so the merge was never the lever.
+
+This script now times the shipped host-merge path only (kept so the
+decision can be re-checked on future backend builds).
+
   python benchmark/microbench_ivf_merge.py [--rows 505840] [--d 100]
-CPU smoke:
-  JAX_PLATFORMS=cpu python benchmark/microbench_ivf_merge.py --smoke
 """
 from __future__ import annotations
 
@@ -62,52 +71,34 @@ def main():
     from buffalo_tpu.parallel import IVFIndex
 
     rng = np.random.default_rng(0)
-    # clustered table so the IVF has real structure
     k_lat = 64
     C = rng.standard_normal((k_lat, args.d)).astype(np.float32)
     lab = rng.integers(0, k_lat, args.rows)
     table = (C[lab] + 0.3 * rng.standard_normal(
         (args.rows, args.d))).astype(np.float32)
     table /= np.linalg.norm(table, axis=1, keepdims=True)
-    queries = table[rng.integers(0, args.rows, args.queries)] \
-        + 0.1 * rng.standard_normal(
-            (args.queries, args.d)).astype(np.float32)
-    queries = queries.astype(np.float32)
+    queries = (table[rng.integers(0, args.rows, args.queries)]
+               + 0.1 * rng.standard_normal(
+                   (args.queries, args.d))).astype(np.float32)
 
     t0 = time.perf_counter()
     index = IVFIndex.build(table, n_probe=args.n_probe, spill=2)
     build_t = time.perf_counter() - t0
-    print(json.dumps({"config": "ivf_merge_ab", "rows": args.rows,
+    print(json.dumps({"config": "ivf_host_merge", "rows": args.rows,
                       "d": args.d, "queries": args.queries,
                       "n_probe": args.n_probe,
                       "build_s": round(build_t, 2),
                       "backend": jax.default_backend()}))
-
-    ref_i = None
-    for merge in ("host", "device"):
-        index.merge = merge
-        try:
-            t0 = time.perf_counter()
-            ids, vals = index.search(queries, args.topk)   # compile
-            warm = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                ids, vals = index.search(queries, args.topk)
-            el = (time.perf_counter() - t0) / args.iters
-        except Exception as e:
-            print(json.dumps({"merge": merge, "error": str(e)[:160]}))
-            continue
-        row = {"merge": merge, "search_s": round(el, 4),
-               "warmup_s": round(warm, 1),
-               "q_per_s": round(args.queries / el)}
-        if ref_i is None:
-            ref_i = np.asarray(ids)
-        else:
-            agree = float(np.mean([
-                len(set(a) & set(b)) / max(len(set(b)), 1)
-                for a, b in zip(np.asarray(ids), ref_i)]))
-            row["overlap_vs_host"] = round(agree, 4)
-        print(json.dumps(row))
+    t0 = time.perf_counter()
+    index.search(queries, args.topk)
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        index.search(queries, args.topk)
+    el = (time.perf_counter() - t0) / args.iters
+    print(json.dumps({"merge": "host", "search_s": round(el, 4),
+                      "warmup_s": round(warm, 1),
+                      "q_per_s": round(args.queries / el)}))
 
 
 if __name__ == "__main__":

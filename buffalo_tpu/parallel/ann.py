@@ -81,74 +81,20 @@ def _tiled_score(queries, table_pad, qidx, qmask, lo, ln, *, k, l_cap):
     return vals, pos
 
 
-def _tiled_search(queries, table_pad, ids, qidx, qmask, lo, ln, *,
-                  k, l_cap, topk, n_queries, dedup):
-    """Tiled scoring + device-side merge in one program.
-
-    Runs :func:`_tiled_score`, then merges the per-tile partial top-k
-    directly on device — a lexicographic ``lax.sort`` by (query, score
-    desc) plus a segmented rank — so only the final (B, topk) result
-    ever crosses back to the host.  At 10k queries x 32 probes the
-    host-side merge costs ~0.3-0.5 s plus a ~50 MB readback over the
-    tunneled link; on device it rides the same single dispatch.
-
-    ``dedup=True`` (spill indexes) first collapses duplicate
-    (query, item) pairs to their best score with one extra sort.
-    Returns ids int32[B, topk] (-1 padded) and scores f32[B, topk].
-    """
-    import jax
-    import jax.numpy as jnp
-
-    vals, pos = _tiled_score(queries, table_pad, qidx, qmask, lo, ln,
-                             k=k, l_cap=l_cap)
-    shape = vals.shape
-    v = vals.reshape(-1)
-    p = pos.reshape(-1)
-    q = jnp.broadcast_to(qidx[:, :, None], shape).reshape(-1)
-    ok = jnp.broadcast_to(qmask[:, :, None], shape).reshape(-1) \
-        & jnp.isfinite(v)
-    B = n_queries
-    qk = jnp.where(ok, q, B)          # sentinel segment sorts last
-    item = jnp.take(ids, p)           # table position -> item id
-    nv = -v                           # ascending == score descending
-
-    if dedup:
-        # collapse duplicates: sort by (query, item, -score); the first
-        # entry of each (query, item) run is its best score
-        sq, si, sv = jax.lax.sort((qk, item, nv), num_keys=3,
-                                  is_stable=True)
-        first = jnp.concatenate(
-            [jnp.ones(1, bool), (sq[1:] != sq[:-1]) | (si[1:] != si[:-1])])
-        qk, item, nv = jnp.where(first, sq, B), si, sv
-
-    qf, nvf, itf = jax.lax.sort((qk, nv, item), num_keys=2,
-                                is_stable=True)
-    idxs = jnp.arange(qf.shape[0], dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones(1, bool), qf[1:] != qf[:-1]])
-    seg_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, idxs, 0))
-    rank = idxs - seg_start
-    take = (rank < topk) & (qf < B)
-    row = jnp.where(take, qf, B)      # out-of-range rows are dropped
-    col = jnp.where(take, rank, 0)
-    out_i = jnp.full((B, topk), -1, jnp.int32)
-    out_v = jnp.zeros((B, topk), jnp.float32)
-    out_i = out_i.at[row, col].set(itf.astype(jnp.int32), mode="drop")
-    out_v = out_v.at[row, col].set(-nvf, mode="drop")
-    return out_i, out_v
-
-
-_tiled_score_jit = None   # CPU path: scan on device, merge on host
-_tiled_search_jit = None  # TPU path: scan + merge in one dispatch
+_tiled_score_jit = None   # scan on device, merge on host
 
 
 def _merge_host(vals, pos, qidx, qmask, ids, B, topk, spill):
     """Host-side merge of the per-tile partial top-k (numpy).
 
     Composite int64 keys + one argsort per pass: measured ~5x faster
-    than np.lexsort and ~3x faster than running the device merge's
-    lax.sort on CPU — this is the CPU-backend merge; TPU fuses the
-    merge into the scoring dispatch (_tiled_search).
+    than np.lexsort and ~3x faster than lax.sort on CPU.  This is the
+    ONLY merge: a device-fused variant (lexicographic multi-key
+    ``lax.sort`` + segmented rank in the scoring dispatch) was built
+    for TPU but its compile killed the remote compiler after 45 min
+    (``Network Error: Unexpected EOF``, r4 ``ivf_merge_ab.log``) — the
+    same pathological-compile class as the deleted two-stage top-k —
+    so it was deleted on that data (CLAUDE.md round-4 notes).
     """
     m = qmask[:, :, None] & np.isfinite(vals)
     qq = np.broadcast_to(qidx[:, :, None], vals.shape)[m]
@@ -211,9 +157,6 @@ class IVFIndex:
         self.table = np.ascontiguousarray(
             np.asarray(table, dtype=np.float32)[item[order]])
         self.n_probe = int(n_probe)
-        # "auto" | "host" | "device": where the per-tile partial top-k
-        # merge runs (see search); auto = device on TPU, host on CPU
-        self.merge = "auto"
 
     # ----------------------------------------------------------------- build
     @classmethod
@@ -423,42 +366,20 @@ class IVFIndex:
             lo_t = np.append(lo_t, np.zeros(pad, np.int32))
             ln_t = np.append(ln_t, np.zeros(pad, np.int32))
 
-        global _tiled_score_jit, _tiled_search_jit
+        global _tiled_score_jit
         if getattr(self, "_table_dev", None) is None:
-            # transfer the (zero-tail-padded) table + id map once;
-            # dynamic_slice may read up to l_cap <= _L_CAP_MAX rows
-            # past the last cell
+            # transfer the (zero-tail-padded) table once; dynamic_slice
+            # may read up to l_cap <= _L_CAP_MAX rows past the last cell
             self._table_dev = jax.device_put(np.vstack(
                 [self.table,
                  np.zeros((_L_CAP_MAX, self.table.shape[1]),
                           np.float32)]))
-            self._ids_dev = jax.device_put(self.ids)
 
         kk = min(topk, l_cap)
         spill = getattr(self, "spill", 1)
-        # merge placement: "auto" currently merges on host everywhere —
-        # on CPU because lax.sort measured 3x slower than the numpy
-        # composite-key merge, on TPU because the fused multi-key
-        # lax.sort is in the compile class that wedged the remote
-        # compiler for the (deleted) two-stage top-k and has not yet
-        # been measured safe (benchmark/microbench_ivf_merge.py is the
-        # bounded A/B; flip auto back if "device" wins there).
-        # "device" forces the fused scan+merge single-dispatch path.
-        merge = getattr(self, "merge", "auto")
-        if merge == "device":
-            # one dispatch for scan + merge; only (B, topk) comes back
-            if _tiled_search_jit is None:
-                _tiled_search_jit = partial(
-                    jax.jit, static_argnames=("k", "l_cap", "topk",
-                                              "n_queries", "dedup"))(
-                    _tiled_search)
-            out_i, out_v = _tiled_search_jit(
-                queries, self._table_dev, self._ids_dev, qidx, qmask,
-                lo_t, ln_t, k=kk, l_cap=l_cap, topk=topk, n_queries=B,
-                dedup=spill > 1)
-            return np.asarray(out_i), np.asarray(out_v)
-        # CPU: lax.sort is ~3x slower than the numpy composite-key
-        # merge, so read the partials back and merge on host
+        # scoring runs on device (one lax.scan dispatch); the partial
+        # top-k merge runs on host (see _merge_host for why there is
+        # no device merge)
         if _tiled_score_jit is None:
             _tiled_score_jit = partial(
                 jax.jit, static_argnames=("k", "l_cap"))(_tiled_score)

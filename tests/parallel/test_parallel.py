@@ -314,11 +314,11 @@ def test_ivf_pick_cap_cost_model():
     assert _pick_cap(np.array([], dtype=np.int64), _L_CAPS) == _L_CAPS[0]
 
 
-def test_ivf_device_merge_matches_host_merge(monkeypatch):
-    """The TPU path fuses the merge on device (lax.sort + segmented
-    rank); it must produce exactly what the CPU host merge produces —
-    run both explicitly on the CPU backend."""
-    import jax
+def test_ivf_merge_matches_bruteforce():
+    """The host merge (composite int64 keys + argsort — the ONLY merge;
+    the device-fused variant's compile killed the remote TPU compiler
+    and was deleted, r4 ivf_merge_ab.log) must match a brute-force
+    per-query merge of the probed candidates exactly."""
     from buffalo_tpu.parallel.ann import IVFIndex
 
     rng = np.random.default_rng(7)
@@ -326,21 +326,14 @@ def test_ivf_device_merge_matches_host_merge(monkeypatch):
     T /= np.linalg.norm(T, axis=1, keepdims=True)
     q = T[rng.integers(0, len(T), 200)]
     for spill in (1, 2):
-        idx = IVFIndex.build(T, n_clusters=50, n_probe=12, spill=spill)
-        host_i, host_v = idx.search(q, topk=7)     # CPU -> host merge
-
-        # force the device-merge path on the CPU backend (search()
-        # imports the global jax module)
-        idx2 = IVFIndex.build(T, n_clusters=50, n_probe=12,
-                              spill=spill)
-        with monkeypatch.context() as mp:
-            mp.setattr(jax, "default_backend", lambda: "tpu")
-            dev_i, dev_v = idx2.search(q, topk=7)
-        np.testing.assert_allclose(host_v, dev_v, rtol=1e-6, atol=1e-7)
-        # ties may order differently between the two sorts; ids must
-        # agree wherever the score at that rank is untied
-        diff = host_i != dev_i
-        assert np.all(~diff | np.isclose(host_v, dev_v, rtol=1e-6))
+        idx = IVFIndex.build(T, n_clusters=50, n_probe=50, spill=spill)
+        got_i, got_v = idx.search(q, topk=7)       # full probe = exact
+        ref = q @ T.T
+        ref_i = np.argsort(-ref, axis=1)[:, :7]
+        ref_v = np.take_along_axis(ref, ref_i, axis=1)
+        np.testing.assert_allclose(got_v, ref_v, rtol=1e-5, atol=1e-6)
+        diff = got_i != ref_i
+        assert np.all(~diff | np.isclose(got_v, ref_v, rtol=1e-5))
 
 
 def test_facade_approx_selection(ml_data):
