@@ -84,8 +84,12 @@ def main():
         print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
     uqs = [userids[i] for i in rng.integers(0, len(userids), args.queries)]
-    phase("warmup: topk_recommendation compile (64 queries)")
-    par.topk_recommendation(uqs[:64], topk=args.topk)   # warmup compile
+    # warm at the FULL query count: the chunked scan is jit-keyed on
+    # the (bucketed) chunk count, so a 64-query warmup would leave the
+    # full-count compile inside the timed region (r4 ml20m run showed
+    # 4.9 s "timed" topk vs 0.3 s for the identical program warm)
+    phase(f"warmup: topk_recommendation compile x{args.queries}")
+    par.topk_recommendation(uqs, topk=args.topk)
     phase(f"timed: topk_recommendation x{args.queries}")
     st = time.perf_counter()
     _keys, topks, scores = par.topk_recommendation(uqs, topk=args.topk)
@@ -93,7 +97,7 @@ def main():
 
     qs = [itemids[i] for i in rng.integers(0, len(itemids), args.queries)]
     phase("warmup: most_similar (normalize + compile)")
-    par.most_similar(qs[:64], topk=args.topk)  # normalizes factors
+    par.most_similar(qs, topk=args.topk)  # normalizes factors
     phase(f"timed: most_similar x{args.queries}")
     st = time.perf_counter()
     topks, scores = par.most_similar(qs, topk=args.topk)
