@@ -89,12 +89,24 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny-shape CPU sanity run of the full harness")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="shrink users/items/nnz by this factor "
+                         "(bisect knob for the r4 W2V worker crash)")
     args = ap.parse_args()
 
     # --smoke implies the CPU pin; otherwise honor JAX_PLATFORMS=cpu
     pin_cpu_if_requested(force=args.smoke)
 
     tag = "_smoke" if args.smoke else ""
+    if args.scale != 1.0:
+        # rebind the module-level shape constants in THIS module's
+        # globals (running as __main__, `import test_stream_scale`
+        # would create a second copy and miss)
+        global USERS, ITEMS, NNZ
+        USERS = max(100, int(USERS * args.scale))
+        ITEMS = max(100, int(ITEMS * args.scale))
+        NNZ = max(10_000, int(NNZ * args.scale))
+        tag = f"_s{args.scale:g}"
     stream = write_synth_stream(
         os.path.join(tempfile.gettempdir(), "bt_stream_corpus" + tag),
         smoke=args.smoke)
