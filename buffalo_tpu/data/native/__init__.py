@@ -82,6 +82,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.fileio_checksum.restype = None
+        lib.fileio_checksum.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
         lib.fileio_gather_remapped.restype = None
         lib.fileio_gather_remapped.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -196,6 +200,25 @@ def build_sppmi_native(indptr: np.ndarray, keys: np.ndarray,
                 cap = -got
 
     return list(parts())
+
+
+def checksum_native(arr: np.ndarray, n_chunks: int = 64):
+    """Exact parallel positional checksum (see ``fileio_checksum``).
+
+    Returns int64[n_chunks] chunk sums, or None when the native library
+    is unavailable or the buffer is unaligned/non-contiguous (caller
+    falls back to the numpy pass).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not arr.flags.c_contiguous or arr.ctypes.data % 8 != 0 \
+            or arr.nbytes < 8 * n_chunks:
+        return None
+    out = np.zeros(n_chunks, dtype=np.int64)
+    lib.fileio_checksum(arr.ctypes.data_as(ctypes.c_void_p),
+                        arr.nbytes, _ptr(out, ctypes.c_int64), n_chunks)
+    return out
 
 
 def gather_remapped_native(indptr: np.ndarray, key: np.ndarray,

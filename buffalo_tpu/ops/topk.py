@@ -60,17 +60,42 @@ _stage_cache: "OrderedDict" = None  # lazy OrderedDict[key -> (host, dev)]
 
 
 def _fingerprint(arr: np.ndarray) -> bytes:
-    """Positional checksum reading every element once (~ms per 100MB):
-    64 chunk sums + the tail sum.  Any realistic in-place mutation
-    (normalize, factor updates, bias edits) lands in some chunk and
-    changes its sum; only an exact same-chunk cancellation escapes."""
-    flat = arr.reshape(-1)
-    n = flat.shape[0]
-    body = n - (n % 64)
-    sums = flat[:body].reshape(64, -1).sum(axis=1, dtype=np.float64) \
-        if body else np.zeros(64)
-    tail = flat[body:].sum(dtype=np.float64)
-    return sums.tobytes() + np.float64(tail).tobytes()
+    """Exact positional checksum reading every element once: the raw
+    buffer split into 64 contiguous int64-word ranges, each
+    wrap-around-summed (tail bytes into the last chunk).  Integer sums
+    are exact, so ANY in-place bit change lands in some chunk and
+    changes its sum; only an exact same-chunk cancellation (two
+    compensating edits) escapes.
+
+    The hot path is the OpenMP kernel (``fileio_checksum``) running at
+    memory bandwidth across threads; the former single-threaded
+    float64 numpy pass cost ~120 ms on a 202 MB brunch-scale factor
+    table — 34% of a warm 10k-query approx retrieval call.  The numpy
+    fallback below computes the identical sums single-threaded.
+    """
+    from buffalo_tpu.data.native import checksum_native
+
+    a = np.ascontiguousarray(arr)
+    sums = checksum_native(a)
+    if sums is not None:
+        return sums.tobytes()
+    b = a.reshape(-1).view(np.uint8)
+    n = b.shape[0]
+    words = b[: (n // 8) * 8].view(np.uint64)
+    out = np.zeros(64, dtype=np.uint64)
+    n_words = words.shape[0]
+    with np.errstate(over="ignore"):    # uint64 wrap IS the checksum
+        if n_words >= 64:
+            per = n_words // 64
+            out += words[: per * 64].reshape(64, per).sum(
+                axis=1, dtype=np.uint64)
+            out[63] += words[per * 64:].sum(dtype=np.uint64)
+        elif n_words:
+            out[63] += words.sum(dtype=np.uint64)
+        tail = b[(n // 8) * 8:]
+        if tail.shape[0]:
+            out[63] += tail.sum(dtype=np.uint64)
+    return out.tobytes()
 
 
 def _stage(arr: np.ndarray) -> jax.Array:

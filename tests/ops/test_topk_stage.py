@@ -32,6 +32,28 @@ def test_stage_cache_pool_and_bias_not_cached():
     assert after - before <= 1  # only the stable full table is cached
 
 
+def test_fingerprint_native_matches_numpy_fallback(monkeypatch):
+    """The OpenMP ``fileio_checksum`` and the numpy fallback must
+    produce identical chunk sums (incl. non-multiple-of-8 tails and
+    sub-64-word buffers), and a single-element in-place write must
+    change the fingerprint through either path."""
+    from buffalo_tpu.ops import topk as topk_mod
+    import buffalo_tpu.data.native as native_mod
+
+    rng = np.random.default_rng(3)
+    for shape in [(5000, 100), (1000, 7), (63,), (129, 3), (2,)]:
+        a = rng.standard_normal(int(np.prod(shape))).astype(
+            np.float32).reshape(shape)
+        fp = topk_mod._fingerprint(a)
+        with monkeypatch.context() as m:
+            m.setattr(native_mod, "checksum_native",
+                      lambda arr, n_chunks=64: None)
+            fp_fallback = topk_mod._fingerprint(a)
+        assert fp == fp_fallback, shape
+        a.reshape(-1)[int(np.prod(shape)) // 2] += 1e-7
+        assert topk_mod._fingerprint(a) != fp, shape
+
+
 def test_batch_topn_approx_mode_close_to_exact():
     """approx=True routes to lax.approx_max_k; on small catalogs the
     partial reduction degenerates to exact, so results must match."""
