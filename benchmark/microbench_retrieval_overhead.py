@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys as _sys
 import time
 from pathlib import Path as _Path
@@ -72,8 +73,24 @@ def main():
     if args.smoke:
         args.items, args.queries, args.reps = 4096, 512, 2
 
+    # backend-init watchdog (same contract as the sibling benches): a
+    # down axon service hangs jax.devices() indefinitely — emit the
+    # error JSON the runner health-gates on instead of wedging the
+    # serialized measurement session
+    import threading
+
+    def _watchdog():
+        print(json.dumps({"error": "backend init exceeded 900 s"}),
+              flush=True)
+        os._exit(3)
+
+    timer = threading.Timer(900.0, _watchdog)
+    timer.daemon = True
+    timer.start()
+    devices = jax.devices()
+    timer.cancel()
     utils.enable_compilation_cache()
-    backend = jax.devices()[0].platform
+    backend = devices[0].platform
     rng = np.random.default_rng(0)
     Q = rng.standard_normal((args.items, args.d), dtype=np.float32)
     p = rng.standard_normal((args.queries, args.d), dtype=np.float32)

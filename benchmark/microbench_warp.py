@@ -51,11 +51,11 @@ def synth_csr(num_users, num_items, nnz, seed=0):
 
 
 def driver_batch_size(nnz, d, max_trials=500):
-    """Mirror models/warp.py's batch sizing rule."""
-    batch_size = min(max(nnz // 32, 1024), 1 << 18)
-    k_worst = int(min(max(max_trials, 2), 64))
-    cap = (512 << 20) // max(k_worst * d * 4, 1)
-    return max(min(batch_size, cap), 1024)
+    """The PRODUCTION batch-sizing rule (imported, not copied, so the
+    profile's chunk geometry cannot drift from real warp_epoch runs)."""
+    from buffalo_tpu.models.warp import default_batch_size
+
+    return default_batch_size(nnz, d, max_trials)
 
 
 def make_ablate_epoch(ablate: frozenset):

@@ -25,9 +25,12 @@ import jax.numpy as jnp
 
 step() {
     local label=$1 name=$2 to=$3; shift 3
-    if [ -s "$OUT/$name.log" ] && grep -q '^{' "$OUT/$name.log" \
+    # a step only counts as done when its command EXITED cleanly (a
+    # timed-out sweep leaves partial JSON rows — resuming must re-run
+    # it, not skip the missing rows): require the completion marker
+    if [ -s "$OUT/$name.log" ] && grep -q '"step_complete"' "$OUT/$name.log" \
         && ! grep -q '"error"' "$OUT/$name.log"; then
-        log "$label: $name.log already has results — skipping"
+        log "$label: $name.log complete — skipping"
         return 0
     fi
     local tries=0
@@ -42,6 +45,12 @@ step() {
     done
     log "$label"
     timeout "$to" "$@" 2>&1 | tee "$OUT/$name.log"
+    local rc=${PIPESTATUS[0]}
+    if [ "$rc" -eq 0 ]; then
+        echo "{\"step_complete\": \"$name\"}" >> "$OUT/$name.log"
+    else
+        log "$label: exit $rc (no completion marker — will re-run on resume)"
+    fi
 }
 
 step "f1 stream-scale W2V retry (crashed worker on first attempt)" \

@@ -26,6 +26,24 @@ from buffalo_tpu.ops import sgd_kernels as K
 from buffalo_tpu.ops import warp_kernels as W
 
 
+def default_batch_size(nnz: int, d: int, max_trials: int) -> int:
+    """Auto batch size for the WARP epoch (shared with the profiling
+    microbench so its chunk geometry cannot drift from production).
+
+    Keep >= 32 sequential steps per epoch: the reference's hogwild
+    applies nnz tiny updates per epoch, and a single whole-epoch
+    megabatch step cannot match its learning dynamics at small nnz
+    (cf. w2v.py's same rule).  Then bound the per-chunk candidate
+    live-set: the epoch materializes a (batch, K, d) gathered-candidate
+    tensor, and 2^18 x 64 x 64 x 4B = 4.3 GB OOMed a 16 GB chip
+    (measured, ML-20M d=64); budget it at ~512 MB worst-case.
+    """
+    batch_size = min(max(nnz // 32, 1024), 1 << 18)
+    k_worst = int(min(max(int(max_trials), 2), 64))
+    cap = (512 << 20) // max(k_worst * int(d) * 4, 1)
+    return max(min(batch_size, cap), 1024)
+
+
 class WARP(Algo, WARPOption, Evaluable, Serializable):
     """Python driver for TPU WARP."""
 
@@ -170,18 +188,8 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
 
         batch_size = int(opt.get("batch_size") or 0)
         if batch_size <= 0:
-            # keep >= 32 sequential steps per epoch: the reference's
-            # hogwild applies nnz tiny updates per epoch, and a single
-            # whole-epoch megabatch step cannot match its learning
-            # dynamics at small nnz (cf. w2v.py's same rule)
-            batch_size = min(max(self.num_nnz // 32, 1024), 1 << 18)
-            # bound the per-chunk candidate live-set: the epoch
-            # materializes a (batch, K, d) gathered-candidate tensor,
-            # and 2^18 x 64 x 64 x 4B = 4.3 GB OOMed a 16 GB chip
-            # (measured, ML-20M d=64); budget it at ~512 MB worst-case
-            k_worst = int(min(max(int(opt.max_trials), 2), 64))
-            cap = (512 << 20) // max(k_worst * int(opt.d) * 4, 1)
-            batch_size = max(min(batch_size, cap), 1024)
+            batch_size = default_batch_size(
+                self.num_nnz, int(opt.d), int(opt.max_trials))
 
         group = self.data.get_group("rowwise")
         indptr = jax.device_put(np.asarray(group["indptr"], dtype=np.int64))

@@ -72,10 +72,14 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
 
     # decide by the DECLARED platform (jax_platforms / JAX_PLATFORMS),
     # not default_backend(): the latter would initialize the backend at
-    # model-construction time, ahead of the callers' init watchdogs
-    declared = (jax.config.jax_platforms
-                or os.environ.get("JAX_PLATFORMS", ""))
-    if not explicit and str(declared).startswith("cpu"):
+    # model-construction time, ahead of the callers' init watchdogs.
+    # Auto-enable ONLY when a non-CPU platform is declared first
+    # (e.g. "axon,cpu", "tpu"); an EMPTY declaration — the plain
+    # external CPU install — must stay off too, not just "cpu...",
+    # or the cache would engage on XLA:CPU by default.
+    declared = str(jax.config.jax_platforms
+                   or os.environ.get("JAX_PLATFORMS", ""))
+    if not explicit and (not declared or declared.startswith("cpu")):
         return None
 
     os.makedirs(path, exist_ok=True)

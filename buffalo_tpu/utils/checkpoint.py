@@ -70,6 +70,13 @@ def save_checkpoint(records, path: str, data_fields=()):
     if arrays:   # orbax rejects an empty tree (meta-only checkpoints)
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(arr_dir, arrays, force=True)
+    elif os.path.isdir(arr_dir) and jax.process_index() == 0:
+        # re-saving meta-only over an existing checkpoint: a stale
+        # arrays/ tree from a previous save would be silently restored
+        # by load_checkpoint — replace-wholesale like Serializable.save
+        import shutil
+
+        shutil.rmtree(arr_dir)
 
     # meta.pkl is only written by process 0 (identical on all hosts)
     if jax.process_index() == 0:

@@ -98,3 +98,17 @@ def test_save_sharded_from_device_arrays(als, tmp_path):
         np.testing.assert_array_equal(np.asarray(m2.P), host_P)
     finally:
         als.P = host_P
+
+
+def test_meta_only_resave_drops_stale_arrays(als, tmp_path):
+    """Re-saving meta-only over an existing checkpoint must not leave
+    the previous save's factor tables behind: load would silently
+    attach stale P/Q to the new meta (replace-wholesale semantics,
+    like Serializable.save truncating the file)."""
+    path = str(tmp_path / "ck_stale")
+    als.save_sharded(path)                            # writes P/Q + meta
+    als.save_sharded(path, data_fields=["_idmanager"])  # meta-only
+    out = ALS(ALSOption().get_default_option())
+    out.load_sharded(path)
+    assert not hasattr(out, "P") or not isinstance(
+        getattr(out, "P", None), np.ndarray), "stale arrays restored"

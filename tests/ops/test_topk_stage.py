@@ -50,7 +50,12 @@ def test_fingerprint_native_matches_numpy_fallback(monkeypatch):
                       lambda arr, n_chunks=64: None)
             fp_fallback = topk_mod._fingerprint(a)
         assert fp == fp_fallback, shape
-        a.reshape(-1)[int(np.prod(shape)) // 2] += 1e-7
+        flat = a.reshape(-1)
+        mid = int(np.prod(shape)) // 2
+        # nextafter guarantees a bit-level change (+=1e-7 can round
+        # back to the same float32 when |x| >= 2)
+        flat[mid] = np.nextafter(flat[mid], np.float32(np.inf),
+                                 dtype=np.float32)
         assert topk_mod._fingerprint(a) != fp, shape
 
 
