@@ -59,6 +59,27 @@ def test_fingerprint_native_matches_numpy_fallback(monkeypatch):
         assert topk_mod._fingerprint(a) != fp, shape
 
 
+def test_chunk_count_grid_and_multi_chunk_correctness():
+    """The chunk-count bucket grid must be exact through 8, never
+    round down, and waste <= ~25% padding (the former pow2 bucketing
+    wasted 64% on the 5-chunk 10k-query headline shape); results must
+    stay exact across bucket boundaries."""
+    from buffalo_tpu.ops.topk import _bucket_chunk_count
+
+    got = [_bucket_chunk_count(n) for n in range(1, 70)]
+    assert got[:8] == list(range(1, 9))
+    assert all(g >= n for n, g in zip(range(1, 70), got))
+    assert all((g - n) / g <= 0.34 for n, g in zip(range(1, 70), got))
+
+    rng = np.random.default_rng(4)
+    Q = rng.standard_normal((700, 16)).astype(np.float32)
+    for B in [1, 300, 2048, 2049, 5 * 300 + 1]:   # 1..7-chunk shapes
+        p = rng.standard_normal((B, 16)).astype(np.float32)
+        keys, _ = batch_topn(p, Q, 5, chunk=300)
+        exp = np.argsort(-(p @ Q.T), axis=1)[:, 0]
+        assert (keys[:, 0] == exp).all(), B
+
+
 def test_batch_topn_approx_mode_close_to_exact():
     """approx=True routes to lax.approx_max_k; on small catalogs the
     partial reduction degenerates to exact, so results must match."""
