@@ -150,7 +150,10 @@ def main():
     nq = min(10_000, len(model._idmanager.itemids))
     keys = [model._idmanager.itemids[i] for i in range(nq)]
     par = ParW2V(model) if args.algo == "w2v" else ParALS(model)
-    par.most_similar(keys[:64], topk=10)  # warm + normalize
+    # warm at the FULL query count: a smaller warm call compiles a
+    # different scan length and the timed call pays a fresh compile
+    # (the r4 5.7 s "retrieval" reading was mostly that compile)
+    par.most_similar(keys, topk=10)
     st = time.perf_counter()
     par.most_similar(keys, topk=10)
     print(json.dumps({f"retrieval_{nq}q_s":

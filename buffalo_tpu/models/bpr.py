@@ -209,9 +209,15 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         bloom_np, bloom_log2 = K.build_bloom(
             np.asarray(group["indptr"]), np.asarray(group["key"]))
         bloom = jax.device_put(bloom_np)
-        cum_table = (jax.device_put(self._cum_table)
-                     if self._cum_table is not None
-                     else jnp.zeros((1,), jnp.float32))
+        # popularity sampling rides Walker-alias tables on device (the
+        # int32 CDF is the serialized reference format; searchsorted
+        # over a big CDF is pathological on TPU — see
+        # sgd_kernels.build_alias_table).  CDF -> weights via diff.
+        if self._cum_table is not None:
+            cum_table = jax.device_put(K.build_alias_table(
+                np.diff(self._cum_table.astype(np.int64), prepend=0)))
+        else:
+            cum_table = jnp.zeros((1,), jnp.float32)
 
         self._P = jax.device_put(self.P)
         self._Q = jax.device_put(self.Q)
@@ -245,7 +251,10 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
             # chunk width must divide evenly over the mesh
             batch_size = -(-batch_size // mesh.size) * mesh.size
             bloom = jax.device_put(bloom_np, repl)
-            cum_table = jax.device_put(np.asarray(cum_table), repl)
+            # tuple (alias tables) or dummy array — device_put either
+            # pytree onto the replicated spec
+            cum_table = jax.device_put(
+                jax.tree.map(np.asarray, cum_table), repl)
             self._P = jax.device_put(self.P, repl)
             self._Q = jax.device_put(self.Q, repl)
             self._Qb = jax.device_put(self.Qb, repl)

@@ -25,6 +25,7 @@ from buffalo_tpu.data.base import Data
 from buffalo_tpu.evaluate import Evaluable
 from buffalo_tpu.models.base import Algo, Serializable
 from buffalo_tpu.models.options import W2VOption
+from buffalo_tpu.ops import sgd_kernels as K
 from buffalo_tpu.ops.w2v_kernels import w2v_epoch
 from buffalo_tpu.utils import Option, log
 
@@ -234,7 +235,14 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             return {}
         L0 = jax.device_put(self.L0)
         L1 = jax.device_put(self.L1)
-        dist = jax.device_put(self._vocab.dist)
+        # the serialized vocab keeps the reference-format int32 CDF;
+        # the epoch samples from Walker-alias tables built from it
+        # (searchsorted over a 500k-word CDF is pathological on TPU —
+        # sgd_kernels.build_alias_table)
+        dist_pair = K.build_alias_table(
+            np.diff(np.asarray(self._vocab.dist, dtype=np.int64),
+                    prepend=0))
+        dist = jax.device_put(dist_pair)
 
         chunk = int(opt.get("batch_size") or 0)
         if chunk <= 0:
@@ -256,7 +264,7 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             chunk = -(-chunk // mesh.size) * mesh.size
             L0 = jax.device_put(self.L0, repl)
             L1 = jax.device_put(self.L1, repl)
-            dist = jax.device_put(self._vocab.dist, repl)
+            dist = jax.device_put(dist_pair, repl)
         rng_np = np.random.default_rng(int(opt.random_seed))
         rng = jax.random.PRNGKey(int(opt.random_seed))
 

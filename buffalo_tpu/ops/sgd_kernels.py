@@ -28,20 +28,70 @@ FEPS = 1e-8
 
 
 # --------------------------------------------------------------- sampling
+def build_alias_table(weights):
+    """Walker/Vose alias tables for O(1) device-side categorical draws.
+
+    The previous draw was ``jnp.searchsorted`` over a cumulative int32
+    table — the direct analog of the reference's per-draw
+    ``lower_bound`` (w2v.cc:250-254, bpr.cc:105-113).  On the TPU that
+    binary search is pathological at large catalogs (measured at vocab
+    262k: ~90% of the W2V epoch, a 140 s compile vs 3.3 s without it,
+    and at the full 502k brunch vocab the compiled program crashed the
+    TPU worker outright — ``benchmark/microbench_w2v_crash.py``).  The
+    alias method replaces it with one uniform draw plus two gathers
+    from N-row tables; the sampled distribution is exact for the given
+    weights (float64 setup arithmetic).
+
+    Host-side, O(N).  Returns (prob float32[N], alias int32[N]).
+    """
+    import numpy as np
+
+    w = np.asarray(weights, dtype=np.float64)
+    n = int(w.shape[0])
+    assert n > 0 and (w >= 0).all(), "weights must be non-negative"
+    total = w.sum()
+    assert total > 0, "weights must not all be zero"
+    p = w * (n / total)
+    alias = np.arange(n, dtype=np.int32)
+    prob = np.ones(n, dtype=np.float32)
+    small = list(np.nonzero(p < 1.0)[0][::-1])
+    large = list(np.nonzero(p >= 1.0)[0][::-1])
+    while small and large:
+        s = int(small.pop())
+        big = int(large.pop())
+        prob[s] = p[s]
+        alias[s] = big
+        p[big] -= 1.0 - p[s]
+        (large if p[big] >= 1.0 else small).append(big)
+    # leftovers are 1.0 within rounding; prob already initialized to 1
+    return prob, alias
+
+
+def draw_from_alias(key: jax.Array, shape, prob: jax.Array,
+                    alias: jax.Array) -> jax.Array:
+    """Categorical draw via alias tables: bucket = uniform int, keep it
+    with its stored probability else take its alias — two gathers, no
+    search."""
+    k1, k2 = jax.random.split(key)
+    i = jax.random.randint(k1, shape, 0, prob.shape[0], dtype=jnp.int32)
+    u = jax.random.uniform(k2, shape, dtype=jnp.float32)
+    return jnp.where(u < jnp.take(prob, i, axis=0),
+                     i, jnp.take(alias, i, axis=0)).astype(jnp.int32)
+
+
 def draw_negatives(key: jax.Array, shape, num_items: int,
-                   cum_table: jax.Array | None) -> jax.Array:
+                   neg_table) -> jax.Array:
     """Uniform or popularity-weighted negative item draw (bpr.cc:105-113).
 
-    ``cum_table`` is the normalized int32 CDF from
-    ``BPRMF.prepare_sampling`` (scaled to 0x7FFFFFFF): the draw is an
-    int32 inverse-CDF lookup with 2^-31 relative resolution — a
-    float32 CDF of raw counts loses tail items past ~2^24 total.
-    """
-    if cum_table is None:
+    ``neg_table`` is None for the uniform draw, or the ``(prob, alias)``
+    pair from :func:`build_alias_table` over the popularity^power
+    weights (the drivers build it from their reference-format int32 CDF,
+    so the sampled distribution matches the reference's inverse-CDF
+    lookup to CDF quantization)."""
+    if neg_table is None:
         return jax.random.randint(key, shape, 0, num_items, dtype=jnp.int32)
-    r = jax.random.randint(key, shape, 0, jnp.int32(0x7FFFFFFF),
-                           dtype=jnp.int32)
-    return jnp.searchsorted(cum_table, r, side="left").astype(jnp.int32)
+    prob, alias = neg_table
+    return draw_from_alias(key, shape, prob, alias)
 
 
 # ---------------------------------------------------------- bloom filter

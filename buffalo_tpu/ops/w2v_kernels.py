@@ -128,7 +128,8 @@ def w2v_step(L0, L1, inputs, targets, dist, rng_key, lr,
     """One pair-chunk update.  Returns (L0, L1, loss_sum, pair_count).
 
     inputs/targets: int32[B] vocab indices; padding carries
-    ``vocab_size`` (dropped).  dist: cumulative unigram^0.75 table.
+    ``vocab_size`` (dropped).  dist: (prob, alias) Walker-alias pair
+    over the unigram^0.75 weights (``sgd_kernels.build_alias_table``).
     """
     return _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
                           num_negatives=num_negatives,
@@ -152,15 +153,21 @@ def _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
     # the reference redraws until neg != target (w2v.cc:248-255): a
     # fixed 3-attempt first-valid pick leaves p^3 residual, closed by
     # a deterministic non-target fallback — a center word is never
-    # trained as its own negative
+    # trained as its own negative.  ``dist`` is the (prob, alias)
+    # Walker-alias pair (sgd_kernels.build_alias_table) over the
+    # unigram^0.75 weights: the reference's per-draw ``lower_bound``
+    # binary search (w2v.cc:250-254) is pathological as a TPU program
+    # (90% of the epoch, 140 s compiles, and a worker crash at the
+    # full 502k brunch vocab — benchmark/microbench_w2v_crash.py), so
+    # the draw is one uniform int + two table gathers instead.
     k1, k2, k3 = jax.random.split(rng_key, 3)
-    hi = dist[-1]
+    dist_prob, dist_alias = dist
 
     def _draw(k):
         nb = B if axis_name is None else global_B
-        r = jax.random.randint(k, (nb, num_negatives), 0, hi,
-                               dtype=jnp.int32)
-        negs = jnp.searchsorted(dist, r, side="left").astype(jnp.int32)
+        from buffalo_tpu.ops.sgd_kernels import draw_from_alias
+        negs = draw_from_alias(k, (nb, num_negatives), dist_prob,
+                               dist_alias)
         if axis_name is not None:
             negs = jax.lax.dynamic_slice_in_dim(negs, row_offset, B,
                                                 axis=0)

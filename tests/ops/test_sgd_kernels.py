@@ -250,3 +250,57 @@ def test_exhausted_verify_returns_sentinel():
         P, Q, Qb, jnp.asarray(users), jnp.zeros(64, jnp.int32),
         jnp.asarray(neg), True)
     assert np.all(np.asarray(logit) == 0.0)
+
+
+def test_alias_table_matches_weights():
+    """Walker-alias sampling must reproduce the weight distribution
+    (it replaced the TPU-pathological searchsorted CDF draw) and never
+    emit zero-weight buckets."""
+    import jax
+    import jax.numpy as jnp
+
+    from buffalo_tpu.ops.sgd_kernels import (build_alias_table,
+                                             draw_from_alias)
+
+    rng = np.random.default_rng(0)
+    w = rng.random(1000) ** 3 + 1e-6
+    prob, alias = build_alias_table(w)
+    assert prob.dtype == np.float32 and alias.dtype == np.int32
+    n = 200_000
+    draws = draw_from_alias(jax.random.PRNGKey(0), (n,),
+                            jnp.asarray(prob), jnp.asarray(alias))
+    freq = np.bincount(np.asarray(draws), minlength=1000) / n
+    p = w / w.sum()
+    sigma = np.sqrt(p * (1 - p) / n)
+    assert (np.abs(freq - p) < 6 * sigma + 1e-4).all()
+
+    prob2, alias2 = build_alias_table(np.array([0.0, 1.0, 0.0, 2.0]))
+    d2 = draw_from_alias(jax.random.PRNGKey(1), (50_000,),
+                         jnp.asarray(prob2), jnp.asarray(alias2))
+    c2 = np.bincount(np.asarray(d2), minlength=4)
+    assert c2[0] == 0 and c2[2] == 0
+    assert abs(c2[3] / 50_000 - 2 / 3) < 0.01
+
+
+def test_draw_negatives_popularity_uses_alias_pair():
+    """draw_negatives with a (prob, alias) pair must sample the CDF's
+    popularity distribution (driver contract: CDF stays the serialized
+    format, the device draw rides the alias tables)."""
+    import jax
+    import jax.numpy as jnp
+
+    from buffalo_tpu.ops.sgd_kernels import (build_alias_table,
+                                             draw_negatives)
+
+    counts = np.array([100, 10, 1, 50, 0, 25], dtype=np.float64)
+    cum = np.cumsum(counts)
+    cum /= cum[-1]
+    cdf = (cum * 0x7FFFFFFF).astype(np.int32)     # reference format
+    pair = build_alias_table(np.diff(cdf.astype(np.int64), prepend=0))
+    n = 120_000
+    draws = draw_negatives(jax.random.PRNGKey(2), (n,), 6,
+                           (jnp.asarray(pair[0]), jnp.asarray(pair[1])))
+    freq = np.bincount(np.asarray(draws), minlength=6) / n
+    p = counts / counts.sum()
+    assert freq[4] == 0.0
+    np.testing.assert_allclose(freq, p, atol=0.01)
