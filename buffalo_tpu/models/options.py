@@ -332,6 +332,13 @@ class W2VOption(AlgoOption):
             with sigmoid saturation; the fused megabatch stacks them,
             which diverges once lr*count > 1.  A/B on the synthetic
             analogy gate picked capped (0.1) as default.
+        :ivar int max_chunks_per_dispatch: TPU addition — upper bound
+            on the lax.scan length of one fused-epoch dispatch.  The
+            whole-epoch program at the full KakaoBrunch stream shape
+            (~225 chunks) took the remote TPU compiler/worker down; a
+            32-chunk body compiles and runs fine, so longer epochs run
+            as ceil(n/32) dispatches of one shared compiled shape with
+            the tables carried across groups (semantics unchanged).
         """
         opt = super().get_default_option()
         opt.update({
@@ -346,6 +353,7 @@ class W2VOption(AlgoOption):
             "lr": 0.025,
             "min_lr": 0.0001,
             "max_step_norm": 0.1,
+            "max_chunks_per_dispatch": 32,
             "batch_size": 0,
             "model_path": "",
             "data_opt": {},

@@ -292,6 +292,30 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                     [inputs, np.full(pad, V, dtype=np.int32)])
                 targets = np.concatenate(
                     [targets, np.full(pad, V, dtype=np.int32)])
+            # bound the per-dispatch scan length: the ~225-chunk
+            # whole-epoch program at the full KakaoBrunch shape took
+            # the remote TPU compiler/worker down (same failure class
+            # as the deleted IVF fused merge), while a 32-chunk body
+            # compiles and runs fine (benchmark/microbench_w2v_crash).
+            # Epochs longer than the cap run as ceil(n/G) dispatches
+            # of ONE shared compiled shape (tail sentinel-padded),
+            # carrying the tables and advancing the lr progress across
+            # groups — semantics unchanged, ~25 ms dispatch overhead
+            # per extra group.
+            G = int(opt.get("max_chunks_per_dispatch", 32))
+            if nchunks > G:
+                nchunks_pad = -(-nchunks // G) * G
+                extra = (nchunks_pad - nchunks) * chunk
+                if extra:
+                    inputs = np.concatenate(
+                        [inputs, np.full(extra, V, dtype=np.int32)])
+                    targets = np.concatenate(
+                        [targets, np.full(extra, V, dtype=np.int32)])
+                nchunks = nchunks_pad
+                g_len = G
+            else:
+                g_len = nchunks
+            groups = nchunks // g_len
             rng, sub = jax.random.split(rng)
             # lr decay advances by RAW corpus words, as the reference's
             # progress thread does (w2v.cc:340 counts job.size before
@@ -300,31 +324,42 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             wpc = raw_words / max(nchunks, 1)
             resident = (len(inputs) * 8) <= int(
                 opt.get("resident_mb", 4096)) * 1024 * 1024
-            if resident and mesh is not None:
-                from buffalo_tpu.ops.w2v_kernels import w2v_epoch_dp
-                L0, L1, loss_sum, pair_cnt = w2v_epoch_dp(
-                    L0, L1,
-                    jax.device_put(inputs.reshape(nchunks, chunk),
-                                   chunk_shard),
-                    jax.device_put(targets.reshape(nchunks, chunk),
-                                   chunk_shard),
-                    dist, sub, jnp.float32(processed_words), mesh=mesh,
-                    lr=float(opt.lr), min_lr=float(opt.min_lr),
-                    total_words=float(total_words),
-                    words_per_chunk=float(wpc), **statics)
-                loss = float(loss_sum) / max(float(pair_cnt), 1.0)
-            elif resident:
-                # whole epoch in one dispatch: scan over resident
-                # chunks, lr decays by word progress inside the scan
-                L0, L1, loss_sum, pair_cnt = w2v_epoch(
-                    L0, L1,
-                    jax.device_put(inputs.reshape(nchunks, chunk)),
-                    jax.device_put(targets.reshape(nchunks, chunk)),
-                    dist, sub, jnp.float32(processed_words),
-                    lr=float(opt.lr), min_lr=float(opt.min_lr),
-                    total_words=float(total_words),
-                    words_per_chunk=float(wpc), **statics)
-                loss = float(loss_sum) / max(float(pair_cnt), 1.0)
+            if resident:
+                if mesh is not None:
+                    from buffalo_tpu.ops.w2v_kernels import w2v_epoch_dp
+                inputs2 = inputs.reshape(nchunks, chunk)
+                targets2 = targets.reshape(nchunks, chunk)
+                loss_sums, pair_cnts = [], []
+                for g in range(groups):
+                    sl = slice(g * g_len, (g + 1) * g_len)
+                    sub_g = (jax.random.fold_in(sub, g) if groups > 1
+                             else sub)
+                    p0 = jnp.float32(processed_words + g * g_len * wpc)
+                    if mesh is not None:
+                        L0, L1, l_, c_ = w2v_epoch_dp(
+                            L0, L1,
+                            jax.device_put(inputs2[sl], chunk_shard),
+                            jax.device_put(targets2[sl], chunk_shard),
+                            dist, sub_g, p0, mesh=mesh,
+                            lr=float(opt.lr), min_lr=float(opt.min_lr),
+                            total_words=float(total_words),
+                            words_per_chunk=float(wpc), **statics)
+                    else:
+                        L0, L1, l_, c_ = w2v_epoch(
+                            L0, L1,
+                            jax.device_put(inputs2[sl]),
+                            jax.device_put(targets2[sl]),
+                            dist, sub_g, p0,
+                            lr=float(opt.lr), min_lr=float(opt.min_lr),
+                            total_words=float(total_words),
+                            words_per_chunk=float(wpc), **statics)
+                    loss_sums.append(l_)
+                    pair_cnts.append(c_)
+                loss_sum = float(np.sum([np.asarray(x)
+                                         for x in loss_sums]))
+                pair_cnt = float(np.sum([np.asarray(x)
+                                         for x in pair_cnts]))
+                loss = loss_sum / max(pair_cnt, 1.0)
             else:
                 # streaming fallback: one dispatch per pair chunk with
                 # host-side lr decay (the reference's bounded-memory
