@@ -54,9 +54,17 @@ step "1/2 retrieval overhead decomposition (brunch shape)" \
     python benchmark/microbench_retrieval_overhead.py \
     --items 505926 --d 100 --queries 10000
 
-step "2/2 BPR brunch d-sweep (BASELINE row)" bpr_brunch_dsweep 7200 \
+step "2/3 BPR brunch d-sweep (BASELINE row)" bpr_brunch_dsweep 7200 \
     python benchmark/test_performance.py --algo bpr \
     --dataset kakao_brunch_12m --d 10 20 40 80 160 --epochs 3
+
+# re-measure the headline retrieval rows after the int64-checksum and
+# chunk-count-grid changes (the committed 0.76 s exact / 0.356 s
+# approx rows predate both: 120 ms/call fingerprint + 64% scan-FLOP
+# padding are gone)
+step "3/3 retrieval brunch d=100 re-measure" retrieval_brunch_d100_v2 4800 \
+    python benchmark/test_parallel.py --dataset kakao_brunch_12m \
+    --d 100 --queries 10000 --approx
 
 log "session-3 followups done; logs in $OUT"
 grep -h '^{' "$OUT"/retrieval_overhead.log "$OUT"/bpr_brunch_dsweep.log \
