@@ -181,7 +181,7 @@ def _chunked_topn(p_chunks, Q, Qb, *, k, with_bias, approx=False):
 
 
 def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048,
-               approx: bool = False):
+               approx: bool = False, query_dtype=None):
     """Bulk MIPS retrieval: top-k of ``p @ Q^T (+ Qb)`` per query row.
 
     The device analog of ``parallel::dot_topn`` (``_core.hpp:88-142``):
@@ -197,6 +197,14 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048,
     ``approx=True`` swaps the exact per-chunk selection for
     ``lax.approx_max_k`` (measured 2.1x faster at 505k-wide rows on a
     v5e chip, recall@10 0.98 vs exact — see ``_select_topk``).
+
+    ``query_dtype="bfloat16"`` uploads the query chunks at half width:
+    on the tunneled chip the host->device query transfer measured
+    106 ms of a 174 ms warm 10k-query approx call (the link is
+    ~40 MB/s), so halving it is the single biggest remaining lever.
+    Scores still accumulate in f32 (``preferred_element_type``); only
+    the query operand is quantized (~3 significant digits).  The
+    Parallel facade turns this on together with ``approx=True``.
 
     Returns (keys int32[B, topk], scores float32[B, topk]).
     """
@@ -223,7 +231,14 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048,
     Qb_d = jax.device_put(np.ascontiguousarray(np.asarray(Qb, np.float32))) \
         if with_bias else jnp.zeros((), jnp.float32)
 
-    vals, idx = _chunked_topn(_bucketed_chunks(p, chunk), Q_d,
+    chunks = _bucketed_chunks(p, chunk)
+    if query_dtype is not None and np.dtype(query_dtype).name != "float32":
+        import ml_dtypes
+
+        assert np.dtype(query_dtype) == np.dtype(ml_dtypes.bfloat16), \
+            f"query_dtype must be float32 or bfloat16, got {query_dtype}"
+        chunks = chunks.astype(ml_dtypes.bfloat16)
+    vals, idx = _chunked_topn(chunks, Q_d,
                               Qb_d, k=k_eff, with_bias=with_bias,
                               approx=approx)
     out_keys, out_scores = _assemble_topn(vals, idx, B, topk, k_eff)

@@ -86,8 +86,14 @@ class Parallel(abc.ABC):
         if self.mesh is not None and pool is None:
             return batch_topn_sharded(queries, Factor, topk, self.mesh,
                                       Qb=Qb, approx=self.approx)
+        # approx mode also ships the queries bf16: the query upload is
+        # the dominant cost of a warm bulk call over the tunneled chip
+        # (106 of 174 ms at brunch d=100 x 10k queries) and scores
+        # still accumulate in f32 — recall measured with both effects
+        # in benchmark/README.md's retrieval table
         return batch_topn(queries, Factor, topk, pool=pool, Qb=Qb,
-                          approx=self.approx)
+                          approx=self.approx,
+                          query_dtype="bfloat16" if self.approx else None)
 
     def _most_similar(self, group, indexes, Factor, topk, pool):
         ann = self._ann_index.get(group)

@@ -93,3 +93,20 @@ def test_batch_topn_approx_mode_close_to_exact():
     assert rec == 1.0
     np.testing.assert_allclose(np.sort(as_, axis=1),
                                np.sort(es, axis=1), rtol=1e-6)
+
+
+def test_batch_topn_bf16_query_upload():
+    """query_dtype="bfloat16" (the facade's approx mode) quantizes only
+    the query operand: top-1 agreement with f32 must stay high and
+    scores within bf16 tolerance."""
+    rng = np.random.default_rng(5)
+    Q = rng.standard_normal((800, 32)).astype(np.float32)
+    p = rng.standard_normal((200, 32)).astype(np.float32)
+    ek, es = batch_topn(p, Q, 10)
+    bk, bs = batch_topn(p, Q, 10, query_dtype="bfloat16")
+    rec = np.mean([len(set(a) & set(e)) / 10.0 for a, e in zip(bk, ek)])
+    assert rec > 0.95, rec
+    # scores of the agreed top-1 within bf16 relative tolerance
+    agree = bk[:, 0] == ek[:, 0]
+    assert agree.mean() > 0.9
+    np.testing.assert_allclose(bs[agree, 0], es[agree, 0], rtol=2e-2)
