@@ -26,9 +26,12 @@ import jax.numpy as jnp
 
 step() {
     local label=$1 name=$2 to=$3; shift 3
-    if [ -s "$OUT/$name.log" ] && grep -q '^{' "$OUT/$name.log" \
+    # a step only counts as done when its command EXITED cleanly (a
+    # timed-out sweep leaves partial JSON rows — resuming must re-run
+    # it, not skip the missing rows): require the completion marker
+    if [ -s "$OUT/$name.log" ] && grep -q '"step_complete"' "$OUT/$name.log" \
         && ! grep -q '"error"' "$OUT/$name.log"; then
-        log "$label: $name.log already has results — skipping"
+        log "$label: $name.log complete — skipping"
         return 0
     fi
     local tries=0
@@ -43,6 +46,12 @@ step() {
     done
     log "$label"
     timeout "$to" "$@" 2>&1 | tee "$OUT/$name.log"
+    local rc=${PIPESTATUS[0]}
+    if [ "$rc" -eq 0 ]; then
+        echo "{\"step_complete\": \"$name\"}" >> "$OUT/$name.log"
+    else
+        log "$label: exit $rc (no completion marker — will re-run on resume)"
+    fi
 }
 
 log "0/5 pre-flight TPU probe"
@@ -69,14 +78,14 @@ step "5/5 stream-scale W2V retry (crashed worker on first attempt)" \
     python benchmark/test_stream_scale.py --algo w2v --epochs 2
 
 # bisect only if the full-scale retry still dies
-if ! grep -q '^{' "$OUT/stream_w2v_retry.log" 2>/dev/null; then
+if ! grep -q '"step_complete"' "$OUT/stream_w2v_retry.log" 2>/dev/null; then
     step "5/5 stream-scale W2V at scale 0.5 (bisect)" \
         stream_w2v_s05 5400 \
         python benchmark/test_stream_scale.py --algo w2v --epochs 2 \
         --scale 0.5
 fi
-if ! grep -q '^{' "$OUT/stream_w2v_retry.log" 2>/dev/null \
-    && ! grep -q '^{' "$OUT/stream_w2v_s05.log" 2>/dev/null; then
+if ! grep -q '"step_complete"' "$OUT/stream_w2v_retry.log" 2>/dev/null \
+    && ! grep -q '"step_complete"' "$OUT/stream_w2v_s05.log" 2>/dev/null; then
     step "5/5 stream-scale W2V at scale 0.25 (bisect)" \
         stream_w2v_s025 5400 \
         python benchmark/test_stream_scale.py --algo w2v --epochs 2 \
