@@ -465,4 +465,62 @@ void fileio_checksum(const char* data, int64_t nbytes, int64_t* out,
         static_cast<uint64_t>(out[n_chunks - 1]) + tail);
 }
 
+// W2V skip-gram pair generation (the host half of the W2V epoch; the
+// device half is ops/w2v_kernels.w2v_epoch).  Counterpart of the
+// reference's per-worker sentence scan (w2v.cc:227-246): given the
+// subsampled token stream words[n] (vocab ids), sentence ids sents[n]
+// (non-decreasing), and per-position shrunken half-widths h[n]
+// (h[y] = window - b_y, b_y ~ U[0, window); the TARGET position's h
+// governs pair admission, matching the numpy path in
+// models/w2v.py:_generate_pairs), emit every directed pair
+// (input=words[x], target=words[y]) with 1 <= |x-y| <= window,
+// sents[x] == sents[y] and |x-y| <= h[y], in position-major order
+// (all pairs of input position x before those of x+1).  Two-phase so
+// the caller allocates exactly: count+prefix, then fill.
+int64_t fileio_w2v_pairs_count(int64_t n, const int32_t* sents,
+                               const int32_t* h, int32_t window,
+                               int64_t* prefix /* int64[n+1] */) {
+#pragma omp parallel for schedule(static)
+    for (int64_t x = 0; x < n; ++x) {
+        int64_t c = 0;
+        const int32_t s = sents[x];
+        for (int32_t off = 1; off <= window; ++off) {
+            const int64_t yl = x - off;
+            if (yl >= 0 && sents[yl] == s && off <= h[yl]) ++c;
+            const int64_t yr = x + off;
+            if (yr < n && sents[yr] == s && off <= h[yr]) ++c;
+        }
+        prefix[x + 1] = c;
+    }
+    prefix[0] = 0;
+    for (int64_t x = 0; x < n; ++x) prefix[x + 1] += prefix[x];
+    return prefix[n];
+}
+
+void fileio_w2v_pairs_fill(int64_t n, const int32_t* words,
+                           const int32_t* sents, const int32_t* h,
+                           int32_t window, const int64_t* prefix,
+                           int32_t* inputs, int32_t* targets) {
+#pragma omp parallel for schedule(static)
+    for (int64_t x = 0; x < n; ++x) {
+        int64_t o = prefix[x];
+        const int32_t s = sents[x];
+        const int32_t w = words[x];
+        for (int32_t off = 1; off <= window; ++off) {
+            const int64_t yl = x - off;
+            if (yl >= 0 && sents[yl] == s && off <= h[yl]) {
+                inputs[o] = w;
+                targets[o] = words[yl];
+                ++o;
+            }
+            const int64_t yr = x + off;
+            if (yr < n && sents[yr] == s && off <= h[yr]) {
+                inputs[o] = w;
+                targets[o] = words[yr];
+                ++o;
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -50,6 +50,7 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
     def set_data(self, data):
         assert isinstance(data, Data), f"Wrong instance: {type(data)}"
         self.data = data
+        self._token_stream_cache = None
 
     def normalize(self, group="item"):
         if group == "item" and not self.opt.get("_nrz_L0"):
@@ -82,6 +83,7 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
     def build_vocab(self):
         """min_count filter, subsample scale table, unigram^0.75 dist
         (w2v.py:91-133,140-157)."""
+        self._token_stream_cache = None   # vocab index map changes
         header = self.data.get_header()
         group = self.data.get_group("rowwise")
         keys = np.asarray(group["key"])
@@ -185,23 +187,41 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         return np.zeros(len(row), dtype=np.float32)
 
     # -------------------------------------------------------------- training
-    def _generate_pairs(self, rng: np.random.Generator):
-        """Vectorized per-epoch pair generation: subsample + shrunken
-        windows (w2v.cc:227-246).  Returns (inputs, targets)."""
+    def _token_stream(self):
+        """Epoch-invariant in-vocab token stream (cached): vocab ids +
+        sentence ids for every corpus token that survived the vocab
+        min_count cut.  Only the subsample draw changes per epoch."""
+        cached = getattr(self, "_token_stream_cache", None)
+        if cached is not None:
+            return cached
         group = self.data.get_group("rowwise")
         indptr = np.asarray(group["indptr"])
         keys = np.asarray(group["key"])
         vocab_idx = self._vocab.index[keys] - 1     # -1 = out of vocab
-        sent_ids = np.repeat(np.arange(len(indptr) - 1), np.diff(indptr))
-
+        sent_ids = np.repeat(
+            np.arange(len(indptr) - 1, dtype=np.int32), np.diff(indptr))
         in_vocab = vocab_idx >= 0
-        words = vocab_idx[in_vocab]
-        sents = sent_ids[in_vocab]
+        cached = (vocab_idx[in_vocab].astype(np.int32),
+                  sent_ids[in_vocab])
+        self._token_stream_cache = cached
+        return cached
+
+    def _generate_pairs(self, rng: np.random.Generator):
+        """Per-epoch pair generation: subsample + shrunken windows
+        (w2v.cc:227-246).  Returns (inputs, targets, n_kept_words).
+
+        The subsample and window draws are numpy (cheap, seed-stable);
+        the pair expansion rides the OpenMP kernel
+        (``fileio_w2v_pairs_count/fill``) when the native library is
+        available, with the vectorized offset-major numpy loop as the
+        fallback — same pair multiset, different order (parity-tested
+        in tests/data/test_native.py)."""
+        all_words, all_sents = self._token_stream()
         # subsample: keep while scale > rand32 (w2v.cc:233-235)
-        r = rng.integers(0, 1 << 32, size=len(words), dtype=np.uint64)
-        keep = self._vocab.scale[words].astype(np.uint64) > r
-        words = words[keep].astype(np.int32)
-        sents = sents[keep]
+        r = rng.integers(0, 1 << 32, size=len(all_words), dtype=np.uint64)
+        keep = self._vocab.scale[all_words].astype(np.uint64) > r
+        words = all_words[keep]
+        sents = all_sents[keep]
         n = len(words)
         if n < 2:
             return (np.zeros(0, np.int32), np.zeros(0, np.int32), 0)
@@ -209,6 +229,11 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         window = int(self.opt.window)
         # per-center shrunken half-width: window - b, b ~ U[0, window)
         h = window - rng.integers(0, window, size=n)
+
+        from buffalo_tpu.data import native
+        got = native.w2v_pairs_native(words, sents, h, window)
+        if got is not None:
+            return (got[0], got[1], n)
         inputs, targets = [], []
         for off in range(1, window + 1):
             same = sents[:-off] == sents[off:]
@@ -278,9 +303,13 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds
         raw_words = float(self._vocab.total_word_count)
+        next_pairs = None  # host pair prefetch, one epoch ahead
         for i in range(opt.num_iters):
             start_t = time.time()
-            inputs, targets, n_words = self._generate_pairs(rng_np)
+            if next_pairs is None:
+                next_pairs = self._generate_pairs(rng_np)
+            inputs, targets, n_words = next_pairs
+            next_pairs = None
             n_pairs = len(inputs)
             # round the chunk count up to a multiple of 4: subsampling
             # jitters n_pairs a little every epoch, and a changed scan
@@ -355,6 +384,14 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                             words_per_chunk=float(wpc), **statics)
                     loss_sums.append(l_)
                     pair_cnts.append(c_)
+                # every group is dispatched (async); generate the NEXT
+                # epoch's pairs now, overlapping the device compute —
+                # the loss readback below is the sync point.  Only in
+                # the resident branch: the streaming fallback exists
+                # for bounded host memory, and the prefetch would hold
+                # two epochs of pairs.
+                if i + 1 < opt.num_iters:
+                    next_pairs = self._generate_pairs(rng_np)
                 loss_sum = float(np.sum([np.asarray(x)
                                          for x in loss_sums]))
                 pair_cnt = float(np.sum([np.asarray(x)

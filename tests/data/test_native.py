@@ -259,3 +259,55 @@ def test_sharded_direct_fill_matches_stacked_fallback():
             np.testing.assert_array_equal(x, y)
 
     cmp(a, b)
+
+
+def _numpy_pairs(words, sents, h, window):
+    """The offset-major numpy path from models/w2v.py:_generate_pairs."""
+    inputs, targets = [], []
+    for off in range(1, window + 1):
+        same = sents[:-off] == sents[off:]
+        m = same & (off <= h[:-off])
+        targets.append(words[:-off][m])
+        inputs.append(words[off:][m])
+        m2 = same & (off <= h[off:])
+        targets.append(words[off:][m2])
+        inputs.append(words[:-off][m2])
+    return np.concatenate(inputs), np.concatenate(targets)
+
+
+@pytest.mark.parametrize("window", [1, 3, 5, 8])
+def test_w2v_pairs_native_multiset_parity(window):
+    from buffalo_tpu.data.native import w2v_pairs_native
+
+    rng = np.random.default_rng(7 + window)
+    n = 5000
+    words = rng.integers(0, 300, size=n).astype(np.int32)
+    # ragged sentences incl. length-1 and empty-boundary cases
+    lens = rng.integers(1, 20, size=600)
+    sents = np.repeat(np.arange(len(lens)), lens)[:n]
+    n = len(sents)
+    words = words[:n]
+    h = (window - rng.integers(0, window, size=n)).astype(np.int64)
+
+    got = w2v_pairs_native(words, sents, h, window)
+    assert got is not None
+    gi, gt = got
+    ei, et = _numpy_pairs(words, sents, h, window)
+    assert len(gi) == len(ei)
+    # same multiset of directed pairs, order-independent
+    key_g = np.sort(gi.astype(np.int64) * 300 + gt)
+    key_e = np.sort(ei.astype(np.int64) * 300 + et)
+    np.testing.assert_array_equal(key_g, key_e)
+
+
+def test_w2v_pairs_native_empty_and_tiny():
+    from buffalo_tpu.data.native import w2v_pairs_native
+
+    gi, gt = w2v_pairs_native(np.zeros(0, np.int32), np.zeros(0, np.int64),
+                              np.zeros(0, np.int32), 5)
+    assert len(gi) == 0 and len(gt) == 0
+    # single token: no pairs
+    gi, gt = w2v_pairs_native(np.array([3], np.int32),
+                              np.array([0], np.int64),
+                              np.array([5], np.int32), 5)
+    assert len(gi) == 0
