@@ -219,8 +219,13 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         else:
             cum_table = jnp.zeros((1,), jnp.float32)
 
-        self._P = jax.device_put(self.P)
-        self._Q = jax.device_put(self.Q)
+        # sub-64-lane tables hit a slow XLA code path (2-2.6x) — store
+        # them zero-padded on device, slice back on host sync
+        # (sgd_kernels.resolve_stored_width has the measurements)
+        d = int(opt.d)
+        width = K.resolve_stored_width(d, int(opt.get("stored_width", 0)))
+        self._P = jax.device_put(K.pad_cols(self.P, width))
+        self._Q = jax.device_put(K.pad_cols(self.Q, width))
         self._Qb = jax.device_put(self.Qb)
         statics = self._static_opts()
         pcn = bool(opt.per_coordinate_normalize)
@@ -255,8 +260,8 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
             # pytree onto the replicated spec
             cum_table = jax.device_put(
                 jax.tree.map(np.asarray, cum_table), repl)
-            self._P = jax.device_put(self.P, repl)
-            self._Q = jax.device_put(self.Q, repl)
+            self._P = jax.device_put(K.pad_cols(self.P, width), repl)
+            self._Q = jax.device_put(K.pad_cols(self.Q, width), repl)
             self._Qb = jax.device_put(self.Qb, repl)
         if resident:
             users_c, items_c, nnz = self._stage_epoch_chunks(
@@ -316,8 +321,8 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
         processed = 0.0
 
         def _sync_host():
-            self.P = np.asarray(self._P)
-            self.Q = np.asarray(self._Q)
+            self.P = np.ascontiguousarray(np.asarray(self._P)[:, :d])
+            self.Q = np.ascontiguousarray(np.asarray(self._Q)[:, :d])
             self.Qb = np.asarray(self._Qb)
         self._sync_host_factors = _sync_host
 

@@ -186,10 +186,18 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         header = self.data.get_header()
         num_items = int(header["num_items"])
 
+        # sub-64-lane tables hit a slow XLA code path (2-2.6x) — store
+        # them zero-padded on device, slice back on host sync (zero
+        # columns are inert incl. the unit-ball projection;
+        # sgd_kernels.resolve_stored_width has the measurements)
+        d = int(opt.d)
+        width = K.resolve_stored_width(d, int(opt.get("stored_width", 0)))
+
         batch_size = int(opt.get("batch_size") or 0)
         if batch_size <= 0:
+            # the candidate live-set budget scales with the STORED width
             batch_size = default_batch_size(
-                self.num_nnz, int(opt.d), int(opt.max_trials))
+                self.num_nnz, width, int(opt.max_trials))
 
         group = self.data.get_group("rowwise")
         indptr = jax.device_put(np.asarray(group["indptr"], dtype=np.int64))
@@ -197,8 +205,14 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
             np.asarray(group["indptr"]), np.asarray(group["key"]))
         bloom = jax.device_put(bloom_np)
 
-        self._P = jax.device_put(self.P)
-        self._Q = jax.device_put(self.Q)
+        # sub-64-lane tables hit a slow XLA code path (2-2.6x) — store
+        # them zero-padded on device, slice back on host sync (zero
+        # columns are inert incl. the unit-ball projection;
+        # sgd_kernels.resolve_stored_width has the measurements)
+        d = int(opt.d)
+        width = K.resolve_stored_width(d, int(opt.get("stored_width", 0)))
+        self._P = jax.device_put(K.pad_cols(self.P, width))
+        self._Q = jax.device_put(K.pad_cols(self.Q, width))
 
         resident_mb = int(opt.get("resident_mb", 4096))
         resident = (self.num_nnz * 8) <= resident_mb * 1024 * 1024
@@ -225,8 +239,8 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
             batch_size = -(-batch_size // mesh.size) * mesh.size
             indptr = jax.device_put(np.asarray(indptr), repl)
             bloom = jax.device_put(bloom_np, repl)
-            self._P = jax.device_put(self.P, repl)
-            self._Q = jax.device_put(self.Q, repl)
+            self._P = jax.device_put(K.pad_cols(self.P, width), repl)
+            self._Q = jax.device_put(K.pad_cols(self.Q, width), repl)
         if resident:
             # device-resident chunks, one fused dispatch per epoch
             indptr_np = np.asarray(group["indptr"], dtype=np.int64)
@@ -291,8 +305,8 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
         pcn = bool(opt.per_coordinate_normalize)
 
         def _sync_host():
-            self.P = np.asarray(self._P)
-            self.Q = np.asarray(self._Q)
+            self.P = np.ascontiguousarray(np.asarray(self._P)[:, :d])
+            self.Q = np.ascontiguousarray(np.asarray(self._Q)[:, :d])
         self._sync_host_factors = _sync_host
 
         best_loss, loss, self.validation_result = float("inf"), None, {}

@@ -135,6 +135,42 @@ def _bloom_hashes(u, i, log2_bits):
     return word, b1, b2
 
 
+def resolve_stored_width(d: int, opt_value: int = 0) -> int:
+    """Width at which the SGD-family factor tables are STORED on device.
+
+    The gather -> elementwise -> scatter epoch pipeline degrades badly
+    below 64 lanes: on the v5e a BPR KakaoBrunch epoch measured 4.2 /
+    4.0 / 5.0 s at d = 10/20/40 stored at their own width vs a flat
+    1.91 s stored zero-padded at width 64 (= the d = 80 epoch's time,
+    factors identical to 6e-8; ``benchmark/microbench_bpr_width.py``).
+    Zero columns are inert through the whole BPR/WARP/W2V update
+    family: every gradient component is a product with a padded factor
+    entry, the -reg * w term is zero at w = 0, and the row-norm
+    clip/projection only ever shrinks rows.
+
+    ``opt_value``: 0 = auto (pad sub-64 d up to 64 on TPU backends,
+    no pad elsewhere — on CPU the extra columns are real work);
+    -1 = never pad; >= 1 = store at exactly max(d, opt_value).
+    """
+    v = int(opt_value)
+    if v < 0:
+        return d
+    if v > 0:
+        return max(d, v)
+    import jax
+
+    return 64 if (d < 64 and jax.default_backend() == "tpu") else d
+
+
+def pad_cols(arr: "np.ndarray", width: int) -> "np.ndarray":
+    """Zero-pad a host (N, d) table to (N, width); no-op if wide enough."""
+    if width <= arr.shape[1]:
+        return arr
+    out = _np.zeros((arr.shape[0], width), arr.dtype)
+    out[:, : arr.shape[1]] = arr
+    return out
+
+
 def build_bloom(indptr: "np.ndarray", keys: "np.ndarray",
                 bits_per_entry: int = 12):
     """Host-side blocked bloom filter over all (user, item) positives.
