@@ -435,9 +435,7 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
             if opt.get("validation") and opt.evaluation_on_learning and \
                     self.periodical(opt.evaluation_period, i):
                 start_t = time.time()
-                self.P = np.asarray(self._P)
-                self.Q = np.asarray(self._Q)
-                self.Qb = np.asarray(self._Qb)
+                _sync_host()
                 self.validation_result = self.get_validation_results()
                 vali_t = time.time() - start_t
                 val_str = " ".join(f"{k}:{v:0.5f}"
@@ -455,9 +453,7 @@ class BPRMF(Algo, BPRMFOption, Evaluable, Serializable):
             best_loss = self.save_best_only(loss, best_loss, i)
             if self.early_stopping(loss):
                 break
-        self.P = np.asarray(self._P)
-        self.Q = np.asarray(self._Q)
-        self.Qb = np.asarray(self._Qb)
+        _sync_host()
         del self._P, self._Q, self._Qb
         self._sync_host_factors = None
         self.logger.info(

@@ -216,6 +216,14 @@ class BPRMFOption(AlgoOption):
             from ONE stale snapshot, which diverges on popularity-
             skewed data (measured: ML-20M-shaped zipf corpus explodes
             to 1e16 within one epoch uncapped, trains capped).
+        :ivar int stored_width: TPU addition — on-device storage width
+            of the factor tables.  0 (auto) zero-pads sub-64 ``d`` up
+            to 64 lanes on TPU backends (sub-64 tables hit a slow XLA
+            path: KakaoBrunch epochs measured 4.2/4.0/5.0 s at
+            d=10/20/40 vs a flat 1.91 s padded; factors identical to
+            6e-8 — ops/sgd_kernels.resolve_stored_width).  -1 never
+            pads; >=1 stores at exactly max(d, stored_width).  Saved
+            models always hold the true ``d`` columns.
         """
         opt = super().get_default_option()
         opt.update({
@@ -246,6 +254,7 @@ class BPRMFOption(AlgoOption):
             "max_step_norm": 0.1,
             "batch_size": 0,
             "epoch_dispatch": "auto",
+            "stored_width": 0,
             "model_path": "",
             "data_opt": {},
         })
@@ -284,6 +293,12 @@ class WARPOption(AlgoOption):
             ops/warp_kernels._select_violator_lazy); "all" keeps the
             reference-exact trial-rank semantics and is forced under
             epoch_dispatch="split".
+        :ivar int stored_width: TPU addition — on-device storage width
+            of the factor tables (cf. BPRMFOption).  0 (auto) zero-pads
+            sub-64 ``d`` up to 64 lanes on TPU backends; -1 never pads;
+            >=1 stores at exactly max(d, stored_width).  Zero columns
+            are inert through the WARP update including the unit-ball
+            projection; saved models hold the true ``d`` columns.
         """
         opt = super().get_default_option()
         opt.update({
@@ -299,6 +314,7 @@ class WARPOption(AlgoOption):
             "adaptive_trials": False,
             "probe_mode": "lazy",
             "epoch_dispatch": "auto",
+            "stored_width": 0,
             "update_i": True,
             "update_j": True,
             "reg_u": 0.0,
@@ -339,6 +355,11 @@ class W2VOption(AlgoOption):
             32-chunk body compiles and runs fine, so longer epochs run
             as ceil(n/32) dispatches of one shared compiled shape with
             the tables carried across groups (semantics unchanged).
+        :ivar int stored_width: TPU addition — on-device storage width
+            of the embedding tables (cf. BPRMFOption).  0 (auto)
+            zero-pads sub-64 ``d`` up to 64 lanes on TPU backends; -1
+            never pads; >=1 stores at exactly max(d, stored_width).
+            Saved models always hold the true ``d`` columns.
         """
         opt = super().get_default_option()
         opt.update({
@@ -354,6 +375,7 @@ class W2VOption(AlgoOption):
             "min_lr": 0.0001,
             "max_step_norm": 0.1,
             "max_chunks_per_dispatch": 32,
+            "stored_width": 0,
             "batch_size": 0,
             "model_path": "",
             "data_opt": {},

@@ -258,8 +258,14 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         if V == 0:
             self.logger.warning("Empty vocabulary; nothing to train.")
             return {}
-        L0 = jax.device_put(self.L0)
-        L1 = jax.device_put(self.L1)
+        # sub-64-lane tables hit a slow XLA code path — store them
+        # zero-padded on device, slice back on host sync (zero columns
+        # are inert through the sigmoid update incl. max_step_norm;
+        # sgd_kernels.resolve_stored_width has the measurements)
+        d = int(opt.d)
+        width = K.resolve_stored_width(d, int(opt.get("stored_width", 0)))
+        L0 = jax.device_put(K.pad_cols(self.L0, width))
+        L1 = jax.device_put(K.pad_cols(self.L1, width))
         # the serialized vocab keeps the reference-format int32 CDF;
         # the epoch samples from Walker-alias tables built from it
         # (searchsorted over a 500k-word CDF is pathological on TPU —
@@ -287,8 +293,8 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             repl = parallelism.replicated(mesh)
             chunk_shard = NamedSharding(mesh, PartitionSpec(None, "d"))
             chunk = -(-chunk // mesh.size) * mesh.size
-            L0 = jax.device_put(self.L0, repl)
-            L1 = jax.device_put(self.L1, repl)
+            L0 = jax.device_put(K.pad_cols(self.L0, width), repl)
+            L1 = jax.device_put(K.pad_cols(self.L1, width), repl)
             dist = jax.device_put(dist_pair, repl)
         rng_np = np.random.default_rng(int(opt.random_seed))
         rng = jax.random.PRNGKey(int(opt.random_seed))
@@ -428,8 +434,8 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                 % (i + 1, loss, n_pairs, time.time() - start_t))
             if training_callback is not None and callable(training_callback):
                 training_callback(i, {"train_loss": loss})
-        self.L0 = np.asarray(L0)
-        self.L1 = np.asarray(L1)
+        self.L0 = np.ascontiguousarray(np.asarray(L0)[:, :d])
+        self.L1 = np.ascontiguousarray(np.asarray(L1)[:, :d])
         self.logger.info(
             f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
         return {"train_loss": loss} if loss is not None else {}

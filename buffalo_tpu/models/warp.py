@@ -205,12 +205,6 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
             np.asarray(group["indptr"]), np.asarray(group["key"]))
         bloom = jax.device_put(bloom_np)
 
-        # sub-64-lane tables hit a slow XLA code path (2-2.6x) — store
-        # them zero-padded on device, slice back on host sync (zero
-        # columns are inert incl. the unit-ball projection;
-        # sgd_kernels.resolve_stored_width has the measurements)
-        d = int(opt.d)
-        width = K.resolve_stored_width(d, int(opt.get("stored_width", 0)))
         self._P = jax.device_put(K.pad_cols(self.P, width))
         self._Q = jax.device_put(K.pad_cols(self.Q, width))
 
@@ -383,8 +377,7 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
             if opt.get("validation") and opt.evaluation_on_learning and \
                     self.periodical(opt.evaluation_period, i):
                 start_t = time.time()
-                self.P = np.asarray(self._P)
-                self.Q = np.asarray(self._Q)
+                _sync_host()
                 self.validation_result = self.get_validation_results()
                 vali_t = time.time() - start_t
                 val_str = " ".join(f"{k}:{v:0.5f}"
@@ -402,8 +395,7 @@ class WARP(Algo, WARPOption, Evaluable, Serializable):
             best_loss = self.save_best_only(loss, best_loss, i)
             if self.early_stopping(loss):
                 break
-        self.P = np.asarray(self._P)
-        self.Q = np.asarray(self._Q)
+        _sync_host()
         del self._P, self._Q
         self._sync_host_factors = None
         self.logger.info(

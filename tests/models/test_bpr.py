@@ -163,3 +163,24 @@ def test_dp_mesh_training_parity(ml_data):
         np.testing.assert_allclose(a.Q, b.Q, rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(a.Qb, b.Qb, rtol=1e-3, atol=1e-4)
         assert abs(ra["train_loss"] - rb["train_loss"]) < 1e-3
+
+
+def test_stored_width_parity(ml_data):
+    """stored_width pads the on-device tables with zero columns (the
+    sub-64-lane XLA slow-path fix, ops/sgd_kernels.resolve_stored_width).
+    Padded dims are inert: first-d factor columns match the unpadded run
+    to float tolerance and the host-side factors keep the true d."""
+    def run(width):
+        np.random.seed(3)
+        m, _ = _train(ml_data, optimizer="adagrad", num_iters=4,
+                      stored_width=width)
+        return m
+
+    base = run(-1)
+    padded = run(64)
+    assert padded.P.shape == base.P.shape  # host factors at true d
+    # a 64-wide dot sums the same 16 products in a different tree, so
+    # parity is float-tolerance, not bit-exact (adagrad amplifies ulps)
+    np.testing.assert_allclose(padded.P, base.P, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(padded.Q, base.Q, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(padded.Qb, base.Qb, rtol=2e-5, atol=2e-6)

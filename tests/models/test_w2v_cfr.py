@@ -480,3 +480,27 @@ def test_cfr_dp_mesh_training_parity(cfr_data):
     np.testing.assert_allclose(m1.I, m2.I, rtol=2e-3, atol=1e-4)
     np.testing.assert_allclose(m1.C, m2.C, rtol=2e-3, atol=1e-4)
     np.testing.assert_allclose(m1.Ib, m2.Ib, rtol=2e-3, atol=1e-4)
+
+
+def test_w2v_stored_width_parity(stream_data):
+    """stored_width zero-padding is inert through the sigmoid update
+    incl. the max_step_norm row clip: first-d columns match the
+    unpadded run to fp-reorder tolerance and host tables keep true d
+    (cf. test_bpr.test_stored_width_parity)."""
+    def run(width):
+        np.random.seed(5)
+        opt = W2VOption().get_default_option()
+        opt.d = 12
+        opt.num_iters = 3
+        opt.min_count = 1
+        opt.stored_width = width
+        m = W2V(opt, data=stream_data)
+        m.initialize()
+        m.train()
+        return m
+
+    base = run(-1)
+    padded = run(64)
+    assert padded.L0.shape == base.L0.shape
+    np.testing.assert_allclose(padded.L0, base.L0, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(padded.L1, base.L1, rtol=2e-5, atol=2e-6)

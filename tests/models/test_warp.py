@@ -202,3 +202,19 @@ def test_dp_mesh_training_parity(ml_data):
         np.testing.assert_allclose(a.P, b.P, rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(a.Q, b.Q, rtol=1e-3, atol=1e-4)
         assert abs(ra["train_loss"] - rb["train_loss"]) < 1e-3
+
+
+def test_stored_width_parity(ml_data):
+    """stored_width zero-padding is inert through the WARP update incl.
+    the unit-ball projection (a zero column never changes a row norm);
+    host factors keep the true d (cf. test_bpr.test_stored_width_parity)."""
+    def run(width):
+        np.random.seed(3)
+        m, _ = _train(ml_data, num_iters=4, stored_width=width)
+        return m
+
+    base = run(-1)
+    padded = run(64)
+    assert padded.P.shape == base.P.shape
+    np.testing.assert_allclose(padded.P, base.P, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(padded.Q, base.Q, rtol=2e-5, atol=2e-6)
