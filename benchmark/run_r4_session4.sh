@@ -28,7 +28,7 @@ import jax.numpy as jnp
 step() {
     local label=$1 name=$2 to=$3; shift 3
     if [ -s "$OUT/$name.log" ] && grep -q '"step_complete"' "$OUT/$name.log" \
-        && ! grep -q '"error"' "$OUT/$name.log"; then
+        && ! { grep '^{' "$OUT/$name.log" | grep -q '"error"'; }; then
         log "$label: $name.log complete — skipping"
         return 0
     fi

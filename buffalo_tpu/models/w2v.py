@@ -264,8 +264,8 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         # sgd_kernels.resolve_stored_width has the measurements)
         d = int(opt.d)
         width = K.resolve_stored_width(d, int(opt.get("stored_width", 0)))
-        L0 = jax.device_put(K.pad_cols(self.L0, width))
-        L1 = jax.device_put(K.pad_cols(self.L1, width))
+        L0_host = K.pad_cols(self.L0, width)
+        L1_host = K.pad_cols(self.L1, width)
         # the serialized vocab keeps the reference-format int32 CDF;
         # the epoch samples from Walker-alias tables built from it
         # (searchsorted over a 500k-word CDF is pathological on TPU —
@@ -273,7 +273,6 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         dist_pair = K.build_alias_table(
             np.diff(np.asarray(self._vocab.dist, dtype=np.int64),
                     prepend=0))
-        dist = jax.device_put(dist_pair)
 
         chunk = int(opt.get("batch_size") or 0)
         if chunk <= 0:
@@ -287,14 +286,18 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         # batch axis; the chunk width must divide evenly over the mesh
         mesh = self._select_dp_mesh(True, False)
         chunk_shard = None
-        if mesh is not None:
+        if mesh is None:
+            L0 = jax.device_put(L0_host)
+            L1 = jax.device_put(L1_host)
+            dist = jax.device_put(dist_pair)
+        else:
             from buffalo_tpu import parallelism
             from jax.sharding import NamedSharding, PartitionSpec
             repl = parallelism.replicated(mesh)
             chunk_shard = NamedSharding(mesh, PartitionSpec(None, "d"))
             chunk = -(-chunk // mesh.size) * mesh.size
-            L0 = jax.device_put(K.pad_cols(self.L0, width), repl)
-            L1 = jax.device_put(K.pad_cols(self.L1, width), repl)
+            L0 = jax.device_put(L0_host, repl)
+            L1 = jax.device_put(L1_host, repl)
             dist = jax.device_put(dist_pair, repl)
         rng_np = np.random.default_rng(int(opt.random_seed))
         rng = jax.random.PRNGKey(int(opt.random_seed))

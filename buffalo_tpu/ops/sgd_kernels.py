@@ -155,11 +155,21 @@ def resolve_stored_width(d: int, opt_value: int = 0) -> int:
     v = int(opt_value)
     if v < 0:
         return d
-    if v > 0:
-        return max(d, v)
     import jax
 
-    return 64 if (d < 64 and jax.default_backend() == "tpu") else d
+    on_tpu = jax.default_backend() == "tpu"
+    if v > 0:
+        w = max(d, v)
+        if w < 64 and on_tpu:
+            import logging
+
+            logging.getLogger("buffalo_tpu").warning(
+                "stored_width=%d resolves to %d lanes on a TPU backend; "
+                "sub-64-lane SGD epochs measured 2.2-2.7x slower (plus a "
+                "pathological d=10 compile) — use stored_width=0 (auto) "
+                "to pad to 64.", v, w)
+        return w
+    return 64 if (d < 64 and on_tpu) else d
 
 
 def pad_cols(arr: "np.ndarray", width: int) -> "np.ndarray":
