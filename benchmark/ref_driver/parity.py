@@ -697,10 +697,320 @@ def plsi_main(args, work):
     return 0 if ok else 1
 
 
+def synth_sppmi(I, seed=13, k=8):
+    """Symmetric item-item SPPMI-like matrix from planted item clusters."""
+    rng = np.random.default_rng(seed)
+    ic = rng.integers(0, k, I)
+    s = np.zeros((I, I), np.float32)
+    for c in range(k):
+        members = np.nonzero(ic == c)[0]
+        for i in members:
+            peers = rng.choice(members, size=min(6, len(members)),
+                               replace=False)
+            for j in peers:
+                if i == j:
+                    continue
+                v = abs(rng.normal(1.0, 0.5)) + 0.1
+                s[i, j] = s[j, i] = np.float32(v)
+    return s
+
+
+def run_reference_cfr(binary, mat, spp, U0, I0, C0, Ib0, Cb0, opt,
+                      iters, work):
+    U, I = mat.shape
+    d = U0.shape[1]
+    r_ip, r_k, r_v = csr(mat)
+    c_ip, c_k, c_v = csr(mat.T)
+    s_ip, s_k, s_v = csr(spp)
+    data = os.path.join(work, "cdata.bin")
+    with open(data, "wb") as f:
+        f.write(struct.pack("<4i", U, I, d, iters))
+        f.write(r_ip[1:].astype("<i8").tobytes())
+        f.write(r_k.astype("<i4").tobytes())
+        f.write(r_v.astype("<f4").tobytes())
+        f.write(c_ip[1:].astype("<i8").tobytes())
+        f.write(c_k.astype("<i4").tobytes())
+        f.write(c_v.astype("<f4").tobytes())
+        f.write(s_ip[1:].astype("<i8").tobytes())
+        f.write(s_k.astype("<i4").tobytes())
+        f.write(s_v.astype("<f4").tobytes())
+        f.write(U0.astype("<f4").tobytes())
+        f.write(I0.astype("<f4").tobytes())
+        f.write(C0.astype("<f4").tobytes())
+        f.write(Ib0.astype("<f4").tobytes())
+        f.write(Cb0.astype("<f4").tobytes())
+    optp = os.path.join(work, "copt.json")
+    with open(optp, "w") as f:
+        json.dump(opt, f)
+    out = os.path.join(work, "cout.bin")
+    res = subprocess.run([binary, optp, data, out],
+                         capture_output=True, text=True, check=True)
+    raw = np.fromfile(out, dtype="<f4")
+    n = U * d
+    m_ = I * d
+    return (raw[:n].reshape(U, d).copy(),
+            raw[n:n + m_].reshape(I, d).copy(),
+            raw[n + m_:n + 2 * m_].reshape(I, d).copy(),
+            raw[n + 2 * m_:n + 2 * m_ + I].copy(),
+            raw[n + 2 * m_ + I:].copy(), res.stdout)
+
+
+def _padded_csr(ip, keys, vals, nrows):
+    lens = np.diff(ip).astype(np.int32)
+    L = max(int(lens.max()), 1)
+    cols = np.zeros((nrows, L), np.int32)
+    vv = np.zeros((nrows, L), np.float32)
+    for r in range(nrows):
+        s_, e_ = int(ip[r]), int(ip[r + 1])
+        cols[r, :e_ - s_] = keys[s_:e_]
+        vv[r, :e_ - s_] = vals[s_:e_]
+    return lens, cols, vv
+
+
+def run_buffalo_tpu_cfr(mat, spp, U0, I0, C0, Ib0, Cb0, opt, iters):
+    """Mirror of models/cfr.py's 3-phase epoch through ops/cfr_kernels
+    (same order as the reference: precompute(item) + user phase,
+    precompute(user) + item phase, context phase — cfr.py:128-159)."""
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from buffalo_tpu.ops import cfr_kernels as K
+
+    r_ip, r_k, r_v = csr(mat)
+    c_ip, c_k, c_v = csr(mat.T)
+    s_ip, s_k, s_v = csr(spp)
+    Un, In = mat.shape
+    lens_r, cols_r, vals_r = _padded_csr(r_ip, r_k, r_v, Un)
+    lens_c, cols_c, vals_c = _padded_csr(c_ip, c_k, c_v, In)
+    lens_s, cols_s, vals_s = _padded_csr(s_ip, s_k, s_v, In)
+    rows_u = jnp.arange(Un, dtype=jnp.int32)
+    rows_i = jnp.arange(In, dtype=jnp.int32)
+    U = jnp.asarray(U0.copy())
+    I = jnp.asarray(I0.copy())
+    C = jnp.asarray(C0.copy())
+    Ib = jnp.asarray(Ib0.copy())
+    Cb = jnp.asarray(Cb0.copy())
+    com = dict(optimizer=opt["optimizer"],
+               cg_iters=opt["num_cg_max_iters"],
+               cg_tol=opt["cg_tolerance_"], compute_loss=False)
+    al, l_ = float(opt["alpha"]), float(opt["l"])
+    for _ in range(iters):
+        FF = jnp.dot(I.T, I, preferred_element_type=jnp.float32)
+        U, _ = K.cfr_user_step(U, I, FF, rows_u, jnp.asarray(lens_r),
+                               jnp.asarray(cols_r), jnp.asarray(vals_r),
+                               alpha=al, l=l_, reg_u=float(opt["reg_u"]),
+                               **com)
+        FF = jnp.dot(U.T, U, preferred_element_type=jnp.float32)
+        I, Ib, _ = K.cfr_item_step(
+            I, U, C, Ib, Cb, FF, rows_i, jnp.asarray(lens_c),
+            jnp.asarray(cols_c), jnp.asarray(vals_c),
+            jnp.asarray(lens_s), jnp.asarray(cols_s),
+            jnp.asarray(vals_s), alpha=al, l=l_,
+            reg_i=float(opt["reg_i"]), **com)
+        C, Cb, _ = K.cfr_context_step(
+            C, I, Ib, Cb, rows_i, jnp.asarray(lens_s),
+            jnp.asarray(cols_s), jnp.asarray(vals_s),
+            reg_c=float(opt["reg_c"]), **com)
+    return (np.asarray(U), np.asarray(I), np.asarray(C),
+            np.asarray(Ib), np.asarray(Cb))
+
+
+def cfr_main(args, work):
+    """Direct factor parity: CFR is a deterministic 3-phase alternating
+    solve (each row's normal equations read only tables fixed for the
+    phase), so both implementations must agree to fp tolerance —
+    cfr.cc:92-314."""
+    binary = os.path.join(work, "ref_cfr")
+    build(binary, "cfr")
+    mat = synth(U=400, I=250, density=0.05, d=args.d)
+    spp = synth_sppmi(mat.shape[1])
+    Un, In = mat.shape
+    rng = np.random.default_rng(11)
+    d = args.d
+    U0 = rng.normal(scale=1.0 / d ** 2, size=(Un, d)).astype(np.float32)
+    I0 = rng.normal(scale=1.0 / d ** 2, size=(In, d)).astype(np.float32)
+    C0 = rng.normal(scale=1.0 / d ** 2, size=(In, d)).astype(np.float32)
+    Ib0 = np.zeros(In, np.float32)
+    Cb0 = np.zeros(In, np.float32)
+    # reference CFROption defaults (buffalo/algo/options.py) — note the
+    # cc reads the literal key "cg_tolerance_" (cfr.cc:40)
+    opt = {"d": d, "num_workers": args.workers, "optimizer": "llt",
+           "alpha": 8.0, "l": 1.0, "num_cg_max_iters": 3,
+           "cg_tolerance_": 1e-10, "eps": 1e-10,
+           "reg_u": 0.1, "reg_i": 0.1, "reg_c": 0.1,
+           "compute_loss": True}
+    Ur, Ir, Cr, Ibr, Cbr, log = run_reference_cfr(
+        binary, mat, spp, U0, I0, C0, Ib0, Cb0, opt, args.iters, work)
+    print(log.strip())
+    Ut, It, Ct, Ibt, Cbt = run_buffalo_tpu_cfr(
+        mat, spp, U0, I0, C0, Ib0, Cb0, opt, args.iters)
+    errs = {}
+    for name, a, b in (("U", Ur, Ut), ("I", Ir, It), ("C", Cr, Ct),
+                       ("Ib", Ibr, Ibt), ("Cb", Cbr, Cbt)):
+        errs[name] = float(np.max(np.abs(a - b))
+                           / max(np.max(np.abs(a)), 1e-9))
+    Sr = Ur @ Ir.T
+    St = Ut @ It.T
+    top_r = np.argsort(-Sr, axis=1)[:, :10]
+    top_t = np.argsort(-St, axis=1)[:, :10]
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(top_r, top_t)])
+    out = {"metric": "cfr_factor_parity_relmax", **errs,
+           "top10_overlap": float(overlap), "d": d, "iters": args.iters}
+    print(json.dumps(out))
+    ok = all(v < 1e-3 for v in errs.values()) and overlap > 0.97
+    print("PARITY", "OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def make_clustered_corpus(work, V=450, k=15, n_sents=4000, sent_len=12,
+                          noise=0.4, seed=3):
+    """Planted-cluster corpus: same-cluster words co-occur (the same
+    generator family as tests/models/test_w2v_cfr.py, scaled up).
+    ``noise`` of each sentence's slots draw from the full vocabulary so
+    purity does NOT saturate at 1.0 — a saturated score can't separate
+    the two implementations' convergence quality."""
+    rng = np.random.default_rng(seed)
+    cl = rng.integers(0, k, V)
+    lines = []
+    for _ in range(n_sents):
+        c = rng.integers(0, k)
+        members = np.nonzero(cl == c)[0]
+        sent = rng.choice(members, size=sent_len, replace=True)
+        noisy = rng.random(sent_len) < noise
+        sent[noisy] = rng.integers(0, V, int(noisy.sum()))
+        lines.append(" ".join(f"w{int(x)}" for x in sent))
+    path = os.path.join(work, "corpus.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path, cl
+
+
+def neighbor_purity(L0, clusters_of_vocab, topk=10):
+    """Mean fraction of each vocab word's top-k cosine neighbors that
+    share its planted cluster — the embedding-quality score both
+    implementations are banded on."""
+    X = L0 / (np.linalg.norm(L0, axis=1, keepdims=True) + 1e-12)
+    S = X @ X.T
+    np.fill_diagonal(S, -np.inf)
+    nb = np.argsort(-S, axis=1)[:, :topk]
+    same = clusters_of_vocab[nb] == clusters_of_vocab[:, None]
+    return float(same.mean())
+
+
+def run_reference_w2v(binary, vocab, ends, seqs, L0, opt, iters, work,
+                      seed):
+    V, D = L0.shape
+    data = os.path.join(work, f"wvdata_{seed}.bin")
+    index = np.asarray(vocab["index"], dtype=np.int32)
+    with open(data, "wb") as f:
+        f.write(struct.pack("<4i", V, len(ends), D, iters))
+        f.write(struct.pack("<q", int(vocab["total_word_count"])))
+        f.write(struct.pack("<i", len(index)))
+        f.write(index.astype("<i4").tobytes())
+        f.write(np.asarray(vocab["scale"]).astype("<u4").tobytes())
+        f.write(np.asarray(vocab["dist"]).astype("<i4").tobytes())
+        f.write(ends.astype("<i8").tobytes())
+        f.write(seqs.astype("<i4").tobytes())
+        f.write(L0.astype("<f4").tobytes())
+    o = dict(opt)
+    o["random_seed"] = seed
+    optp = os.path.join(work, f"wvopt_{seed}.json")
+    with open(optp, "w") as f:
+        json.dump(o, f)
+    out = os.path.join(work, f"wvout_{seed}.bin")
+    res = subprocess.run([binary, optp, data, out],
+                         capture_output=True, text=True, check=True)
+    L = np.fromfile(out, dtype="<f4").reshape(V, D)
+    return L, res.stdout
+
+
+def w2v_main(args, work):
+    """Converged-quality band parity for W2V (hogwild skip-gram — no
+    factor parity possible): both implementations train on the SAME
+    corpus / vocab bookkeeping / L0 init, then are scored by planted-
+    cluster neighbor purity — w2v.cc:197-320."""
+    binary = os.path.join(work, "ref_w2v")
+    build(binary, "w2v")
+    corpus, cl = make_clustered_corpus(work)
+
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from buffalo_tpu.data import StreamOptions, load
+    from buffalo_tpu.models import W2V
+    from buffalo_tpu.models.options import W2VOption
+
+    dopt = StreamOptions().get_default_option()
+    dopt.input.main = corpus
+    dopt.data.path = os.path.join(work, "w2v.bfo")
+    dopt.data.tmp_dir = os.path.join(work, "tmp")
+    dopt.data.validation = {}
+    data = load(dopt)
+    data.create()
+    group = data.get_group("rowwise")
+    indptr = np.asarray(group["indptr"])
+    seqs = np.asarray(group["key"], dtype=np.int32)
+    ends = indptr[1:].astype(np.int64)  # reference length-rows CSR
+
+    d = args.d
+    iters = args.iters
+    ref_iters = int(args.ref_iters or iters)
+    # reference W2VOption defaults (buffalo/algo/options.py)
+    ref_opt = {"d": d, "num_workers": args.workers, "window": 5,
+               "num_negative_samples": 5, "lr": 0.025,
+               "min_lr": 0.0001, "sample": 0.001, "min_count": 1,
+               "num_iters": ref_iters, "batch_size": -1,
+               "compute_loss_on_training": True}
+    seeds = [11, 23, 47]
+    ref_p, tpu_p = [], []
+    itemids = None
+    for s in seeds:
+        np.random.seed(s)
+        opt = W2VOption().get_default_option()
+        opt.d = d
+        opt.num_iters = iters
+        opt.window = 5
+        opt.min_count = 1
+        opt.random_seed = s
+        m = W2V(opt, data=data)
+        m.initialize()
+        L0_init = m.L0.copy()
+        if itemids is None:
+            m.build_itemid_map()
+            itemids = list(m._idmanager.itemids)
+            inv = np.asarray(m._vocab.inv_index)
+            cl_vocab = np.asarray(
+                [cl[int(itemids[r][1:])] for r in inv])
+        vocab = {"index": m._vocab.index, "scale": m._vocab.scale,
+                 "dist": m._vocab.dist,
+                 "total_word_count": m._vocab.total_word_count}
+        Lr, log = run_reference_w2v(binary, vocab, ends, seqs, L0_init,
+                                    ref_opt, ref_iters, work, s)
+        if s == seeds[0]:
+            print("ref:", log.strip().splitlines()[-1])
+        ref_p.append(neighbor_purity(Lr, cl_vocab))
+        m.train()
+        tpu_p.append(neighbor_purity(m.L0, cl_vocab))
+    r_p, t_p = np.mean(ref_p), np.mean(tpu_p)
+    band = 3 * max(np.std(ref_p), np.std(tpu_p), 0.01)
+    out = {"metric": "w2v_quality_band_parity",
+           "ref_purity": round(float(r_p), 4),
+           "tpu_purity": round(float(t_p), 4),
+           "band": round(float(band), 4), "seeds": len(seeds),
+           "d": d, "iters": iters, "ref_iters": ref_iters}
+    print(json.dumps(out))
+    ok = t_p >= r_p - band
+    print("PARITY", "OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", default="als",
-                    choices=["als", "plsi", "eals", "bpr", "warp"])
+                    choices=["als", "plsi", "eals", "bpr", "warp",
+                             "w2v", "cfr"])
     ap.add_argument("--d", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--ref-iters", type=int, default=0,
@@ -719,6 +1029,10 @@ def main():
         return bpr_main(args, work)
     if args.algo == "warp":
         return warp_main(args, work)
+    if args.algo == "w2v":
+        return w2v_main(args, work)
+    if args.algo == "cfr":
+        return cfr_main(args, work)
     binary = os.path.join(work, "ref_als")
     build(binary)
     mat = synth(d=args.d)
