@@ -19,11 +19,19 @@
 //   float U0[U*D]; float I0[I*D]; float C0[I*D]; float Ib0[I]; float Cb0[I]
 // argv[1] = option JSON path.
 // Output: argv[3] = U, I, C, Ib, Cb raw floats.
+#include <sys/time.h>
+
 #include <cstdio>
 #include <cstdint>
 #include <cstdlib>
 #include <vector>
 #include "buffalo/algo_impl/cfr/cfr.hpp"
+
+static double now_s() {
+    struct timeval tv;
+    gettimeofday(&tv, NULL);
+    return tv.tv_sec + tv.tv_usec / 1e6;
+}
 
 template <typename T> std::vector<T> rd(FILE* f, size_t n) {
     std::vector<T> v(n);
@@ -63,6 +71,7 @@ int main(int argc, char** argv) {
     m.set_embedding(Ib.data(), I, "item_bias");
     m.set_embedding(Cb.data(), I, "context_bias");
     for (int it = 0; it < iters; ++it) {
+        double t0 = now_s();
         double loss = 0.0;
         m.precompute("item");
         loss += m.partial_update_user(0, U, r_ends.data(), r_keys.data(),
@@ -73,7 +82,8 @@ int main(int argc, char** argv) {
                                       s_keys.data(), s_vals.data());
         loss += m.partial_update_context(0, I, s_ends.data(),
                                          s_keys.data(), s_vals.data());
-        printf("iter %d loss %.6f\n", it + 1, loss);
+        printf("iter %d loss %.6f elapsed %.3f s\n", it + 1, loss,
+               now_s() - t0);
     }
     FILE* o = fopen(argv[3], "wb");
     fwrite(Uf.data(), sizeof(float), Uf.size(), o);
