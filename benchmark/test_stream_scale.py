@@ -92,7 +92,18 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0,
                     help="shrink users/items/nnz by this factor "
                          "(bisect knob for the r4 W2V worker crash)")
+    ap.add_argument("--set", nargs="*", default=[], metavar="K=V",
+                    help="extra algo option overrides, e.g. "
+                         "pair_gen=device neg_block=128")
     args = ap.parse_args()
+
+    overrides = {}
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        try:
+            overrides[k] = json.loads(v)
+        except json.JSONDecodeError:
+            overrides[k] = v
 
     # --smoke implies the CPU pin; otherwise honor JAX_PLATFORMS=cpu
     pin_cpu_if_requested(force=args.smoke)
@@ -119,6 +130,8 @@ def main():
         opt.d = args.d
         opt.num_iters = args.epochs + 1
         opt.min_count = 2
+        for k, v in overrides.items():
+            opt[k] = v
         model = W2V(opt, data=data)
     else:
         from buffalo_tpu.models import CFR
@@ -130,6 +143,8 @@ def main():
         opt.d = args.d
         opt.num_iters = args.epochs + 1
         opt.validation = {}
+        for k, v in overrides.items():
+            opt[k] = v
         model = CFR(opt, data=data)
 
     np.random.seed(0)

@@ -360,6 +360,23 @@ class W2VOption(AlgoOption):
             zero-pads sub-64 ``d`` up to 64 lanes on TPU backends; -1
             never pads; >=1 stores at exactly max(d, stored_width).
             Saved models always hold the true ``d`` columns.
+        :ivar str pair_gen: TPU addition — where skip-gram pairs are
+            expanded.  "host" ships precomputed (input, target) pairs
+            (~8 B/pair; ~0.5 GB/epoch at the brunch stream shape) and
+            scatters 2 + K table rows per pair.  "device" ships only
+            the subsampled token stream (~9 B/token) and expands the
+            window inside the jitted epoch with position-major delta
+            accumulation and block-shared negatives
+            (``w2v_kernels.w2v_epoch_stream``) — same SGNS family,
+            different (valid) sampling stream.  "auto" = device on
+            TPU single-device runs, host elsewhere (the dp-mesh path
+            always uses host pairs).
+        :ivar int neg_block: "device" pair_gen only — consecutive-token
+            block size sharing one negative draw (pWord2Vec-style).
+            Smaller = closer to per-pair sampling (measured on the
+            clustered-corpus fixture: block 16 matches the host
+            path's converged loss, 512 lags it); the block's cost
+            is negligible at any size, so the default stays small.
         """
         opt = super().get_default_option()
         opt.update({
@@ -376,6 +393,8 @@ class W2VOption(AlgoOption):
             "max_step_norm": 0.1,
             "max_chunks_per_dispatch": 32,
             "stored_width": 0,
+            "pair_gen": "auto",
+            "neg_block": 128,
             "batch_size": 0,
             "model_path": "",
             "data_opt": {},

@@ -247,6 +247,114 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             inputs.append(words[:-off][m2])
         return (np.concatenate(inputs), np.concatenate(targets), n)
 
+    def _train_stream(self, L0, L1, dist_pair, rng, rng_np, statics,
+                      d, full_st, training_callback):
+        """On-device pair expansion path (``pair_gen="device"``): per
+        epoch the host does only the subsample + compaction + shrunken
+        window draws (numpy over the cached token stream, ~0.5 s at
+        12M tokens) and ships ~9 bytes/token; the jitted epoch expands
+        the skip-gram window itself (w2v_kernels.w2v_epoch_stream)."""
+        import jax
+        import jax.numpy as jnp
+
+        from buffalo_tpu.ops.w2v_kernels import w2v_epoch_stream
+
+        opt = self.opt
+        V = int(self._vocab.size)
+        dist = jax.device_put(dist_pair)
+        window = int(opt.window)
+        n_all = len(self._token_stream()[0])
+        # auto-scale the shared-negative block to the corpus: small
+        # corpora need near-per-pair sampling diversity (measured on
+        # the clustered fixture: block 16 matches the host path's
+        # converged loss, 512 lags), while at stream scale the
+        # configured block's sharing is a vanishing fraction of the
+        # epoch's draws and its cost is negligible either way
+        block = int(opt.get("neg_block", 128))
+        block = min(block,
+                    max(16, 1 << int(np.log2(max(n_all // 256, 16)))))
+        T = int(opt.get("batch_size") or 0)
+        if T <= 0:
+            T = 1 << 17
+            # small corpora: shrink the chunk so 4 chunks cover the
+            # stream (sized on the epoch-invariant token count — the
+            # per-epoch subsample jitter must not change the shape)
+            T = min(T, max(block, -(-n_all // (4 * block)) * block))
+        T = -(-T // block) * block
+        G = int(opt.get("max_chunks_per_dispatch", 32))
+        raw_words = float(self._vocab.total_word_count)
+        total_words = raw_words * opt.num_iters
+        processed_words = 0.0
+        loss = None
+        self.iteration_times = []
+        stat = dict(window=window, block=block,
+                    num_negatives=statics["num_negatives"],
+                    vocab_size=V,
+                    compute_loss=statics["compute_loss"],
+                    max_step_norm=statics["max_step_norm"])
+        for i in range(opt.num_iters):
+            start_t = time.time()
+            all_words, all_sents = self._token_stream()
+            r = rng_np.integers(0, 1 << 32, size=len(all_words),
+                                dtype=np.uint64)
+            keep = self._vocab.scale[all_words].astype(np.uint64) > r
+            words = all_words[keep]
+            sents = all_sents[keep]
+            n = len(words)
+            h = (window - rng_np.integers(0, window, size=n)) \
+                .astype(np.int32)
+            # pad to a multiple-of-4 chunk count (subsampling jitters n
+            # a little every epoch; a changed scan length recompiles)
+            nchunks = -(-max(1, -(-n // T)) // 4) * 4
+            if nchunks > G:
+                nchunks = -(-nchunks // G) * G
+                g_len = G
+            else:
+                g_len = nchunks
+            pad = nchunks * T - n
+            wc = np.concatenate([words,
+                                 np.full(pad, V, np.int32)]) \
+                .reshape(nchunks, T)
+            sc = np.concatenate([sents,
+                                 np.full(pad, -1, np.int32)]) \
+                .reshape(nchunks, T)
+            hc = np.concatenate([h, np.zeros(pad, np.int32)]) \
+                .reshape(nchunks, T)
+            groups = nchunks // g_len
+            rng, sub = jax.random.split(rng)
+            wpc = raw_words / max(nchunks, 1)
+            loss_sums, pair_cnts = [], []
+            for g in range(groups):
+                sl = slice(g * g_len, (g + 1) * g_len)
+                sub_g = (jax.random.fold_in(sub, g) if groups > 1
+                         else sub)
+                p0 = jnp.float32(processed_words + g * g_len * wpc)
+                L0, L1, l_, c_ = w2v_epoch_stream(
+                    L0, L1, jax.device_put(wc[sl]),
+                    jax.device_put(sc[sl]), jax.device_put(hc[sl]),
+                    sub_g, p0, dist, lr=float(opt.lr),
+                    min_lr=float(opt.min_lr),
+                    total_words=float(total_words),
+                    words_per_chunk=float(wpc), **stat)
+                loss_sums.append(l_)
+                pair_cnts.append(c_)
+            loss_sum = float(np.sum([np.asarray(x) for x in loss_sums]))
+            pair_cnt = float(np.sum([np.asarray(x) for x in pair_cnts]))
+            loss = loss_sum / max(pair_cnt, 1.0)
+            processed_words += raw_words
+            self.iteration_times.append(time.time() - start_t)
+            self.logger.info(
+                "Iteration %d: Loss %.5f (%d pairs) Elapsed %.3f secs"
+                % (i + 1, loss, int(pair_cnt), time.time() - start_t))
+            if training_callback is not None and callable(
+                    training_callback):
+                training_callback(i, {"train_loss": loss})
+        self.L0 = np.ascontiguousarray(np.asarray(L0)[:, :d])
+        self.L1 = np.ascontiguousarray(np.asarray(L1)[:, :d])
+        self.logger.info(
+            f"elapsed for full epochs: {time.time() - full_st:.2f} sec")
+        return loss
+
     def train(self, training_callback: Optional[
             Callable[[int, Dict[str, float]], None]] = None) -> Dict[str, float]:
         assert self.data, "Data is not set"
@@ -312,6 +420,20 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         full_st = time.time()
         self.iteration_times = []  # per-epoch train seconds
         raw_words = float(self._vocab.total_word_count)
+
+        pair_gen = str(opt.get("pair_gen", "auto"))
+        use_stream = pair_gen == "device" or (
+            pair_gen == "auto" and mesh is None
+            and jax.default_backend() == "tpu")
+        if use_stream and mesh is not None:
+            self.logger.warning(
+                "pair_gen=device has no dp-mesh path; using host pairs")
+            use_stream = False
+        if use_stream:
+            loss = self._train_stream(L0, L1, dist_pair, rng, rng_np,
+                                      statics, d, full_st,
+                                      training_callback)
+            return {"train_loss": loss} if loss is not None else {}
         next_pairs = None  # host pair prefetch, one epoch ahead
         for i in range(opt.num_iters):
             start_t = time.time()

@@ -418,11 +418,20 @@ def cfr_epoch(U, I, C, Ib, Cb, user_batches, item_batches,
     return U, I, C, Ib, Cb, loss
 
 
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "alpha", "l",
+                                   "reg_u", "reg_i", "reg_c",
+                                   "optimizer", "cg_iters", "cg_tol",
+                                   "compute_loss"),
+         donate_argnums=(0, 1, 2, 3, 4))
 def cfr_epoch_dp(U, I, C, Ib, Cb, user_batches, item_batches,
                  context_batches, *, mesh, axis_name, alpha, l, reg_u,
                  reg_i, reg_c, optimizer, cg_iters, cg_tol,
                  compute_loss):
     """Full 3-phase CoFactor epoch over a device mesh (dp).
+
+    Jitted as a whole (mesh static): un-jitted, each epoch would
+    rebuild its shard_map closures and RECOMPILE — measured 50.5 s per
+    iteration on the 80x24 dryrun toy, both iterations identical.
 
     TPU-native analog of the reference's OpenMP row loops at
     multi-chip scale (``cfr.cc:105-110``): every padded batch shards

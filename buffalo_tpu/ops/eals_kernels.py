@@ -239,6 +239,9 @@ def eals_gramian(T, C_perm=None):
     return jnp.dot(T.T, T, preferred_element_type=jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "alpha",
+                                   "reg_u", "reg_i"),
+         donate_argnums=(0, 1))
 def eals_epoch_sharded_range(P, Q, row_groups, col_groups, row_segments,
                              col_segments, C_perm, *, mesh, axis_name,
                              alpha, reg_u, reg_i):

@@ -236,6 +236,8 @@ def plsi_epoch_range(P, Q, row_groups, col_groups, row_segments,
     return Pn, Qn, loss
 
 
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "alpha1",
+                                   "alpha2", "num_items"))
 def plsi_epoch_sharded_range(P, Q, row_groups, col_groups, row_segments,
                              col_segments, p_mask, q_mask, *, mesh,
                              axis_name, alpha1, alpha2, num_items):

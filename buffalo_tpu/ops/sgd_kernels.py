@@ -654,6 +654,13 @@ def bpr_epoch(P, Q, Qb, opt_state, users, positives, bloom_words,
     return P, Q, Qb, opt_state
 
 
+@partial(jax.jit, static_argnames=(
+    "mesh", "axis_name", "optimizer", "num_items", "num_negatives",
+    "use_bias", "update_i", "update_j", "verify_neg", "use_cum_table",
+    "per_coordinate_normalize", "lr", "min_lr", "beta1", "beta2",
+    "reg_u", "reg_i", "reg_j", "reg_b", "num_valid", "total_samples",
+    "bloom_log2", "random_positive", "max_step_norm"),
+    donate_argnums=(0, 1, 2, 3))
 def bpr_epoch_dp(P, Q, Qb, opt_state, users, positives, bloom_words,
                  cum_table, rng_key, step, pos_indptr, pos_keys, *,
                  mesh, axis_name="d", optimizer, num_items, num_negatives,

@@ -69,6 +69,10 @@ def w2v_epoch(L0, L1, inputs, targets, dist, rng_key, processed0,
     return L0, L1, loss, cnt
 
 
+@partial(jax.jit, static_argnames=("mesh", "axis_name", "num_negatives",
+                                   "vocab_size", "compute_loss",
+                                   "max_step_norm"),
+         donate_argnums=(0, 1))
 def w2v_epoch_dp(L0, L1, inputs, targets, dist, rng_key, processed0,
                  *, mesh, axis_name="d", num_negatives, vocab_size,
                  compute_loss, lr, min_lr, total_words, words_per_chunk,
@@ -117,6 +121,173 @@ def w2v_epoch_dp(L0, L1, inputs, targets, dist, rng_key, processed0,
                   PS()),
         out_specs=(PS(), PS(), PS(), PS()), check_vma=False)
     return run(L0, L1, inputs, targets, dist)
+
+
+@partial(jax.jit, static_argnames=("window", "block", "num_negatives",
+                                   "vocab_size", "compute_loss",
+                                   "max_step_norm"),
+         donate_argnums=(0, 1))
+def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
+                     dist, *, window, block, num_negatives, vocab_size,
+                     compute_loss, lr, min_lr, total_words,
+                     words_per_chunk, max_step_norm=0.1):
+    """On-device skip-gram pair expansion: one dispatch per token-chunk
+    group, NO per-pair host arrays.
+
+    The host-pair path ships ~8 bytes x pairs (~0.5 GB/epoch at the
+    KakaoBrunch stream shape, ~12 s over the tunnel) and scatters
+    2 + K table rows per pair (~40 s/epoch at the 133 ns/row HBM
+    floor).  This kernel instead takes the SUBSAMPLED token stream
+    (words / sentence ids / shrunken half-windows — ~9 bytes/token)
+    and expands pairs internally as offset-rolled slices
+    (w2v.cc:238-246 expands the same (center, context) set per
+    worker):
+
+    * position-major delta accumulation: every offset's contribution
+      lands in aligned (T, d) buffers (dense adds), and only ONE
+      scatter of T rows per table happens at chunk end — 2 rows per
+      TOKEN instead of 2 + K rows per PAIR (~25x less scatter).
+    * block-shared negatives: each run of ``block`` consecutive tokens
+      shares one set of ``num_negatives`` draws for all its pairs
+      (the pWord2Vec / GPU-word2vec trick), so negative scoring and
+      gradients become small batched einsums against a (K, d) tile
+      and the negative scatter is K rows per block, not K per pair.
+      A drawn negative that equals the pair's center word contributes
+      zero (the reference redraws instead, w2v.cc:248-255).
+
+    Pairs whose two ends fall in different token-chunks are dropped
+    (<= window * nchunks of ~66M at the brunch shape, < 1e-5) —
+    the analog of the reference's job-boundary granularity.
+
+    words/sents: int32 (nchunks, T) — compacted kept tokens, sentinel
+    ``vocab_size`` padding.  half: int32 (nchunks, T) shrunken
+    half-window per CENTER position (window - b, b ~ U[0, window)).
+    Returns (L0, L1, loss_sum, pair_count).
+    """
+    nchunks, T = words.shape
+    NB = T // block
+    d = L0.shape[1]
+    K = num_negatives
+
+    def body(carry, xs):
+        L0, L1, loss, cnt = carry
+        wc, sc, hc, cidx = xs
+        sub = jax.random.fold_in(rng_key, cidx)
+        progress = jnp.minimum(
+            (processed0 + cidx.astype(jnp.float32) * words_per_chunk)
+            / jnp.maximum(total_words, 1.0), 1.0)
+        lr_t = jnp.maximum(lr - (lr - min_lr) * progress, min_lr)
+
+        valid_tok = wc < vocab_size
+        safe_w = jnp.minimum(wc, vocab_size - 1)
+        l0_pos = jnp.take(L0, safe_w, axis=0)          # (T, d)
+        l1_pos = jnp.take(L1, safe_w, axis=0)          # (T, d)
+
+        dist_prob, dist_alias = dist
+        from buffalo_tpu.ops.sgd_kernels import draw_from_alias
+        negs = draw_from_alias(sub, (NB, K), dist_prob, dist_alias)
+        ln = jnp.take(L1, negs, axis=0)                # (NB, K, d)
+
+        dL0p = jnp.zeros_like(l0_pos)
+        dL1p = jnp.zeros_like(l1_pos)
+        dLn = jnp.zeros_like(ln)
+        pos_idx = jnp.arange(T)
+        loss_c = jnp.zeros((), jnp.float32)
+        cnt_c = jnp.zeros((), jnp.float32)
+        # center word of each position's block-shared negatives: mask a
+        # negative that equals the pair's CENTER word (per direction)
+        negs_pos = jnp.repeat(negs, block, axis=0)     # (T, K)
+
+        for off in range(1, window + 1):
+            in_range = pos_idx < T - off
+            sent_next = jnp.roll(sc, -off)
+            same = (sc == sent_next) & in_range
+            w_next = jnp.roll(wc, -off)
+            v_next = jnp.roll(valid_tok, -off)
+            l0_next = jnp.roll(l0_pos, -off, axis=0)
+            l1_next = jnp.roll(l1_pos, -off, axis=0)
+            both = same & valid_tok & v_next
+
+            # direction A: center i, context i+off (context's window
+            # check rides the CENTER's shrunken half, w2v.cc:239-241)
+            va = (both & (off <= hc)).astype(jnp.float32)
+            # direction B: center i+off, context i
+            vb = (both & (off <= jnp.roll(hc, -off))).astype(jnp.float32)
+
+            # ---- direction A: L0 row = w_next (context), L1 = wc
+            f_a = jnp.sum(l0_next * l1_pos, axis=-1)
+            g_a = _g(1.0, f_a) * va
+            dL1p = dL1p + (g_a[:, None] * l0_next)
+            contrib_a = g_a[:, None] * l1_pos
+            # ---- direction B: L0 row = wc (context), L1 = w_next
+            f_b = jnp.sum(l0_pos * l1_next, axis=-1)
+            g_b = _g(1.0, f_b) * vb
+            dL0p = dL0p + (g_b[:, None] * l1_next)
+            contrib_b = g_b[:, None] * l0_pos
+
+            # negatives: shared per block of the pair's POSITION; the
+            # center word differs per direction (wc for A at i,
+            # w_next for B), so the neg==center mask does too
+            l0n_a = l0_next.reshape(NB, block, d)
+            f_na = jnp.einsum("nsd,nkd->nsk", l0n_a, ln,
+                              preferred_element_type=jnp.float32)
+            mask_a = (negs_pos != wc[:, None]).astype(jnp.float32) \
+                .reshape(NB, block, K)
+            g_na = _g(0.0, f_na) * va.reshape(NB, block, 1) * mask_a
+            dLn = dLn + jnp.einsum("nsk,nsd->nkd", g_na, l0n_a,
+                                   preferred_element_type=jnp.float32)
+            neg_back_a = jnp.einsum(
+                "nsk,nkd->nsd", g_na, ln,
+                preferred_element_type=jnp.float32).reshape(T, d)
+
+            l0n_b = l0_pos.reshape(NB, block, d)
+            f_nb = jnp.einsum("nsd,nkd->nsk", l0n_b, ln,
+                              preferred_element_type=jnp.float32)
+            mask_b = (negs_pos != w_next[:, None]).astype(jnp.float32) \
+                .reshape(NB, block, K)
+            g_nb = _g(0.0, f_nb) * vb.reshape(NB, block, 1) * mask_b
+            dLn = dLn + jnp.einsum("nsk,nsd->nkd", g_nb, l0n_b,
+                                   preferred_element_type=jnp.float32)
+            dL0p = dL0p + jnp.einsum(
+                "nsk,nkd->nsd", g_nb, ln,
+                preferred_element_type=jnp.float32).reshape(T, d)
+
+            # contributions that land at position i+off: roll forward
+            dL0p = dL0p + jnp.roll(contrib_a + neg_back_a, off, axis=0)
+            dL1p = dL1p + jnp.roll(contrib_b, off, axis=0)
+
+            if compute_loss:
+                loss_c = loss_c \
+                    - jnp.sum(va * jnp.log(jax.nn.sigmoid(f_a) + EPS)) \
+                    - jnp.sum(vb * jnp.log(jax.nn.sigmoid(f_b) + EPS)) \
+                    - jnp.sum(va.reshape(NB, block, 1) * mask_a
+                              * jnp.log(1.0 - jax.nn.sigmoid(f_na)
+                                        + EPS)) \
+                    - jnp.sum(vb.reshape(NB, block, 1) * mask_b
+                              * jnp.log(1.0 - jax.nn.sigmoid(f_nb)
+                                        + EPS))
+            cnt_c = cnt_c + jnp.sum(va) + jnp.sum(vb)
+
+        def _clipped_apply(Tb, dT, cap):
+            if not cap:
+                return Tb + dT
+            norms = jnp.sqrt(jnp.sum(dT * dT, axis=-1, keepdims=True))
+            return Tb + dT * jnp.minimum(
+                1.0, cap / jnp.maximum(norms, 1e-20))
+
+        dL0 = jnp.zeros_like(L0).at[wc].add(lr_t * dL0p, mode="drop")
+        L0 = _clipped_apply(L0, dL0, max_step_norm)
+        dL1 = jnp.zeros_like(L1).at[wc].add(lr_t * dL1p, mode="drop")
+        dL1 = dL1.at[negs.reshape(-1)].add(
+            lr_t * dLn.reshape(-1, d), mode="drop")
+        L1 = _clipped_apply(L1, dL1, max_step_norm)
+        return (L0, L1, loss + loss_c, cnt + cnt_c), None
+
+    init = (L0, L1, jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32))
+    (L0, L1, loss, cnt), _ = jax.lax.scan(
+        body, init, (words, sents, half, jnp.arange(nchunks)))
+    return L0, L1, loss, cnt
 
 
 @partial(jax.jit, static_argnames=("num_negatives", "vocab_size",

@@ -348,6 +348,12 @@ def warp_epoch(P, Q, opt_state, users, positives, indptr, bloom_words,
     return P, Q, opt_state, found_frac
 
 
+@partial(jax.jit, static_argnames=(
+    "mesh", "axis_name", "optimizer", "num_items", "num_candidates",
+    "score_func", "threshold", "reg_u", "reg_i", "reg_j", "update_i",
+    "update_j", "per_coordinate_normalize", "lr", "beta1", "beta2",
+    "num_valid", "bloom_log2", "probe"),
+    donate_argnums=(0, 1, 2))
 def warp_epoch_dp(P, Q, opt_state, users, positives, indptr, bloom_words,
                   rng_key, step, *, mesh, axis_name="d", optimizer,
                   num_items, num_candidates, score_func, threshold,

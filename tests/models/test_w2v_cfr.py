@@ -482,6 +482,49 @@ def test_cfr_dp_mesh_training_parity(cfr_data):
     np.testing.assert_allclose(m1.Ib, m2.Ib, rtol=2e-3, atol=1e-4)
 
 
+def test_w2v_device_pair_gen_quality(stream_data, clustered_stream):
+    """pair_gen="device" (on-device window expansion + block-shared
+    negatives, w2v_kernels.w2v_epoch_stream) must converge like the
+    host-pair path on the clustered corpus: comparable final loss and
+    the same semantic-neighbor structure."""
+    def run(pg, **kw):
+        np.random.seed(5)
+        opt = W2VOption().get_default_option()
+        opt.d = 16
+        opt.num_iters = 20
+        opt.min_count = 2
+        opt.window = 4
+        opt.lr = 0.05
+        opt.pair_gen = pg
+        for k, v in kw.items():
+            opt[k] = v
+        m = W2V(opt, data=stream_data)
+        m.initialize()
+        r = m.train()
+        return m, r["train_loss"]
+
+    m_host, loss_host = run("host")
+    m_dev, loss_dev = run("device", neg_block=16)
+    assert loss_dev < loss_host * 1.15, (loss_dev, loss_host)
+    cl = clustered_stream["clusters"]
+    hits = total = 0
+    for w in ["w0", "w1", "w2"]:
+        sims = m_dev.most_similar(w, topk=5)
+        for key, _score in sims:
+            total += 1
+            hits += cl[int(key[1:])] == cl[int(w[1:])]
+    assert total > 0 and hits / total > 0.5, (hits, total)
+
+
+def test_w2v_device_pair_gen_analogy(analogy_data):
+    """The compositional analogy gate must hold on the device pair
+    path too (same bar as the host path's test_w2v_analogy_gate)."""
+    data, M = analogy_data
+    m = _train_w2v_analogy(data, pair_gen="device", neg_block=16)
+    acc = _analogy_acc(m, M)
+    assert acc > 0.8, acc
+
+
 def test_w2v_stored_width_parity(stream_data):
     """stored_width zero-padding is inert through the sigmoid update
     incl. the max_step_norm row clip: first-d columns match the
