@@ -108,8 +108,12 @@ step "10/11 ref CFR stream anchor" ref_cfr_anchor 10800 0 \
     python benchmark/ref_driver/ref_stream_anchor.py --algo cfr --epochs 2
 
 # 4. buffalo_tpu CFR stream re-measure (same data build as the anchor)
-step "11/11 tpu CFR stream re-measure" stream_cfr_r5 5400 1 \
+step "11/12 tpu CFR stream re-measure" stream_cfr_r5 5400 1 \
     python benchmark/test_stream_scale.py --algo cfr --d 32 --epochs 2
+
+# 5. WARP adaptive_trials paired A/B at decision power (VERDICT #5)
+step "12/12 WARP 32-seed adaptive A/B" warp_adaptive_ab 14400 0 \
+    env JAX_PLATFORMS=cpu python benchmark/warp_adaptive_ab.py --seeds 32
 
 log "r5 queue done; logs in $OUT"
 grep -h '^{' "$OUT"/*.log 2>/dev/null | tail -40
