@@ -243,6 +243,18 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         import jax
 
         self._optimizer = self._resolve_optimizer()
+        # 32 < d < 64 tables store zero-padded to 64 lanes on TPU
+        # (als_kernels.als_stored_width has the r5 width-audit
+        # numbers); host syncs below slice back to the true d
+        d_true = int(self.opt.d)
+        from buffalo_tpu.ops.als_kernels import als_stored_width
+        from buffalo_tpu.ops.sgd_kernels import pad_cols
+        width = als_stored_width(d_true,
+                                 int(self.opt.get("stored_width", 0)))
+        self._width_slice = d_true if width > d_true else None
+        if self._width_slice is not None:
+            self.P = pad_cols(self.P, width)
+            self.Q = pad_cols(self.Q, width)
         mesh = None
         n_dev = self.opt.get("num_devices") or 0
         if n_dev == 1:
@@ -274,7 +286,7 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
                 resident_mb=int(self.opt.get("resident_mb", 4096)),
                 row_multiple=(mesh.size if mesh_batches else 1),
                 sharding=batch_sharding if mesh_batches else None,
-                d=int(self.opt.d),
+                d=width,
                 # llt/ldlt materialize the (B, d, d) system at every
                 # bucket length; cap rows-per-batch everywhere for them
                 matrix_free=self._optimizer not in ("llt", "ldlt"))
@@ -397,11 +409,14 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
             Qh = parallelism.host_local_copy(Q)
             layout = self._range or self._mesh_range
             if layout is not None:
-                return Ph[layout["u_pos"]], Qh[layout["i_pos"]]
-            if getattr(self, "_table_pad", False):
+                Ph, Qh = Ph[layout["u_pos"]], Qh[layout["i_pos"]]
+            elif getattr(self, "_table_pad", False):
                 header = self.data.get_header()
-                return (Ph[:header["num_users"]],
-                        Qh[:header["num_items"]])
+                Ph = Ph[:header["num_users"]]
+                Qh = Qh[:header["num_items"]]
+            if self._width_slice is not None:
+                Ph = np.ascontiguousarray(Ph[:, :self._width_slice])
+                Qh = np.ascontiguousarray(Qh[:, :self._width_slice])
             return Ph, Qh
 
         def _sync_host():

@@ -87,12 +87,20 @@ class ALSOption(AlgoOption):
             eigen_gmres | eigen_dgmres | eigen_minres | ialspp.
         :ivar int num_cg_max_iters: CG iteration cap.
         :ivar int block_size: iALS++ subspace block size.
+        :ivar int stored_width: TPU addition — on-device factor-table
+            width.  0 (auto) zero-pads 32 < d < 64 up to 64 lanes on
+            TPU backends (the r5 brunch width audit: d=40 epochs are
+            1.37x slower than d=64 on less arithmetic; d <= 32 must
+            NOT pad — ``als_kernels.als_stored_width``); -1 never
+            pads; >= 1 stores at exactly max(d, stored_width).  Saved
+            models always hold the true ``d`` columns.
         """
         opt = super().get_default_option()
         opt.update({
             "adaptive_reg": False,
             "save_factors": False,
             "accelerator": False,
+            "stored_width": 0,
             "d": 20,
             "num_iters": 10,
             "num_workers": 1,
