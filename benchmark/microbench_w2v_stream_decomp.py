@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--d", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--offset-mode", default="unrolled",
+                    choices=["unrolled", "scan"],
+                    help="w2v_epoch_stream offset_mode (compile-size vs fusion A/B)")
     args = ap.parse_args()
     if args.smoke:
         pin_cpu_if_requested(force=True)
@@ -83,7 +86,8 @@ def main():
     G = 32
     raw_words = float(m._vocab.total_word_count)
     stat = dict(window=window, block=block, num_negatives=5,
-                vocab_size=V, compute_loss=True, max_step_norm=0.1)
+                vocab_size=V, compute_loss=True, max_step_norm=0.1,
+                offset_mode=args.offset_mode)
 
     def host_phase():
         all_words, all_sents = m._token_stream()
@@ -108,7 +112,8 @@ def main():
 
     print(json.dumps({"config": "w2v_stream_decomp",
                       "backend": jax.default_backend(), "vocab": V,
-                      "T": T, "block": block}), flush=True)
+                      "T": T, "block": block,
+                      "offset_mode": args.offset_mode}), flush=True)
 
     for ep in range(args.epochs):
         t0 = time.perf_counter()

@@ -57,9 +57,14 @@ step "2/3 ALS ML-20M d=40 unpadded" als_ml20m_d40_unpadded 3600 1 \
     python benchmark/test_performance.py --algo als --dataset ml20m \
     --d 40 --epochs 3 --set stored_width=-1
 
-step "3/3 W2V stream epoch decomposition" w2v_stream_decomp 5400 1 \
+step "3/4 W2V stream epoch decomposition" w2v_stream_decomp 5400 1 \
     python benchmark/microbench_w2v_stream_decomp.py --epochs 2
 
+step "4/4 W2V stream offset_mode=scan (compile + runtime)" \
+    w2v_stream_scan 5400 1 \
+    python benchmark/microbench_w2v_stream_decomp.py --epochs 2 \
+    --offset-mode scan
+
 log "r5b queue done"
-grep -h '^{' "$OUT"/als_ml20m_d40_*.log "$OUT"/w2v_stream_decomp.log \
-    2>/dev/null | tail -12
+grep -h '^{' "$OUT"/als_ml20m_d40_*.log "$OUT"/w2v_stream_*.log \
+    2>/dev/null | tail -16

@@ -291,7 +291,8 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                     num_negatives=statics["num_negatives"],
                     vocab_size=V,
                     compute_loss=statics["compute_loss"],
-                    max_step_norm=statics["max_step_norm"])
+                    max_step_norm=statics["max_step_norm"],
+                    offset_mode=str(opt.get("offset_mode", "unrolled")))
         for i in range(opt.num_iters):
             start_t = time.time()
             all_words, all_sents = self._token_stream()

@@ -125,12 +125,13 @@ def w2v_epoch_dp(L0, L1, inputs, targets, dist, rng_key, processed0,
 
 @partial(jax.jit, static_argnames=("window", "block", "num_negatives",
                                    "vocab_size", "compute_loss",
-                                   "max_step_norm"),
+                                   "max_step_norm", "offset_mode"),
          donate_argnums=(0, 1))
 def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
                      dist, *, window, block, num_negatives, vocab_size,
                      compute_loss, lr, min_lr, total_words,
-                     words_per_chunk, max_step_norm=0.1):
+                     words_per_chunk, max_step_norm=0.1,
+                     offset_mode="unrolled"):
     """On-device skip-gram pair expansion: one dispatch per token-chunk
     group, NO per-pair host arrays.
 
@@ -163,6 +164,14 @@ def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
     ``vocab_size`` padding.  half: int32 (nchunks, T) shrunken
     half-window per CENTER position (window - b, b ~ U[0, window)).
     Returns (L0, L1, loss_sum, pair_count).
+
+    ``offset_mode``: "unrolled" emits one copy of the offset pass per
+    window position (bigger program, maximal cross-offset fusion);
+    "scan" runs ONE compiled pass under ``lax.scan`` over the traced
+    offset (~window-times smaller program, for when the remote-compile
+    wall dominates — the full-shape unrolled compile measured ~20 min
+    on the tunneled v5e).  Both modes share the same math (pad +
+    dynamic_slice shifting); factors agree to fp-reorder tolerance.
     """
     nchunks, T = words.shape
     NB = T // block
@@ -188,31 +197,46 @@ def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
         negs = draw_from_alias(sub, (NB, K), dist_prob, dist_alias)
         ln = jnp.take(L1, negs, axis=0)                # (NB, K, d)
 
-        dL0p = jnp.zeros_like(l0_pos)
-        dL1p = jnp.zeros_like(l1_pos)
-        dLn = jnp.zeros_like(ln)
         pos_idx = jnp.arange(T)
-        loss_c = jnp.zeros((), jnp.float32)
-        cnt_c = jnp.zeros((), jnp.float32)
         # center word of each position's block-shared negatives: mask a
         # negative that equals the pair's CENTER word (per direction)
         negs_pos = jnp.repeat(negs, block, axis=0)     # (T, K)
 
-        for off in range(1, window + 1):
+        # shifting by `off` is pad + slice (works for traced offsets;
+        # the pad values are inert: wc pad = vocab_size -> invalid,
+        # sc pad = -2 never equals a real or sentinel (-1) id)
+        wc_p = jnp.concatenate([wc, jnp.full(window, vocab_size,
+                                             wc.dtype)])
+        sc_p = jnp.concatenate([sc, jnp.full(window, -2, sc.dtype)])
+        hc_p = jnp.concatenate([hc, jnp.zeros(window, hc.dtype)])
+        l0_p = jnp.concatenate([l0_pos, jnp.zeros((window, d),
+                                                  l0_pos.dtype)])
+        l1_p = jnp.concatenate([l1_pos, jnp.zeros((window, d),
+                                                  l1_pos.dtype)])
+        zpad = jnp.zeros((window, d), jnp.float32)
+
+        def nxt(xp, off):
+            return jax.lax.dynamic_slice_in_dim(xp, off, T, axis=0)
+
+        def fwd(c, off):
+            # place contribution computed at i onto position i + off
+            return jax.lax.dynamic_slice_in_dim(
+                jnp.concatenate([zpad, c]), window - off, T, axis=0)
+
+        def one_off(off, carry):
+            dL0p, dL1p, dLn, loss_c, cnt_c = carry
             in_range = pos_idx < T - off
-            sent_next = jnp.roll(sc, -off)
-            same = (sc == sent_next) & in_range
-            w_next = jnp.roll(wc, -off)
-            v_next = jnp.roll(valid_tok, -off)
-            l0_next = jnp.roll(l0_pos, -off, axis=0)
-            l1_next = jnp.roll(l1_pos, -off, axis=0)
-            both = same & valid_tok & v_next
+            same = (sc == nxt(sc_p, off)) & in_range
+            w_next = nxt(wc_p, off)
+            l0_next = nxt(l0_p, off)
+            l1_next = nxt(l1_p, off)
+            both = same & valid_tok & (w_next < vocab_size)
 
             # direction A: center i, context i+off (context's window
             # check rides the CENTER's shrunken half, w2v.cc:239-241)
             va = (both & (off <= hc)).astype(jnp.float32)
             # direction B: center i+off, context i
-            vb = (both & (off <= jnp.roll(hc, -off))).astype(jnp.float32)
+            vb = (both & (off <= nxt(hc_p, off))).astype(jnp.float32)
 
             # ---- direction A: L0 row = w_next (context), L1 = wc
             f_a = jnp.sum(l0_next * l1_pos, axis=-1)
@@ -252,9 +276,9 @@ def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
                 "nsk,nkd->nsd", g_nb, ln,
                 preferred_element_type=jnp.float32).reshape(T, d)
 
-            # contributions that land at position i+off: roll forward
-            dL0p = dL0p + jnp.roll(contrib_a + neg_back_a, off, axis=0)
-            dL1p = dL1p + jnp.roll(contrib_b, off, axis=0)
+            # contributions that land at position i+off
+            dL0p = dL0p + fwd(contrib_a + neg_back_a, off)
+            dL1p = dL1p + fwd(contrib_b, off)
 
             if compute_loss:
                 loss_c = loss_c \
@@ -267,6 +291,20 @@ def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
                               * jnp.log(1.0 - jax.nn.sigmoid(f_nb)
                                         + EPS))
             cnt_c = cnt_c + jnp.sum(va) + jnp.sum(vb)
+            return (dL0p, dL1p, dLn, loss_c, cnt_c)
+
+        carry0 = (jnp.zeros_like(l0_pos), jnp.zeros_like(l1_pos),
+                  jnp.zeros_like(ln), jnp.zeros((), jnp.float32),
+                  jnp.zeros((), jnp.float32))
+        if offset_mode == "unrolled":
+            carry_off = carry0
+            for off in range(1, window + 1):
+                carry_off = one_off(off, carry_off)
+        else:
+            carry_off, _ = jax.lax.scan(
+                lambda c, off: (one_off(off, c), None), carry0,
+                jnp.arange(1, window + 1))
+        dL0p, dL1p, dLn, loss_c, cnt_c = carry_off
 
         def _clipped_apply(Tb, dT, cap):
             if not cap:

@@ -547,3 +547,26 @@ def test_w2v_stored_width_parity(stream_data):
     assert padded.L0.shape == base.L0.shape
     np.testing.assert_allclose(padded.L0, base.L0, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(padded.L1, base.L1, rtol=2e-5, atol=2e-6)
+
+
+def test_w2v_offset_scan_parity(stream_data):
+    """offset_mode="scan" (one lax.scan pass over the traced offset)
+    must reproduce the unrolled mode: same pad+slice math, so factors
+    agree to fp-reorder tolerance."""
+    def run(mode):
+        np.random.seed(9)
+        opt = W2VOption().get_default_option()
+        opt.d = 12
+        opt.num_iters = 3
+        opt.min_count = 1
+        opt.pair_gen = "device"
+        opt.offset_mode = mode
+        m = W2V(opt, data=stream_data)
+        m.initialize()
+        m.train()
+        return m
+
+    a = run("unrolled")
+    b = run("scan")
+    np.testing.assert_allclose(a.L0, b.L0, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(a.L1, b.L1, rtol=2e-5, atol=2e-6)
