@@ -248,20 +248,32 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         return (np.concatenate(inputs), np.concatenate(targets), n)
 
     def _train_stream(self, L0, L1, dist_pair, rng, rng_np, statics,
-                      d, full_st, training_callback):
+                      d, full_st, training_callback, mesh=None):
         """On-device pair expansion path (``pair_gen="device"``): per
         epoch the host does only the subsample + compaction + shrunken
         window draws (numpy over the cached token stream, ~0.5 s at
         12M tokens) and ships ~9 bytes/token; the jitted epoch expands
-        the skip-gram window itself (w2v_kernels.w2v_epoch_stream)."""
+        the skip-gram window itself (w2v_kernels.w2v_epoch_stream;
+        with a mesh, ``w2v_epoch_stream_dp`` shards the position
+        axis)."""
         import jax
         import jax.numpy as jnp
 
-        from buffalo_tpu.ops.w2v_kernels import w2v_epoch_stream
+        from buffalo_tpu.ops.w2v_kernels import (w2v_epoch_stream,
+                                                 w2v_epoch_stream_dp)
 
         opt = self.opt
         V = int(self._vocab.size)
-        dist = jax.device_put(dist_pair)
+        chunk_shard = None
+        if mesh is None:
+            dist = jax.device_put(dist_pair)
+        else:
+            from buffalo_tpu import parallelism
+            from jax.sharding import NamedSharding, PartitionSpec
+            dist = jax.device_put(dist_pair,
+                                  parallelism.replicated(mesh))
+            chunk_shard = NamedSharding(mesh,
+                                        PartitionSpec(None, "d"))
         window = int(opt.window)
         n_all = len(self._token_stream()[0])
         # auto-scale the shared-negative block to the corpus: small
@@ -280,7 +292,9 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             # stream (sized on the epoch-invariant token count — the
             # per-epoch subsample jitter must not change the shape)
             T = min(T, max(block, -(-n_all // (4 * block)) * block))
-        T = -(-T // block) * block
+        # each mesh shard's T/D slice must itself be block-aligned
+        quantum = block * (mesh.size if mesh is not None else 1)
+        T = -(-T // quantum) * quantum
         G = int(opt.get("max_chunks_per_dispatch", 32))
         raw_words = float(self._vocab.total_word_count)
         total_words = raw_words * opt.num_iters
@@ -330,13 +344,23 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                 sub_g = (jax.random.fold_in(sub, g) if groups > 1
                          else sub)
                 p0 = jnp.float32(processed_words + g * g_len * wpc)
-                L0, L1, l_, c_ = w2v_epoch_stream(
-                    L0, L1, jax.device_put(wc[sl]),
-                    jax.device_put(sc[sl]), jax.device_put(hc[sl]),
-                    sub_g, p0, dist, lr=float(opt.lr),
-                    min_lr=float(opt.min_lr),
-                    total_words=float(total_words),
-                    words_per_chunk=float(wpc), **stat)
+                com = dict(lr=float(opt.lr),
+                           min_lr=float(opt.min_lr),
+                           total_words=float(total_words),
+                           words_per_chunk=float(wpc), **stat)
+                if mesh is not None:
+                    L0, L1, l_, c_ = w2v_epoch_stream_dp(
+                        L0, L1,
+                        jax.device_put(wc[sl], chunk_shard),
+                        jax.device_put(sc[sl], chunk_shard),
+                        jax.device_put(hc[sl], chunk_shard),
+                        sub_g, p0, dist, mesh=mesh, **com)
+                else:
+                    L0, L1, l_, c_ = w2v_epoch_stream(
+                        L0, L1, jax.device_put(wc[sl]),
+                        jax.device_put(sc[sl]),
+                        jax.device_put(hc[sl]), sub_g, p0, dist,
+                        **com)
                 loss_sums.append(l_)
                 pair_cnts.append(c_)
             loss_sum = float(np.sum([np.asarray(x) for x in loss_sums]))
@@ -423,17 +447,16 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         raw_words = float(self._vocab.total_word_count)
 
         pair_gen = str(opt.get("pair_gen", "auto"))
+        # auto = device expansion on single-device TPU runs; the mesh
+        # path stays opt-in (pair_gen="device" uses
+        # w2v_epoch_stream_dp: position-axis sharded chunks)
         use_stream = pair_gen == "device" or (
             pair_gen == "auto" and mesh is None
             and jax.default_backend() == "tpu")
-        if use_stream and mesh is not None:
-            self.logger.warning(
-                "pair_gen=device has no dp-mesh path; using host pairs")
-            use_stream = False
         if use_stream:
             loss = self._train_stream(L0, L1, dist_pair, rng, rng_np,
                                       statics, d, full_st,
-                                      training_callback)
+                                      training_callback, mesh=mesh)
             return {"train_loss": loss} if loss is not None else {}
         next_pairs = None  # host pair prefetch, one epoch ahead
         for i in range(opt.num_iters):

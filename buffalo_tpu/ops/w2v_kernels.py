@@ -187,124 +187,15 @@ def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
             / jnp.maximum(total_words, 1.0), 1.0)
         lr_t = jnp.maximum(lr - (lr - min_lr) * progress, min_lr)
 
-        valid_tok = wc < vocab_size
-        safe_w = jnp.minimum(wc, vocab_size - 1)
-        l0_pos = jnp.take(L0, safe_w, axis=0)          # (T, d)
-        l1_pos = jnp.take(L1, safe_w, axis=0)          # (T, d)
-
         dist_prob, dist_alias = dist
         from buffalo_tpu.ops.sgd_kernels import draw_from_alias
         negs = draw_from_alias(sub, (NB, K), dist_prob, dist_alias)
         ln = jnp.take(L1, negs, axis=0)                # (NB, K, d)
 
-        pos_idx = jnp.arange(T)
-        # center word of each position's block-shared negatives: mask a
-        # negative that equals the pair's CENTER word (per direction)
-        negs_pos = jnp.repeat(negs, block, axis=0)     # (T, K)
-
-        # shifting by `off` is pad + slice (works for traced offsets;
-        # the pad values are inert: wc pad = vocab_size -> invalid,
-        # sc pad = -2 never equals a real or sentinel (-1) id)
-        wc_p = jnp.concatenate([wc, jnp.full(window, vocab_size,
-                                             wc.dtype)])
-        sc_p = jnp.concatenate([sc, jnp.full(window, -2, sc.dtype)])
-        hc_p = jnp.concatenate([hc, jnp.zeros(window, hc.dtype)])
-        l0_p = jnp.concatenate([l0_pos, jnp.zeros((window, d),
-                                                  l0_pos.dtype)])
-        l1_p = jnp.concatenate([l1_pos, jnp.zeros((window, d),
-                                                  l1_pos.dtype)])
-        zpad = jnp.zeros((window, d), jnp.float32)
-
-        def nxt(xp, off):
-            return jax.lax.dynamic_slice_in_dim(xp, off, T, axis=0)
-
-        def fwd(c, off):
-            # place contribution computed at i onto position i + off
-            return jax.lax.dynamic_slice_in_dim(
-                jnp.concatenate([zpad, c]), window - off, T, axis=0)
-
-        def one_off(off, carry):
-            dL0p, dL1p, dLn, loss_c, cnt_c = carry
-            in_range = pos_idx < T - off
-            same = (sc == nxt(sc_p, off)) & in_range
-            w_next = nxt(wc_p, off)
-            l0_next = nxt(l0_p, off)
-            l1_next = nxt(l1_p, off)
-            both = same & valid_tok & (w_next < vocab_size)
-
-            # direction A: center i, context i+off (context's window
-            # check rides the CENTER's shrunken half, w2v.cc:239-241)
-            va = (both & (off <= hc)).astype(jnp.float32)
-            # direction B: center i+off, context i
-            vb = (both & (off <= nxt(hc_p, off))).astype(jnp.float32)
-
-            # ---- direction A: L0 row = w_next (context), L1 = wc
-            f_a = jnp.sum(l0_next * l1_pos, axis=-1)
-            g_a = _g(1.0, f_a) * va
-            dL1p = dL1p + (g_a[:, None] * l0_next)
-            contrib_a = g_a[:, None] * l1_pos
-            # ---- direction B: L0 row = wc (context), L1 = w_next
-            f_b = jnp.sum(l0_pos * l1_next, axis=-1)
-            g_b = _g(1.0, f_b) * vb
-            dL0p = dL0p + (g_b[:, None] * l1_next)
-            contrib_b = g_b[:, None] * l0_pos
-
-            # negatives: shared per block of the pair's POSITION; the
-            # center word differs per direction (wc for A at i,
-            # w_next for B), so the neg==center mask does too
-            l0n_a = l0_next.reshape(NB, block, d)
-            f_na = jnp.einsum("nsd,nkd->nsk", l0n_a, ln,
-                              preferred_element_type=jnp.float32)
-            mask_a = (negs_pos != wc[:, None]).astype(jnp.float32) \
-                .reshape(NB, block, K)
-            g_na = _g(0.0, f_na) * va.reshape(NB, block, 1) * mask_a
-            dLn = dLn + jnp.einsum("nsk,nsd->nkd", g_na, l0n_a,
-                                   preferred_element_type=jnp.float32)
-            neg_back_a = jnp.einsum(
-                "nsk,nkd->nsd", g_na, ln,
-                preferred_element_type=jnp.float32).reshape(T, d)
-
-            l0n_b = l0_pos.reshape(NB, block, d)
-            f_nb = jnp.einsum("nsd,nkd->nsk", l0n_b, ln,
-                              preferred_element_type=jnp.float32)
-            mask_b = (negs_pos != w_next[:, None]).astype(jnp.float32) \
-                .reshape(NB, block, K)
-            g_nb = _g(0.0, f_nb) * vb.reshape(NB, block, 1) * mask_b
-            dLn = dLn + jnp.einsum("nsk,nsd->nkd", g_nb, l0n_b,
-                                   preferred_element_type=jnp.float32)
-            dL0p = dL0p + jnp.einsum(
-                "nsk,nkd->nsd", g_nb, ln,
-                preferred_element_type=jnp.float32).reshape(T, d)
-
-            # contributions that land at position i+off
-            dL0p = dL0p + fwd(contrib_a + neg_back_a, off)
-            dL1p = dL1p + fwd(contrib_b, off)
-
-            if compute_loss:
-                loss_c = loss_c \
-                    - jnp.sum(va * jnp.log(jax.nn.sigmoid(f_a) + EPS)) \
-                    - jnp.sum(vb * jnp.log(jax.nn.sigmoid(f_b) + EPS)) \
-                    - jnp.sum(va.reshape(NB, block, 1) * mask_a
-                              * jnp.log(1.0 - jax.nn.sigmoid(f_na)
-                                        + EPS)) \
-                    - jnp.sum(vb.reshape(NB, block, 1) * mask_b
-                              * jnp.log(1.0 - jax.nn.sigmoid(f_nb)
-                                        + EPS))
-            cnt_c = cnt_c + jnp.sum(va) + jnp.sum(vb)
-            return (dL0p, dL1p, dLn, loss_c, cnt_c)
-
-        carry0 = (jnp.zeros_like(l0_pos), jnp.zeros_like(l1_pos),
-                  jnp.zeros_like(ln), jnp.zeros((), jnp.float32),
-                  jnp.zeros((), jnp.float32))
-        if offset_mode == "unrolled":
-            carry_off = carry0
-            for off in range(1, window + 1):
-                carry_off = one_off(off, carry_off)
-        else:
-            carry_off, _ = jax.lax.scan(
-                lambda c, off: (one_off(off, c), None), carry0,
-                jnp.arange(1, window + 1))
-        dL0p, dL1p, dLn, loss_c, cnt_c = carry_off
+        dL0p, dL1p, dLn, loss_c, cnt_c = _stream_chunk_deltas(
+            L0, L1, wc, sc, hc, ln, negs, window=window, block=block,
+            vocab_size=vocab_size, compute_loss=compute_loss,
+            offset_mode=offset_mode)
 
         def _clipped_apply(Tb, dT, cap):
             if not cap:
@@ -326,6 +217,233 @@ def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
     (L0, L1, loss, cnt), _ = jax.lax.scan(
         body, init, (words, sents, half, jnp.arange(nchunks)))
     return L0, L1, loss, cnt
+
+
+def _stream_chunk_deltas(L0, L1, wc, sc, hc, ln, negs, *, window,
+                         block, vocab_size, compute_loss, offset_mode):
+    """Position-major skip-gram deltas for ONE token chunk.
+
+    Returns (dL0p (T,d), dL1p (T,d), dLn (NB,K,d), loss, pair_count);
+    the caller scatters the position deltas into the tables (per-row
+    step-norm cap included there).  Shared by the single-device and
+    dp-mesh stream epochs — the chunk may be a LOCAL shard of a
+    global chunk (negatives then come pre-sliced so block->negative
+    assignment matches the single-device stream)."""
+    T = wc.shape[0]
+    d = L0.shape[1]
+    NB, K = negs.shape
+
+    valid_tok = wc < vocab_size
+    safe_w = jnp.minimum(wc, vocab_size - 1)
+    l0_pos = jnp.take(L0, safe_w, axis=0)          # (T, d)
+    l1_pos = jnp.take(L1, safe_w, axis=0)          # (T, d)
+
+    pos_idx = jnp.arange(T)
+    # center word of each position's block-shared negatives: mask a
+    # negative that equals the pair's CENTER word (per direction)
+    negs_pos = jnp.repeat(negs, block, axis=0)     # (T, K)
+
+    # shifting by `off` is pad + slice (works for traced offsets;
+    # the pad values are inert: wc pad = vocab_size -> invalid,
+    # sc pad = -2 never equals a real or sentinel (-1) id)
+    wc_p = jnp.concatenate([wc, jnp.full(window, vocab_size,
+                                         wc.dtype)])
+    sc_p = jnp.concatenate([sc, jnp.full(window, -2, sc.dtype)])
+    hc_p = jnp.concatenate([hc, jnp.zeros(window, hc.dtype)])
+    l0_p = jnp.concatenate([l0_pos, jnp.zeros((window, d),
+                                              l0_pos.dtype)])
+    l1_p = jnp.concatenate([l1_pos, jnp.zeros((window, d),
+                                              l1_pos.dtype)])
+    zpad = jnp.zeros((window, d), jnp.float32)
+
+    def nxt(xp, off):
+        return jax.lax.dynamic_slice_in_dim(xp, off, T, axis=0)
+
+    def fwd(c, off):
+        # place contribution computed at i onto position i + off
+        return jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([zpad, c]), window - off, T, axis=0)
+
+    def one_off(off, carry):
+        dL0p, dL1p, dLn, loss_c, cnt_c = carry
+        in_range = pos_idx < T - off
+        same = (sc == nxt(sc_p, off)) & in_range
+        w_next = nxt(wc_p, off)
+        l0_next = nxt(l0_p, off)
+        l1_next = nxt(l1_p, off)
+        both = same & valid_tok & (w_next < vocab_size)
+
+        # direction A: center i, context i+off (context's window
+        # check rides the CENTER's shrunken half, w2v.cc:239-241)
+        va = (both & (off <= hc)).astype(jnp.float32)
+        # direction B: center i+off, context i
+        vb = (both & (off <= nxt(hc_p, off))).astype(jnp.float32)
+
+        # ---- direction A: L0 row = w_next (context), L1 = wc
+        f_a = jnp.sum(l0_next * l1_pos, axis=-1)
+        g_a = _g(1.0, f_a) * va
+        dL1p = dL1p + (g_a[:, None] * l0_next)
+        contrib_a = g_a[:, None] * l1_pos
+        # ---- direction B: L0 row = wc (context), L1 = w_next
+        f_b = jnp.sum(l0_pos * l1_next, axis=-1)
+        g_b = _g(1.0, f_b) * vb
+        dL0p = dL0p + (g_b[:, None] * l1_next)
+        contrib_b = g_b[:, None] * l0_pos
+
+        # negatives: shared per block of the pair's POSITION; the
+        # center word differs per direction (wc for A at i,
+        # w_next for B), so the neg==center mask does too
+        l0n_a = l0_next.reshape(NB, block, d)
+        f_na = jnp.einsum("nsd,nkd->nsk", l0n_a, ln,
+                          preferred_element_type=jnp.float32)
+        mask_a = (negs_pos != wc[:, None]).astype(jnp.float32) \
+            .reshape(NB, block, K)
+        g_na = _g(0.0, f_na) * va.reshape(NB, block, 1) * mask_a
+        dLn = dLn + jnp.einsum("nsk,nsd->nkd", g_na, l0n_a,
+                               preferred_element_type=jnp.float32)
+        neg_back_a = jnp.einsum(
+            "nsk,nkd->nsd", g_na, ln,
+            preferred_element_type=jnp.float32).reshape(T, d)
+
+        l0n_b = l0_pos.reshape(NB, block, d)
+        f_nb = jnp.einsum("nsd,nkd->nsk", l0n_b, ln,
+                          preferred_element_type=jnp.float32)
+        mask_b = (negs_pos != w_next[:, None]).astype(jnp.float32) \
+            .reshape(NB, block, K)
+        g_nb = _g(0.0, f_nb) * vb.reshape(NB, block, 1) * mask_b
+        dLn = dLn + jnp.einsum("nsk,nsd->nkd", g_nb, l0n_b,
+                               preferred_element_type=jnp.float32)
+        dL0p = dL0p + jnp.einsum(
+            "nsk,nkd->nsd", g_nb, ln,
+            preferred_element_type=jnp.float32).reshape(T, d)
+
+        # contributions that land at position i+off
+        dL0p = dL0p + fwd(contrib_a + neg_back_a, off)
+        dL1p = dL1p + fwd(contrib_b, off)
+
+        if compute_loss:
+            loss_c = loss_c \
+                - jnp.sum(va * jnp.log(jax.nn.sigmoid(f_a) + EPS)) \
+                - jnp.sum(vb * jnp.log(jax.nn.sigmoid(f_b) + EPS)) \
+                - jnp.sum(va.reshape(NB, block, 1) * mask_a
+                          * jnp.log(1.0 - jax.nn.sigmoid(f_na)
+                                    + EPS)) \
+                - jnp.sum(vb.reshape(NB, block, 1) * mask_b
+                          * jnp.log(1.0 - jax.nn.sigmoid(f_nb)
+                                    + EPS))
+        cnt_c = cnt_c + jnp.sum(va) + jnp.sum(vb)
+        return (dL0p, dL1p, dLn, loss_c, cnt_c)
+
+    carry0 = (jnp.zeros_like(l0_pos), jnp.zeros_like(l1_pos),
+              jnp.zeros_like(ln), jnp.zeros((), jnp.float32),
+              jnp.zeros((), jnp.float32))
+    if offset_mode == "unrolled":
+        carry_off = carry0
+        for off in range(1, window + 1):
+            carry_off = one_off(off, carry_off)
+    else:
+        carry_off, _ = jax.lax.scan(
+            lambda c, off: (one_off(off, c), None), carry0,
+            jnp.arange(1, window + 1))
+    dL0p, dL1p, dLn, loss_c, cnt_c = carry_off
+    return dL0p, dL1p, dLn, loss_c, cnt_c
+
+
+def w2v_epoch_stream_dp(L0, L1, words, sents, half, rng_key,
+                        processed0, dist, *, mesh, axis_name="d",
+                        window, block, num_negatives, vocab_size,
+                        compute_loss, lr, min_lr, total_words,
+                        words_per_chunk, max_step_norm=0.1,
+                        offset_mode="unrolled"):
+    """On-device pair expansion over a device mesh (dp).
+
+    Token chunks shard on the POSITION axis (each device expands the
+    windows of its contiguous T/D-token slice; pairs spanning a shard
+    boundary are dropped — <= window * D * nchunks of the epoch, the
+    same granularity loss as the chunk boundaries).  Tables replicate;
+    negatives draw from the GLOBAL (T/block, K) block shape and
+    row-slice, so each block sees the same draws as the single-device
+    stream; each chunk's dense table deltas psum before the
+    step-norm-capped apply (the cap must see the GLOBAL per-row
+    delta).  T/D must be a multiple of ``block``.
+    """
+    from jax.sharding import PartitionSpec as PS
+
+    nchunks, T = words.shape
+    D = mesh.size
+    T_loc = T // D
+    assert T_loc % block == 0, (T, D, block)
+    NB_g = T // block
+    NB_loc = T_loc // block
+    K = num_negatives
+    d = L0.shape[1]
+
+    def body_fn(L0, L1, words_s, sents_s, half_s, dist_):
+        idx = jax.lax.axis_index(axis_name)
+
+        def body(carry, xs):
+            L0, L1, loss, cnt = carry
+            wc, sc, hc, cidx = xs
+            sub = jax.random.fold_in(rng_key, cidx)
+            progress = jnp.minimum(
+                (processed0 + cidx.astype(jnp.float32)
+                 * words_per_chunk)
+                / jnp.maximum(total_words, 1.0), 1.0)
+            lr_t = jnp.maximum(lr - (lr - min_lr) * progress, min_lr)
+
+            dist_prob, dist_alias = dist_
+            from buffalo_tpu.ops.sgd_kernels import draw_from_alias
+            negs_g = draw_from_alias(sub, (NB_g, K), dist_prob,
+                                     dist_alias)
+            negs = jax.lax.dynamic_slice_in_dim(
+                negs_g, idx * NB_loc, NB_loc, axis=0)
+            ln = jnp.take(L1, negs, axis=0)
+
+            dL0p, dL1p, dLn, loss_c, cnt_c = _stream_chunk_deltas(
+                L0, L1, wc, sc, hc, ln, negs, window=window,
+                block=block, vocab_size=vocab_size,
+                compute_loss=compute_loss, offset_mode=offset_mode)
+
+            def _clipped_apply(Tb, dT, cap):
+                if not cap:
+                    return Tb + dT
+                norms = jnp.sqrt(jnp.sum(dT * dT, axis=-1,
+                                         keepdims=True))
+                return Tb + dT * jnp.minimum(
+                    1.0, cap / jnp.maximum(norms, 1e-20))
+
+            dL0 = jnp.zeros_like(L0).at[wc].add(lr_t * dL0p,
+                                                mode="drop")
+            dL0 = jax.lax.psum(dL0, axis_name)
+            L0 = _clipped_apply(L0, dL0, max_step_norm)
+            dL1 = jnp.zeros_like(L1).at[wc].add(lr_t * dL1p,
+                                                mode="drop")
+            dL1 = dL1.at[negs.reshape(-1)].add(
+                lr_t * dLn.reshape(-1, d), mode="drop")
+            dL1 = jax.lax.psum(dL1, axis_name)
+            L1 = _clipped_apply(L1, dL1, max_step_norm)
+            return (L0, L1, loss + loss_c, cnt + cnt_c), None
+
+        init = (L0, L1, jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32))
+        (L0, L1, loss, cnt), _ = jax.lax.scan(
+            body, init,
+            (words_s, sents_s, half_s, jnp.arange(nchunks)))
+        return (L0, L1, jax.lax.psum(loss, axis_name),
+                jax.lax.psum(cnt, axis_name))
+
+    run = jax.shard_map(
+        body_fn, mesh=mesh,
+        in_specs=(PS(), PS(), PS(None, axis_name),
+                  PS(None, axis_name), PS(None, axis_name), PS()),
+        out_specs=(PS(), PS(), PS(), PS()), check_vma=False)
+    return run(L0, L1, words, sents, half, dist)
+
+
+w2v_epoch_stream_dp = partial(jax.jit, static_argnames=(
+    "mesh", "axis_name", "window", "block", "num_negatives",
+    "vocab_size", "compute_loss", "max_step_norm", "offset_mode"),
+    donate_argnums=(0, 1))(w2v_epoch_stream_dp)
 
 
 @partial(jax.jit, static_argnames=("num_negatives", "vocab_size",

@@ -570,3 +570,32 @@ def test_w2v_offset_scan_parity(stream_data):
     b = run("scan")
     np.testing.assert_allclose(a.L0, b.L0, rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(a.L1, b.L1, rtol=2e-5, atol=2e-6)
+
+
+def test_w2v_device_pair_gen_dp(stream_data):
+    """pair_gen="device" on an 8-device mesh (w2v_epoch_stream_dp):
+    position-axis sharded chunks, block-identical negatives, psum'd
+    deltas.  Shard-boundary pairs are dropped by design (<= window * D
+    per chunk), so parity is loss/pair-count level, not factor-exact
+    (the dropped fraction is material only on corpora this tiny)."""
+    def run(nd):
+        np.random.seed(5)
+        opt = W2VOption().get_default_option()
+        opt.d = 12
+        opt.num_iters = 3
+        opt.min_count = 1
+        opt.pair_gen = "device"
+        opt.num_devices = nd
+        m = W2V(opt, data=stream_data)
+        m.initialize()
+        r = m.train()
+        return m, r["train_loss"]
+
+    a, loss1 = run(1)
+    b, loss8 = run(8)
+    assert loss8 == pytest.approx(loss1, rel=0.02)
+    assert np.isfinite(b.L0).all() and np.isfinite(b.L1).all()
+    # the tables moved (training happened) and stayed same-scale
+    assert np.abs(b.L0).max() > 0
+    assert np.abs(b.L0).max() == pytest.approx(np.abs(a.L0).max(),
+                                               rel=0.5)
