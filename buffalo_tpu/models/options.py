@@ -281,17 +281,20 @@ class WARPOption(AlgoOption):
             addition, cf. BPRMFOption): "split" runs the candidate
             bloom probes as a separate dispatch feeding packed seen
             bits to the update program — bit-identical factors.
-        :ivar bool adaptive_trials: TPU addition, default off — start
+        :ivar bool adaptive_trials: TPU addition, default ON — start
             at a small fixed candidate budget (K=16) and double it (up
             to min(max_trials, 64)) whenever more than 2% of positives
             fail to find a violating negative.  Early epochs find
             violators in a couple of trials (the reference's average
             trial count rises the same way, warp.cc:118-136), so most
             of a fixed K=64's candidate gathers/bloom probes are
-            wasted there.  Off by default: an 8-seed A/B on the CI
-            planted-cluster fixture measured NDCG 0.145+-0.011 vs
-            0.153+-0.012 fixed (~0.7 sigma lower) — opt in when epoch
-            time dominates and validate accuracy on your data.
+            wasted there — measured 5.10 vs 8.79 s/epoch ML-20M d=32
+            (1.7x).  The default was settled by a 32-seed PAIRED A/B
+            (`benchmark/warp_adaptive_ab.py`, r5): paired NDCG delta
+            -0.0018 with CI95 [-0.0033, -0.0003] and AUC delta
+            +0.0001 — a statistically resolvable but practically
+            negligible trade for the 1.7x epoch win.  Set False to
+            recover the fixed-K schedule.
         :ivar str probe_mode: "lazy" (default) | "all" — TPU addition.
             "lazy" bloom-probes only each sample's first few
             margin-violating candidates (the all-K probe was measured
@@ -319,7 +322,7 @@ class WARPOption(AlgoOption):
             "threshold": 1.0,
             "score_func": "dot",
             "max_trials": 500,
-            "adaptive_trials": False,
+            "adaptive_trials": True,
             "probe_mode": "lazy",
             "epoch_dispatch": "auto",
             "stored_width": 0,
