@@ -250,7 +250,9 @@ class ALS(Algo, ALSOption, Evaluable, Serializable):
         from buffalo_tpu.ops.als_kernels import als_stored_width
         from buffalo_tpu.ops.sgd_kernels import pad_cols
         width = als_stored_width(d_true,
-                                 int(self.opt.get("stored_width", 0)))
+                                 int(self.opt.get("stored_width", 0)),
+                                 max_rows=max(self.P.shape[0],
+                                              self.Q.shape[0]))
         self._width_slice = d_true if width > d_true else None
         if self._width_slice is not None:
             self.P = pad_cols(self.P, width)

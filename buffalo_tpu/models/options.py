@@ -89,11 +89,13 @@ class ALSOption(AlgoOption):
         :ivar int block_size: iALS++ subspace block size.
         :ivar int stored_width: TPU addition — on-device factor-table
             width.  0 (auto) zero-pads 32 < d < 64 up to 64 lanes on
-            TPU backends (the r5 brunch width audit: d=40 epochs are
-            1.37x slower than d=64 on less arithmetic; d <= 32 must
-            NOT pad — ``als_kernels.als_stored_width``); -1 never
-            pads; >= 1 stores at exactly max(d, stored_width).  Saved
-            models always hold the true ``d`` columns.
+            TPU backends when the larger factor table exceeds ~200k
+            rows (the r5 width audit: brunch d=40 epochs are 1.37x
+            slower than d=64 on less arithmetic, but ML-20M d=40
+            padding LOSES 16% — ``als_kernels.als_stored_width`` has
+            both measurements); -1 never pads; >= 1 stores at exactly
+            max(d, stored_width).  Saved models always hold the true
+            ``d`` columns.
         """
         opt = super().get_default_option()
         opt.update({

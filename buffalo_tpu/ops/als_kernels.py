@@ -26,32 +26,39 @@ from buffalo_tpu.data.batching import (MATRIX_FREE_MAX_L, RangeBatch,
 from buffalo_tpu.ops.solve import cg_loop, cg_warm_start, solve
 
 
-def als_stored_width(d: int, opt_value: int = 0) -> int:
-    """On-device factor-table width for the ALS/eALS/pLSI families.
+def als_stored_width(d: int, opt_value: int = 0,
+                     max_rows: int = 0) -> int:
+    """On-device factor-table width for the ALS family.
 
     Unlike the SGD family (``sgd_kernels.resolve_stored_width``, pad
-    everything below 64), the solve/EM epochs pay real extra work per
-    padded lane, so auto-padding only wins in the band the r5 brunch
-    width audit measured (``benchmark/measurements/r5/
-    als_brunch_width.log``): epoch 0.303 / 0.439 / **0.613** / 0.446 /
-    0.455 s at d = 10/20/40/64/80 — the sub-128 codegen inversion hits
-    only 32 < d < 64, where storing at 64 is 1.37x faster; d <= 32
-    epochs are already faster than the d = 64 cost and must NOT pad.
+    everything below 64), the solve epochs pay real extra work per
+    padded lane, so auto-padding only wins in the band the r5 width
+    audit measured, AND only on large catalogs:
 
-    ``opt_value``: 0 = auto (pad 32 < d < 64 up to 64 on TPU
-    backends); -1 = never pad; >= 1 = store at exactly max(d, value).
-    Zero columns are exact through every solver here: the normal
-    equations decouple (A's padded block is reg * I with y = 0, so
-    x_pad = 0 for llt/ldlt; CG and the iALS++ block sweeps preserve
-    exact zeros), and EM accumulation terms are products with a padded
-    factor entry.
+    * KakaoBrunch (505k-row table, ``als_brunch_width.log``): epoch
+      0.303 / 0.439 / **0.613** / 0.446 / 0.455 s at d =
+      10/20/40/64/80 — the sub-128 codegen inversion hits only
+      32 < d < 64, where storing at 64 is 1.37x faster; d <= 32
+      epochs are already faster than the d = 64 cost.
+    * ML-20M (138k-row table, ``als_ml20m_d40_{padded,unpadded}.log``):
+      d = 40 padded 0.276 s vs unpadded 0.238 s — padding LOSES 16%.
+
+    So auto pads only when the larger factor table exceeds ~200k rows
+    (``max_rows``); the inversion is a property of gathers/codegen
+    against very tall tables, not of the width alone.
+
+    ``opt_value``: 0 = auto; -1 = never pad; >= 1 = store at exactly
+    max(d, value).  Zero columns are exact through every solver here:
+    the normal equations decouple (A's padded block is reg * I with
+    y = 0, so x_pad = 0 for llt/ldlt; CG and the iALS++ block sweeps
+    preserve exact zeros).
     """
     v = int(opt_value)
     if v < 0:
         return d
     if v > 0:
         return max(d, v)
-    return 64 if (32 < d < 64
+    return 64 if (32 < d < 64 and max_rows > 200_000
                   and jax.default_backend() == "tpu") else d
 
 
