@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--d", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--smoke", action="store_true")
-    ap.add_argument("--offset-mode", default="unrolled",
+    ap.add_argument("--offset-mode", default="scan",
                     choices=["unrolled", "scan"],
                     help="w2v_epoch_stream offset_mode (compile-size vs fusion A/B)")
     args = ap.parse_args()
@@ -97,16 +97,19 @@ def main():
         words = all_words[keep]
         sents = all_sents[keep]
         n = len(words)
-        h = (window - rng_np.integers(0, window, size=n)).astype(np.int32)
+        h = (window - rng_np.integers(0, window, size=n)).astype(np.uint8)
+        bnd = np.ones(n, np.uint8)
+        if n > 1:
+            bnd[1:] = sents[1:] != sents[:-1]
         nchunks = -(-max(1, -(-n // T)) // 4) * 4
         if nchunks > G:
             nchunks = -(-nchunks // G) * G
         pad = nchunks * T - n
         wc = np.concatenate([words, np.full(pad, V, np.int32)]) \
             .reshape(nchunks, T)
-        sc = np.concatenate([sents, np.full(pad, -1, np.int32)]) \
+        sc = np.concatenate([bnd, np.ones(pad, np.uint8)]) \
             .reshape(nchunks, T)
-        hc = np.concatenate([h, np.zeros(pad, np.int32)]) \
+        hc = np.concatenate([h, np.zeros(pad, np.uint8)]) \
             .reshape(nchunks, T)
         return wc, sc, hc, nchunks
 

@@ -384,13 +384,14 @@ class W2VOption(AlgoOption):
             different (valid) sampling stream.  "auto" = device on
             TPU single-device runs, host elsewhere (the dp-mesh path
             always uses host pairs).
-        :ivar str offset_mode: "device" pair_gen only — "unrolled"
-            (default) emits one offset pass per window position;
-            "scan" runs one pass under lax.scan over the traced
-            offset: a ~window-times smaller program for when the
-            remote-compile wall dominates (the full-shape unrolled
-            compile measured ~20 min on the tunneled v5e; both modes
-            share the same pad+slice math).
+        :ivar str offset_mode: "device" pair_gen only — "scan"
+            (default) runs ONE offset pass under lax.scan over the
+            traced offset; "unrolled" emits one pass per window
+            position.  Measured at the full brunch stream shape
+            (`w2v_stream_{decomp,scan}.log`): scan compiles 2.8x
+            faster (96 vs 271 s) AND dispatches faster (1.49 vs
+            1.65 s/epoch), so it wins on both axes; both modes share
+            the same pad+slice math and are parity-tested.
         :ivar int neg_block: "device" pair_gen only — consecutive-token
             block size sharing one negative draw (pWord2Vec-style).
             Smaller = closer to per-pair sampling (measured on the
@@ -414,7 +415,7 @@ class W2VOption(AlgoOption):
             "max_chunks_per_dispatch": 32,
             "stored_width": 0,
             "pair_gen": "auto",
-            "offset_mode": "unrolled",
+            "offset_mode": "scan",
             "neg_block": 128,
             "batch_size": 0,
             "model_path": "",

@@ -307,8 +307,14 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                     compute_loss=statics["compute_loss"],
                     max_step_norm=statics["max_step_norm"],
                     offset_mode=str(opt.get("offset_mode", "unrolled")))
-        for i in range(opt.num_iters):
-            start_t = time.time()
+        assert window < 256, "uint8 half-window wire format"
+
+        def host_phase():
+            """Per-epoch subsample + compaction + window draws; wire
+            format is 6 bytes/token (int32 word + uint8 sentence
+            boundary + uint8 half-window) — the r5 decomposition
+            measured the int32 encoding's upload as the epoch's
+            dominant term (`w2v_stream_decomp.log`)."""
             all_words, all_sents = self._token_stream()
             r = rng_np.integers(0, 1 << 32, size=len(all_words),
                                 dtype=np.uint64)
@@ -317,24 +323,33 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             sents = all_sents[keep]
             n = len(words)
             h = (window - rng_np.integers(0, window, size=n)) \
-                .astype(np.int32)
-            # pad to a multiple-of-4 chunk count (subsampling jitters n
-            # a little every epoch; a changed scan length recompiles)
+                .astype(np.uint8)
+            bnd = np.ones(n, np.uint8)
+            if n > 1:
+                bnd[1:] = sents[1:] != sents[:-1]
+            # pad to a multiple-of-4 chunk count (subsampling jitters
+            # n a little every epoch; a changed scan length recompiles)
             nchunks = -(-max(1, -(-n // T)) // 4) * 4
             if nchunks > G:
                 nchunks = -(-nchunks // G) * G
-                g_len = G
-            else:
-                g_len = nchunks
             pad = nchunks * T - n
             wc = np.concatenate([words,
                                  np.full(pad, V, np.int32)]) \
                 .reshape(nchunks, T)
-            sc = np.concatenate([sents,
-                                 np.full(pad, -1, np.int32)]) \
+            bc = np.concatenate([bnd, np.ones(pad, np.uint8)]) \
                 .reshape(nchunks, T)
-            hc = np.concatenate([h, np.zeros(pad, np.int32)]) \
+            hc = np.concatenate([h, np.zeros(pad, np.uint8)]) \
                 .reshape(nchunks, T)
+            return wc, bc, hc, nchunks
+
+        next_arrays = None
+        for i in range(opt.num_iters):
+            start_t = time.time()
+            if next_arrays is None:
+                next_arrays = host_phase()
+            wc, bc, hc, nchunks = next_arrays
+            next_arrays = None
+            g_len = min(G, nchunks)
             groups = nchunks // g_len
             rng, sub = jax.random.split(rng)
             wpc = raw_words / max(nchunks, 1)
@@ -352,17 +367,23 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                     L0, L1, l_, c_ = w2v_epoch_stream_dp(
                         L0, L1,
                         jax.device_put(wc[sl], chunk_shard),
-                        jax.device_put(sc[sl], chunk_shard),
+                        jax.device_put(bc[sl], chunk_shard),
                         jax.device_put(hc[sl], chunk_shard),
                         sub_g, p0, dist, mesh=mesh, **com)
                 else:
                     L0, L1, l_, c_ = w2v_epoch_stream(
                         L0, L1, jax.device_put(wc[sl]),
-                        jax.device_put(sc[sl]),
+                        jax.device_put(bc[sl]),
                         jax.device_put(hc[sl]), sub_g, p0, dist,
                         **com)
                 loss_sums.append(l_)
                 pair_cnts.append(c_)
+            # every group is dispatched (async); generate the NEXT
+            # epoch's token arrays now so the host phase hides under
+            # the device compute — the loss readback below is the
+            # sync point
+            if i + 1 < opt.num_iters:
+                next_arrays = host_phase()
             loss_sum = float(np.sum([np.asarray(x) for x in loss_sums]))
             pair_cnt = float(np.sum([np.asarray(x) for x in pair_cnts]))
             loss = loss_sum / max(pair_cnt, 1.0)

@@ -180,6 +180,56 @@ def _chunked_topn(p_chunks, Q, Qb, *, k, with_bias, approx=False):
     return vals, idx
 
 
+# the flat (chunk, n_items) score matrix OOMs past this many bytes;
+# the tiled fallback below takes over (2 GB leaves headroom for the
+# staged table + XLA temporaries on a 16 GB chip)
+_FLAT_SCORES_BYTES = 2 << 30
+
+
+@partial(jax.jit, static_argnames=("k", "with_bias", "approx"))
+def _chunked_topn_tiled(p_chunks, Q_tiles, Qb_tiles, *, k, with_bias,
+                        approx=False):
+    """Catalog-axis tiled variant for multi-million-item tables.
+
+    The flat scan materializes (chunk, n_items) scores per step —
+    40 GB at a 5M x 2048 call (measured OOM, `ivf_5m_tpu.log`).  Here
+    the items axis is tiled and each query chunk keeps a running
+    (vals, idx) top-k merged per tile with one O(k) concat+top_k.
+    NOTE: the always-on "two-stage top-k" was measured 16.6x SLOWER
+    than the flat scan at 505k items and deleted (r3); this variant
+    exists ONLY behind the memory gate — correctness over speed when
+    the flat path cannot fit.  Qb_tiles carries -inf on padded rows,
+    so padding can never enter the top-k.
+    """
+    ntiles, tile, d = Q_tiles.shape
+
+    def body(_, pc):
+        def tile_body(carry, xs):
+            vals_c, idx_c = carry
+            Qt, Qbt, t = xs
+            scores = jnp.dot(pc, Qt.T,
+                             preferred_element_type=jnp.float32)
+            scores = scores + Qbt[None, :]
+            tv, ti = _select_topk(scores, k, approx=approx)
+            ti = ti + t * tile
+            merged_v = jnp.concatenate([vals_c, tv], axis=1)
+            merged_i = jnp.concatenate([idx_c, ti], axis=1)
+            mv, sel = jax.lax.top_k(merged_v, k)
+            mi = jnp.take_along_axis(merged_i, sel, axis=1)
+            return (mv, mi), None
+
+        B = pc.shape[0]
+        init = (jnp.full((B, k), -jnp.inf, jnp.float32),
+                jnp.full((B, k), -1, jnp.int32))
+        (vals, idx), _ = jax.lax.scan(
+            tile_body, init,
+            (Q_tiles, Qb_tiles, jnp.arange(ntiles)))
+        return None, (vals, idx)
+
+    _, (vals, idx) = jax.lax.scan(body, None, p_chunks)
+    return vals, idx
+
+
 def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048,
                approx: bool = False, query_dtype=None):
     """Bulk MIPS retrieval: top-k of ``p @ Q^T (+ Qb)`` per query row.
@@ -238,9 +288,27 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048,
         assert np.dtype(query_dtype) == np.dtype(ml_dtypes.bfloat16), \
             f"query_dtype must be float32 or bfloat16, got {query_dtype}"
         chunks = chunks.astype(ml_dtypes.bfloat16)
-    vals, idx = _chunked_topn(chunks, Q_d,
-                              Qb_d, k=k_eff, with_bias=with_bias,
-                              approx=approx)
+    if chunk * n_items * 4 > _FLAT_SCORES_BYTES:
+        # multi-million-item catalogs: the flat (chunk, n_items) score
+        # matrix would OOM — tile the items axis (see
+        # _chunked_topn_tiled; gated because the tiled merge measured
+        # 16.6x slower than the flat scan where both fit)
+        tile = max(1, _FLAT_SCORES_BYTES // (chunk * 4))
+        tile = min(n_items, -(-tile // 1024) * 1024)
+        ntiles = -(-n_items // tile)
+        Q_t = np.zeros((ntiles * tile, d), np.float32)
+        Q_t[:n_items] = Q
+        Qb_t = np.full(ntiles * tile, -np.inf, np.float32)
+        Qb_t[:n_items] = np.asarray(Qb, np.float32) if with_bias \
+            else 0.0
+        vals, idx = _chunked_topn_tiled(
+            chunks, jax.device_put(Q_t.reshape(ntiles, tile, d)),
+            jax.device_put(Qb_t.reshape(ntiles, tile)), k=k_eff,
+            with_bias=True, approx=approx)
+    else:
+        vals, idx = _chunked_topn(chunks, Q_d,
+                                  Qb_d, k=k_eff, with_bias=with_bias,
+                                  approx=approx)
     out_keys, out_scores = _assemble_topn(vals, idx, B, topk, k_eff)
     if pool is not None:
         mapped = np.asarray(pool)[np.maximum(out_keys, 0)]

@@ -127,11 +127,11 @@ def w2v_epoch_dp(L0, L1, inputs, targets, dist, rng_key, processed0,
                                    "vocab_size", "compute_loss",
                                    "max_step_norm", "offset_mode"),
          donate_argnums=(0, 1))
-def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
+def w2v_epoch_stream(L0, L1, words, bounds, half, rng_key, processed0,
                      dist, *, window, block, num_negatives, vocab_size,
                      compute_loss, lr, min_lr, total_words,
                      words_per_chunk, max_step_norm=0.1,
-                     offset_mode="unrolled"):
+                     offset_mode="scan"):
     """On-device skip-gram pair expansion: one dispatch per token-chunk
     group, NO per-pair host arrays.
 
@@ -160,9 +160,17 @@ def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
     (<= window * nchunks of ~66M at the brunch shape, < 1e-5) —
     the analog of the reference's job-boundary granularity.
 
-    words/sents: int32 (nchunks, T) — compacted kept tokens, sentinel
-    ``vocab_size`` padding.  half: int32 (nchunks, T) shrunken
+    words: int32 (nchunks, T) — compacted kept tokens, sentinel
+    ``vocab_size`` padding.  bounds: uint8 (nchunks, T) — 1 where a
+    sentence starts (pad positions carry 1 so every pad is its own
+    sentence); sentence ids are recovered on device as a per-chunk
+    cumsum, which is what lets the host ship 1 byte/token instead of
+    a 4-byte sentence id.  half: uint8 (nchunks, T) shrunken
     half-window per CENTER position (window - b, b ~ U[0, window)).
+    The r5 decomposition (`w2v_stream_decomp.log`) measured the int32
+    encoding's 151 MB/epoch upload at 2.3-3.9 s over the ~40 MB/s
+    tunnel vs a 1.5 s dispatch — the bytes ARE the epoch, hence the
+    uint8 wire format (72 MB).
     Returns (L0, L1, loss_sum, pair_count).
 
     ``offset_mode``: "unrolled" emits one copy of the offset pass per
@@ -180,7 +188,9 @@ def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
 
     def body(carry, xs):
         L0, L1, loss, cnt = carry
-        wc, sc, hc, cidx = xs
+        wc, bc, hc8, cidx = xs
+        sc = jnp.cumsum(bc.astype(jnp.int32))
+        hc = hc8.astype(jnp.int32)
         sub = jax.random.fold_in(rng_key, cidx)
         progress = jnp.minimum(
             (processed0 + cidx.astype(jnp.float32) * words_per_chunk)
@@ -215,7 +225,7 @@ def w2v_epoch_stream(L0, L1, words, sents, half, rng_key, processed0,
     init = (L0, L1, jnp.zeros((), jnp.float32),
             jnp.zeros((), jnp.float32))
     (L0, L1, loss, cnt), _ = jax.lax.scan(
-        body, init, (words, sents, half, jnp.arange(nchunks)))
+        body, init, (words, bounds, half, jnp.arange(nchunks)))
     return L0, L1, loss, cnt
 
 
@@ -349,12 +359,12 @@ def _stream_chunk_deltas(L0, L1, wc, sc, hc, ln, negs, *, window,
     return dL0p, dL1p, dLn, loss_c, cnt_c
 
 
-def w2v_epoch_stream_dp(L0, L1, words, sents, half, rng_key,
+def w2v_epoch_stream_dp(L0, L1, words, bounds, half, rng_key,
                         processed0, dist, *, mesh, axis_name="d",
                         window, block, num_negatives, vocab_size,
                         compute_loss, lr, min_lr, total_words,
                         words_per_chunk, max_step_norm=0.1,
-                        offset_mode="unrolled"):
+                        offset_mode="scan"):
     """On-device pair expansion over a device mesh (dp).
 
     Token chunks shard on the POSITION axis (each device expands the
@@ -378,12 +388,16 @@ def w2v_epoch_stream_dp(L0, L1, words, sents, half, rng_key,
     K = num_negatives
     d = L0.shape[1]
 
-    def body_fn(L0, L1, words_s, sents_s, half_s, dist_):
+    def body_fn(L0, L1, words_s, bounds_s, half_s, dist_):
         idx = jax.lax.axis_index(axis_name)
 
         def body(carry, xs):
             L0, L1, loss, cnt = carry
-            wc, sc, hc, cidx = xs
+            wc, bc, hc8, cidx = xs
+            # per-shard cumsum: sentence equality is only tested
+            # within a shard (boundary pairs are dropped by design)
+            sc = jnp.cumsum(bc.astype(jnp.int32))
+            hc = hc8.astype(jnp.int32)
             sub = jax.random.fold_in(rng_key, cidx)
             progress = jnp.minimum(
                 (processed0 + cidx.astype(jnp.float32)
@@ -428,7 +442,7 @@ def w2v_epoch_stream_dp(L0, L1, words, sents, half, rng_key,
                 jnp.zeros((), jnp.float32))
         (L0, L1, loss, cnt), _ = jax.lax.scan(
             body, init,
-            (words_s, sents_s, half_s, jnp.arange(nchunks)))
+            (words_s, bounds_s, half_s, jnp.arange(nchunks)))
         return (L0, L1, jax.lax.psum(loss, axis_name),
                 jax.lax.psum(cnt, axis_name))
 
@@ -437,7 +451,7 @@ def w2v_epoch_stream_dp(L0, L1, words, sents, half, rng_key,
         in_specs=(PS(), PS(), PS(None, axis_name),
                   PS(None, axis_name), PS(None, axis_name), PS()),
         out_specs=(PS(), PS(), PS(), PS()), check_vma=False)
-    return run(L0, L1, words, sents, half, dist)
+    return run(L0, L1, words, bounds, half, dist)
 
 
 w2v_epoch_stream_dp = partial(jax.jit, static_argnames=(

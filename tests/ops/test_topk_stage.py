@@ -110,3 +110,28 @@ def test_batch_topn_bf16_query_upload():
     agree = bk[:, 0] == ek[:, 0]
     assert agree.mean() > 0.9
     np.testing.assert_allclose(bs[agree, 0], es[agree, 0], rtol=2e-2)
+
+
+def test_tiled_catalog_topn_matches_flat(monkeypatch):
+    """The OOM-gated catalog-tiled path (multi-million-item tables)
+    must reproduce the flat scan exactly (ties aside: scores are
+    distinct here)."""
+    import buffalo_tpu.ops.topk as T
+
+    rng = np.random.default_rng(0)
+    Q = rng.standard_normal((5000, 16)).astype(np.float32)
+    p = rng.standard_normal((300, 16)).astype(np.float32)
+    flat_k, flat_s = T.batch_topn(p, Q, topk=10)
+    # force the gate: pretend the flat score matrix would OOM
+    monkeypatch.setattr(T, "_FLAT_SCORES_BYTES", 2048 * 1024 * 4)
+    tiled_k, tiled_s = T.batch_topn(p, Q, topk=10)
+    np.testing.assert_array_equal(flat_k, tiled_k)
+    np.testing.assert_allclose(flat_s, tiled_s, rtol=1e-6, atol=1e-6)
+
+    # with a bias vector too
+    Qb = rng.standard_normal(5000).astype(np.float32)
+    tiled_kb, tiled_sb = T.batch_topn(p, Q, topk=10, Qb=Qb)
+    monkeypatch.undo()
+    flat_kb, flat_sb = T.batch_topn(p, Q, topk=10, Qb=Qb)
+    np.testing.assert_array_equal(flat_kb, tiled_kb)
+    np.testing.assert_allclose(flat_sb, tiled_sb, rtol=1e-6, atol=1e-6)
