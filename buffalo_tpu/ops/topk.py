@@ -181,9 +181,14 @@ def _chunked_topn(p_chunks, Q, Qb, *, k, with_bias, approx=False):
 
 
 # the flat (chunk, n_items) score matrix OOMs past this many bytes;
-# the tiled fallback below takes over (2 GB leaves headroom for the
-# staged table + XLA temporaries on a 16 GB chip)
-_FLAT_SCORES_BYTES = 2 << 30
+# the tiled fallback below takes over.  Calibration points (v5e,
+# 16 GB): 505k items x 2048 queries (4.1 GB nominal) runs FINE flat —
+# XLA fuses scoring into top_k so the matrix never fully materializes
+# (a 2 GB gate mistakenly routed the brunch catalog to the 16.6x
+# slower tiled path: retrieval 0.36 -> 4.27 s, stream_w2v_u8.log);
+# 5M x 2048 (40 GB) OOMs (ivf_5m_tpu.log).  8 GB splits the measured
+# points with headroom.
+_FLAT_SCORES_BYTES = 8 << 30
 
 
 @partial(jax.jit, static_argnames=("k", "with_bias", "approx"))
