@@ -150,60 +150,57 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
         # long on either side -> the segment pair path
         long_mask = (cw_deg > max_len) | (sp_deg > max_len)
 
-        # short items: GRID-bucket jointly on (colwise L, sppmi L).
-        # the r4 layout bucketed by colwise length and padded each
-        # batch's sppmi side to its pow2 max (pad_rows default) —
-        # measured 176.6M padded entries vs 91.1M real at the brunch
-        # stream shape (1.94x; microbench_cfr_phases.py), and the
-        # fused epoch pays the table-gather floor per PADDED entry.
-        # Joint 1.25-grid bucketing is 96.8M entries over the same
-        # data with only 56 occupied (Lu, Lc) shape pairs (degrees
-        # correlate), i.e. ~80M fewer gathers per epoch.
-        from buffalo_tpu.data.batching import (MIN_B, MIN_L,
-                                               _bucket_lengths)
-        entries_per_batch = max(int(batch_mb) * 1024 * 1024 // 16, 4096)
-        grid = _bucket_lengths(-(-max(MIN_L, max_len) // 8) * 8)
-        n_items = len(cw_deg)
-        short = np.nonzero(~long_mask & ((cw_deg > 0)
-                                         | (sp_deg > 0)))[0]
-
-        def bucket_of(deg):
-            return grid[np.minimum(
-                np.searchsorted(grid, np.maximum(deg, 1)),
-                len(grid) - 1)]
-
+        # NOTE (r5 decision record): a joint (Lu, Lc) 1.25-grid
+        # bucketing of this phase was built and measured — 96.8M
+        # padded entries vs this layout's 176.6M at the brunch
+        # stream shape — and the epoch did NOT improve (6.63 s vs
+        # 6.18 s clean, stream_cfr_grid.log), while its 56 batch
+        # shapes grew the fused program enough that the d=64
+        # compile OOM-killed the remote compile helper
+        # (stream_cfr_d64.log).  The epoch is not bound by padded
+        # gather count at this shape, so the simpler layout stays.
+        planner = BatchPlanner(cw_indptr, batch_mb=batch_mb,
+                               max_len=max_len)
         item_batches = []
-        if len(short):
-            Lu = bucket_of(cw_deg[short])
-            Lc = bucket_of(sp_deg[short])
-            pair = Lu.astype(np.int64) * (int(grid[-1]) + 1) + Lc
-            order = np.argsort(pair, kind="stable")
-            rows_sorted = short[order]
-            pair_sorted = pair[order]
-            bounds = np.nonzero(np.diff(pair_sorted))[0] + 1
-            for rows_g, pk in zip(np.split(rows_sorted, bounds),
-                                  pair_sorted[np.r_[0, bounds]]):
-                lu = int(pk // (int(grid[-1]) + 1))
-                lc = int(pk % (int(grid[-1]) + 1))
-                B = max(MIN_B, entries_per_batch // (lu + lc)
-                        // MIN_B * MIN_B)
-                for beg in range(0, len(rows_g), B):
-                    rows = rows_g[beg:beg + B]
-                    Bp = max(MIN_B, -(-len(rows) // MIN_B) * MIN_B)
-                    rpad = np.full(Bp, n_items, np.int32)
-                    rpad[:len(rows)] = rows
-                    lens_u, cols_u, vals_u = pad_rows(
-                        cw_indptr, cw["key"], cw.get("val"), rpad,
-                        L=lu)
-                    b = PaddedBatch(rows=rpad, lens=lens_u,
-                                    cols=cols_u, vals=vals_u)
-                    lens_c, cols_c, vals_c = pad_rows(
-                        sp_indptr, sp["key"], sp["val"], rpad, L=lc)
-                    item_batches.append((b, lens_c, cols_c, vals_c))
+        for b in planner.iter_batches(cw["key"], cw.get("val")):
+            if isinstance(b, SegmentBatch):
+                continue  # cw-long rows take the segment-pair path below
+            # rows that are sppmi-long leave the padded batch (their
+            # slot becomes padding) and join the segment set
+            keep = ~long_mask[np.minimum(b.rows, len(cw_deg) - 1)] \
+                | (b.lens == 0)
+            if not keep.all():
+                b = PaddedBatch(
+                    rows=np.where(keep, b.rows,
+                                  len(cw_deg)).astype(np.int32),
+                    lens=np.where(keep, b.lens, 0).astype(np.int32),
+                    cols=np.where(keep[:, None], b.cols, 0),
+                    vals=np.where(keep[:, None], b.vals, 0.0))
+            lens_c, cols_c, vals_c = pad_rows(
+                sp_indptr, sp["key"], sp["val"], b.rows)
+            item_batches.append((b, lens_c, cols_c, vals_c))
+        # items with sppmi entries but NO colwise entries still need an
+        # item update; the reference loops all rows per range so covers
+        # them — collect the short leftovers into extra padded batches
+        leftover = np.nonzero((cw_deg == 0) & (sp_deg > 0)
+                              & ~long_mask)[0]
+        if len(leftover):
+            for beg in range(0, len(leftover), 1024):
+                rows = leftover[beg:beg + 1024]
+                B = max(8, 1 << int(np.ceil(np.log2(len(rows)))))
+                rpad = np.full(B, len(cw_deg), dtype=np.int32)
+                rpad[:len(rows)] = rows
+                lens_c, cols_c, vals_c = pad_rows(
+                    sp_indptr, sp["key"], sp["val"], rpad)
+                empty = PaddedBatch(
+                    rows=rpad, lens=np.zeros(B, np.int32),
+                    cols=np.zeros((B, 8), np.int32),
+                    vals=np.zeros((B, 8), np.float32))
+                item_batches.append((empty, lens_c, cols_c, vals_c))
         # segment pairs: pack long rows bounded by both sides' chunks
         long_rows = np.nonzero(long_mask)[0]
         if len(long_rows):
-            budget = max(1, entries_per_batch // max_len)
+            budget = max(1, planner.entries_per_batch // max_len)
             order = np.argsort(-(cw_deg[long_rows] + sp_deg[long_rows]),
                                kind="stable")
             cur, cur_chunks = [], 0
