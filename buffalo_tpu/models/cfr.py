@@ -135,9 +135,20 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
                                                build_segment_batch)
         batch_mb = int(self.data.opt.data.get("batch_mb", 1024))
         max_len = int(self.opt.get("max_len", DEFAULT_MAX_L))
+        # cap per-batch entries so a batch's gathered (B*L, d) f32
+        # temporary stays <= ~2 GB: the former flat 16 B/entry budget
+        # let it reach 8.6 GB at d=32 and OOM outright at d=64
+        # (f32[40.8M, 64] allocation, `stream_cfr_d64.log`).  The cap
+        # engages only where the temporary would be the problem — the
+        # flat budget's measured 6.18 s epoch is preserved at small
+        # batch_mb * d products.
+        d = int(self.opt.d)
+        entries = max(min(int(batch_mb) * 1024 * 1024 // 16,
+                          (2 << 30) // (4 * d)), 4096)
         out = {}
         rw = self.data.get_group("rowwise")
-        planner = BatchPlanner(np.asarray(rw["indptr"]), batch_mb=batch_mb,
+        planner = BatchPlanner(np.asarray(rw["indptr"]),
+                               entries_per_batch=entries,
                                max_len=max_len)
         out["user"] = list(planner.iter_batches(rw["key"], rw.get("val")))
 
@@ -159,7 +170,7 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
         # compile OOM-killed the remote compile helper
         # (stream_cfr_d64.log).  The epoch is not bound by padded
         # gather count at this shape, so the simpler layout stays.
-        planner = BatchPlanner(cw_indptr, batch_mb=batch_mb,
+        planner = BatchPlanner(cw_indptr, entries_per_batch=entries,
                                max_len=max_len)
         item_batches = []
         for b in planner.iter_batches(cw["key"], cw.get("val")):
@@ -225,7 +236,7 @@ class CFR(Algo, CFROption, Evaluable, Serializable):
                 item_batches.append((sb_u, sb_c))
         out["item"] = item_batches
 
-        planner = BatchPlanner(sp_indptr, batch_mb=batch_mb,
+        planner = BatchPlanner(sp_indptr, entries_per_batch=entries,
                                max_len=max_len)
         out["context"] = list(planner.iter_batches(sp["key"], sp["val"]))
         return out
