@@ -964,18 +964,23 @@ def w2v_main(args, work):
                "num_iters": ref_iters, "batch_size": -1,
                "compute_loss_on_training": True}
     seeds = [11, 23, 47]
-    ref_p, tpu_p = [], []
+    ref_p, tpu_p, dev_p = [], [], []
     itemids = None
     for s in seeds:
-        np.random.seed(s)
-        opt = W2VOption().get_default_option()
-        opt.d = d
-        opt.num_iters = iters
-        opt.window = 5
-        opt.min_count = 1
-        opt.random_seed = s
-        m = W2V(opt, data=data)
-        m.initialize()
+        def make_model(pair_gen):
+            np.random.seed(s)
+            opt = W2VOption().get_default_option()
+            opt.d = d
+            opt.num_iters = iters
+            opt.window = 5
+            opt.min_count = 1
+            opt.random_seed = s
+            opt.pair_gen = pair_gen
+            m = W2V(opt, data=data)
+            m.initialize()
+            return m
+
+        m = make_model("host")
         L0_init = m.L0.copy()
         if itemids is None:
             m.build_itemid_map()
@@ -993,15 +998,23 @@ def w2v_main(args, work):
         ref_p.append(neighbor_purity(Lr, cl_vocab))
         m.train()
         tpu_p.append(neighbor_purity(m.L0, cl_vocab))
+        # the SHIPPING TPU path (on-device pair expansion) gets its
+        # own arm: block-shared negatives are a real sampling change
+        # and must clear the same band as the host path
+        md = make_model("device")
+        md.train()
+        dev_p.append(neighbor_purity(md.L0, cl_vocab))
     r_p, t_p = np.mean(ref_p), np.mean(tpu_p)
-    band = 3 * max(np.std(ref_p), np.std(tpu_p), 0.01)
+    d_p = np.mean(dev_p)
+    band = 3 * max(np.std(ref_p), np.std(tpu_p), np.std(dev_p), 0.01)
     out = {"metric": "w2v_quality_band_parity",
            "ref_purity": round(float(r_p), 4),
-           "tpu_purity": round(float(t_p), 4),
+           "tpu_purity_host_pairs": round(float(t_p), 4),
+           "tpu_purity_device_pairs": round(float(d_p), 4),
            "band": round(float(band), 4), "seeds": len(seeds),
            "d": d, "iters": iters, "ref_iters": ref_iters}
     print(json.dumps(out))
-    ok = t_p >= r_p - band
+    ok = (t_p >= r_p - band) and (d_p >= r_p - band)
     print("PARITY", "OK" if ok else "FAIL")
     return 0 if ok else 1
 

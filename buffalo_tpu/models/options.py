@@ -394,10 +394,12 @@ class W2VOption(AlgoOption):
             the same pad+slice math and are parity-tested.
         :ivar int neg_block: "device" pair_gen only — consecutive-token
             block size sharing one negative draw (pWord2Vec-style).
-            Smaller = closer to per-pair sampling (measured on the
-            clustered-corpus fixture: block 16 matches the host
-            path's converged loss, 512 lags it); the block's cost
-            is negligible at any size, so the default stays small.
+            Default 16: one draw shared by ~6*block pairs is a REAL
+            sampling change (the r5 parity harness measured block=128
+            at 0.57 planted-cluster purity vs the host path's 1.00),
+            while the block's device cost is negligible at any size
+            (block=16 is 3.36 s/epoch at the brunch stream shape vs
+            3.67 at 128 — if anything faster).
         """
         opt = super().get_default_option()
         opt.update({
@@ -416,7 +418,7 @@ class W2VOption(AlgoOption):
             "stored_width": 0,
             "pair_gen": "auto",
             "offset_mode": "scan",
-            "neg_block": 128,
+            "neg_block": 16,
             "batch_size": 0,
             "model_path": "",
             "data_opt": {},

@@ -276,22 +276,28 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                                         PartitionSpec(None, "d"))
         window = int(opt.window)
         n_all = len(self._token_stream()[0])
-        # auto-scale the shared-negative block to the corpus: small
-        # corpora need near-per-pair sampling diversity (measured on
-        # the clustered fixture: block 16 matches the host path's
-        # converged loss, 512 lags), while at stream scale the
-        # configured block's sharing is a vanishing fraction of the
-        # epoch's draws and its cost is negligible either way
-        block = int(opt.get("neg_block", 128))
+        # the shared-negative block stays SMALL: one draw shared by
+        # ~6 * block pairs is a real sampling change, and the r5
+        # three-arm parity harness caught block=128 at 0.57 neighbor
+        # purity vs the host path's 1.00 on a 450-word corpus — while
+        # the block's device cost is negligible at ANY size (block=16
+        # measured 3.36 s/epoch at the brunch stream shape vs 3.67 at
+        # 128).  Auto additionally shrinks below the default only for
+        # micro-corpora.
+        block = int(opt.get("neg_block", 16))
         block = min(block,
-                    max(16, 1 << int(np.log2(max(n_all // 256, 16)))))
+                    max(8, 1 << int(np.log2(max(n_all // 256, 8)))))
         T = int(opt.get("batch_size") or 0)
         if T <= 0:
             T = 1 << 17
-            # small corpora: shrink the chunk so 4 chunks cover the
-            # stream (sized on the epoch-invariant token count — the
-            # per-epoch subsample jitter must not change the shape)
-            T = min(T, max(block, -(-n_all // (4 * block)) * block))
+            # keep >= 16 sequential chunk updates per epoch — the
+            # same megabatch-approximation rule as the host-pair
+            # path; an earlier 4-chunk sizing converged visibly worse
+            # (planted-cluster purity 0.79 vs the host path's 1.00 at
+            # 5 epochs on the parity corpus).  Sized on the
+            # epoch-invariant token count so the per-epoch subsample
+            # jitter can't change the compiled shape.
+            T = min(T, max(block, -(-n_all // (16 * block)) * block))
         # each mesh shard's T/D slice must itself be block-aligned
         quantum = block * (mesh.size if mesh is not None else 1)
         T = -(-T // quantum) * quantum
