@@ -348,20 +348,34 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                 .reshape(nchunks, T)
             return wc, bc, hc, nchunks
 
-        next_arrays = None
+        def stage(arrays):
+            """Async device_put of every group's chunk slices —
+            device transfers enqueue behind whatever the device is
+            doing, so calling this while the PREVIOUS epoch's
+            dispatches are in flight overlaps next-epoch uploads with
+            compute (the upload was ~2 s of a ~3.5 s epoch)."""
+            wc, bc, hc, nchunks = arrays
+            g_len = min(G, nchunks)
+            put = (lambda a: jax.device_put(a, chunk_shard)) \
+                if mesh is not None else jax.device_put
+            staged = []
+            for g in range(nchunks // g_len):
+                sl = slice(g * g_len, (g + 1) * g_len)
+                staged.append((put(wc[sl]), put(bc[sl]), put(hc[sl])))
+            return staged, nchunks, g_len
+
+        staged_next = None
         for i in range(opt.num_iters):
             start_t = time.time()
-            if next_arrays is None:
-                next_arrays = host_phase()
-            wc, bc, hc, nchunks = next_arrays
-            next_arrays = None
-            g_len = min(G, nchunks)
+            if staged_next is None:
+                staged_next = stage(host_phase())
+            staged, nchunks, g_len = staged_next
+            staged_next = None
             groups = nchunks // g_len
             rng, sub = jax.random.split(rng)
             wpc = raw_words / max(nchunks, 1)
             loss_sums, pair_cnts = [], []
-            for g in range(groups):
-                sl = slice(g * g_len, (g + 1) * g_len)
+            for g, (wc_d, bc_d, hc_d) in enumerate(staged):
                 sub_g = (jax.random.fold_in(sub, g) if groups > 1
                          else sub)
                 p0 = jnp.float32(processed_words + g * g_len * wpc)
@@ -371,25 +385,20 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                            words_per_chunk=float(wpc), **stat)
                 if mesh is not None:
                     L0, L1, l_, c_ = w2v_epoch_stream_dp(
-                        L0, L1,
-                        jax.device_put(wc[sl], chunk_shard),
-                        jax.device_put(bc[sl], chunk_shard),
-                        jax.device_put(hc[sl], chunk_shard),
+                        L0, L1, wc_d, bc_d, hc_d,
                         sub_g, p0, dist, mesh=mesh, **com)
                 else:
                     L0, L1, l_, c_ = w2v_epoch_stream(
-                        L0, L1, jax.device_put(wc[sl]),
-                        jax.device_put(bc[sl]),
-                        jax.device_put(hc[sl]), sub_g, p0, dist,
+                        L0, L1, wc_d, bc_d, hc_d, sub_g, p0, dist,
                         **com)
                 loss_sums.append(l_)
                 pair_cnts.append(c_)
-            # every group is dispatched (async); generate the NEXT
-            # epoch's token arrays now so the host phase hides under
-            # the device compute — the loss readback below is the
-            # sync point
+            # every group is dispatched (async); generate AND STAGE
+            # the next epoch's arrays now — the host numpy phase and
+            # the ~72 MB upload both hide under the device compute;
+            # the loss readback below is the sync point
             if i + 1 < opt.num_iters:
-                next_arrays = host_phase()
+                staged_next = stage(host_phase())
             loss_sum = float(np.sum([np.asarray(x) for x in loss_sums]))
             pair_cnt = float(np.sum([np.asarray(x) for x in pair_cnts]))
             loss = loss_sum / max(pair_cnt, 1.0)
