@@ -247,7 +247,7 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             inputs.append(words[:-off][m2])
         return (np.concatenate(inputs), np.concatenate(targets), n)
 
-    def _train_stream(self, L0, L1, dist_pair, rng, rng_np, statics,
+    def _train_stream(self, L0, L1, dist, rng, rng_np, statics,
                       d, full_st, training_callback, mesh=None):
         """On-device pair expansion path (``pair_gen="device"``): per
         epoch the host does only the subsample + compaction + shrunken
@@ -265,13 +265,8 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         opt = self.opt
         V = int(self._vocab.size)
         chunk_shard = None
-        if mesh is None:
-            dist = jax.device_put(dist_pair)
-        else:
-            from buffalo_tpu import parallelism
+        if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
-            dist = jax.device_put(dist_pair,
-                                  parallelism.replicated(mesh))
             chunk_shard = NamedSharding(mesh,
                                         PartitionSpec(None, "d"))
         window = int(opt.window)
@@ -312,7 +307,7 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                     vocab_size=V,
                     compute_loss=statics["compute_loss"],
                     max_step_norm=statics["max_step_norm"],
-                    offset_mode=str(opt.get("offset_mode", "unrolled")))
+                    offset_mode=str(opt.get("offset_mode", "scan")))
         assert window < 256, "uint8 half-window wire format"
 
         def host_phase():
@@ -348,6 +343,16 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
                 .reshape(nchunks, T)
             return wc, bc, hc, nchunks
 
+        # double-buffering holds TWO epochs of chunk arrays in HBM
+        # (~6 bytes/token each); past the resident budget, fall back
+        # to per-group staging (host prefetch still hides the numpy
+        # phase, only the upload stops overlapping)
+        epoch_bytes = 6 * (-(-n_all // T)) * T
+        upload_prefetch = 2 * epoch_bytes <= int(
+            opt.get("resident_mb", 4096)) * 1024 * 1024
+        put = (lambda a: jax.device_put(a, chunk_shard)) \
+            if mesh is not None else jax.device_put
+
         def stage(arrays):
             """Async device_put of every group's chunk slices —
             device transfers enqueue behind whatever the device is
@@ -356,12 +361,14 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             compute (the upload was ~2 s of a ~3.5 s epoch)."""
             wc, bc, hc, nchunks = arrays
             g_len = min(G, nchunks)
-            put = (lambda a: jax.device_put(a, chunk_shard)) \
-                if mesh is not None else jax.device_put
             staged = []
             for g in range(nchunks // g_len):
                 sl = slice(g * g_len, (g + 1) * g_len)
-                staged.append((put(wc[sl]), put(bc[sl]), put(hc[sl])))
+                if upload_prefetch:
+                    staged.append((put(wc[sl]), put(bc[sl]),
+                                   put(hc[sl])))
+                else:
+                    staged.append((wc[sl], bc[sl], hc[sl]))
             return staged, nchunks, g_len
 
         staged_next = None
@@ -376,6 +383,8 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             wpc = raw_words / max(nchunks, 1)
             loss_sums, pair_cnts = [], []
             for g, (wc_d, bc_d, hc_d) in enumerate(staged):
+                if not upload_prefetch:
+                    wc_d, bc_d, hc_d = put(wc_d), put(bc_d), put(hc_d)
                 sub_g = (jax.random.fold_in(sub, g) if groups > 1
                          else sub)
                 p0 = jnp.float32(processed_words + g * g_len * wpc)
@@ -490,7 +499,7 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
             pair_gen == "auto" and mesh is None
             and jax.default_backend() == "tpu")
         if use_stream:
-            loss = self._train_stream(L0, L1, dist_pair, rng, rng_np,
+            loss = self._train_stream(L0, L1, dist, rng, rng_np,
                                       statics, d, full_st,
                                       training_callback, mesh=mesh)
             return {"train_loss": loss} if loss is not None else {}

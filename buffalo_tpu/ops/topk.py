@@ -191,8 +191,8 @@ def _chunked_topn(p_chunks, Q, Qb, *, k, with_bias, approx=False):
 _FLAT_SCORES_BYTES = 8 << 30
 
 
-@partial(jax.jit, static_argnames=("k", "with_bias", "approx"))
-def _chunked_topn_tiled(p_chunks, Q_tiles, Qb_tiles, *, k, with_bias,
+@partial(jax.jit, static_argnames=("k", "approx"))
+def _chunked_topn_tiled(p_chunks, Q_tiles, Qb_tiles, *, k,
                         approx=False):
     """Catalog-axis tiled variant for multi-million-item tables.
 
@@ -278,13 +278,18 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048,
     k_eff = min(topk, n_items)
     B, d = p.shape
 
+    tiled = chunk * n_items * 4 > _FLAT_SCORES_BYTES
     # cache only the caller's stable full table; pool-sliced tables and
     # biases are per-call temporaries — caching them would churn the
-    # 4-slot LRU with dead addresses and evict the big table
-    Q_d = _stage(Q) if pool is None else jax.device_put(Q)
+    # 4-slot LRU with dead addresses and evict the big table.  The
+    # tiled path stages its own padded copy, so the flat table must
+    # NOT be uploaded (or pinned in the LRU) when the gate triggers.
+    Q_d = None if tiled else (
+        _stage(Q) if pool is None else jax.device_put(Q))
     with_bias = Qb is not None
-    Qb_d = jax.device_put(np.ascontiguousarray(np.asarray(Qb, np.float32))) \
-        if with_bias else jnp.zeros((), jnp.float32)
+    Qb_d = jax.device_put(
+        np.ascontiguousarray(np.asarray(Qb, np.float32))) \
+        if (with_bias and not tiled) else jnp.zeros((), jnp.float32)
 
     chunks = _bucketed_chunks(p, chunk)
     if query_dtype is not None and np.dtype(query_dtype).name != "float32":
@@ -293,7 +298,7 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048,
         assert np.dtype(query_dtype) == np.dtype(ml_dtypes.bfloat16), \
             f"query_dtype must be float32 or bfloat16, got {query_dtype}"
         chunks = chunks.astype(ml_dtypes.bfloat16)
-    if chunk * n_items * 4 > _FLAT_SCORES_BYTES:
+    if tiled:
         # multi-million-item catalogs: the flat (chunk, n_items) score
         # matrix would OOM — tile the items axis (see
         # _chunked_topn_tiled; gated because the tiled merge measured
@@ -309,7 +314,7 @@ def batch_topn(p, Q, topk: int, pool=None, Qb=None, chunk: int = 2048,
         vals, idx = _chunked_topn_tiled(
             chunks, jax.device_put(Q_t.reshape(ntiles, tile, d)),
             jax.device_put(Qb_t.reshape(ntiles, tile)), k=k_eff,
-            with_bias=True, approx=approx)
+            approx=approx)
     else:
         vals, idx = _chunked_topn(chunks, Q_d,
                                   Qb_d, k=k_eff, with_bias=with_bias,

@@ -31,6 +31,17 @@ def _g(label, f):
                      jnp.where(f < -MAX_EXP, label, mid))
 
 
+def _clipped_apply(T, dT, cap):
+    """Apply a dense table delta with the per-row L2 step-norm cap
+    (``max_step_norm``; 0/None disables) — ONE definition shared by
+    the host-pair, single-device-stream and dp-stream paths, whose
+    factors are parity-tested against each other."""
+    if not cap:
+        return T + dT
+    norms = jnp.sqrt(jnp.sum(dT * dT, axis=-1, keepdims=True))
+    return T + dT * jnp.minimum(1.0, cap / jnp.maximum(norms, 1e-20))
+
+
 @partial(jax.jit, static_argnames=("num_negatives", "vocab_size",
                                    "compute_loss", "max_step_norm"),
          donate_argnums=(0, 1))
@@ -206,13 +217,6 @@ def w2v_epoch_stream(L0, L1, words, bounds, half, rng_key, processed0,
             L0, L1, wc, sc, hc, ln, negs, window=window, block=block,
             vocab_size=vocab_size, compute_loss=compute_loss,
             offset_mode=offset_mode)
-
-        def _clipped_apply(Tb, dT, cap):
-            if not cap:
-                return Tb + dT
-            norms = jnp.sqrt(jnp.sum(dT * dT, axis=-1, keepdims=True))
-            return Tb + dT * jnp.minimum(
-                1.0, cap / jnp.maximum(norms, 1e-20))
 
         dL0 = jnp.zeros_like(L0).at[wc].add(lr_t * dL0p, mode="drop")
         L0 = _clipped_apply(L0, dL0, max_step_norm)
@@ -418,14 +422,6 @@ def w2v_epoch_stream_dp(L0, L1, words, bounds, half, rng_key,
                 block=block, vocab_size=vocab_size,
                 compute_loss=compute_loss, offset_mode=offset_mode)
 
-            def _clipped_apply(Tb, dT, cap):
-                if not cap:
-                    return Tb + dT
-                norms = jnp.sqrt(jnp.sum(dT * dT, axis=-1,
-                                         keepdims=True))
-                return Tb + dT * jnp.minimum(
-                    1.0, cap / jnp.maximum(norms, 1e-20))
-
             dL0 = jnp.zeros_like(L0).at[wc].add(lr_t * dL0p,
                                                 mode="drop")
             dL0 = jax.lax.psum(dL0, axis_name)
@@ -548,12 +544,6 @@ def _w2v_step_body(L0, L1, inputs, targets, dist, rng_key, lr,
     # full-magnitude steps for rare words.  A/B on the synthetic
     # analogy gate (benchmark/accuracy.md): capped >= uncapped at the
     # default lr and strictly safer at high lr, so capped is default.
-    def _clipped_apply(T, dT, cap):
-        if not cap:
-            return T + dT
-        norms = jnp.sqrt(jnp.sum(dT * dT, axis=-1, keepdims=True))
-        return T + dT * jnp.minimum(1.0, cap / jnp.maximum(norms, 1e-20))
-
     step_cap = max_step_norm
     dL1 = jnp.zeros_like(L1)
     dL1 = dL1.at[targets].add(lr * g_pos[:, None] * l0, mode="drop")
