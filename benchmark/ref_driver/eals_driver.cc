@@ -16,12 +16,20 @@
 //   int64 col_ends[I]; int32 col_keys[nnz]; float col_vals[nnz]
 //   float P0[U*D]; float Q0[I*D]
 // argv[1] = option JSON path.  Output: argv[3] = P then Q raw floats.
+#include <sys/time.h>
+
 #include <cstdio>
 #include <cstdint>
 #include <cstdlib>
 #include <cmath>
 #include <vector>
 #include "buffalo/algo_impl/eals/eals.hpp"
+
+static double now_s() {
+    struct timeval tv;
+    gettimeofday(&tv, NULL);
+    return tv.tv_sec + tv.tv_usec / 1e6;
+}
 
 template <typename T> std::vector<T> rd(FILE* f, size_t n) {
     std::vector<T> v(n);
@@ -53,6 +61,7 @@ int main(int argc, char** argv) {
     m.precompute_cache((int32_t)nnz, r_ends.data(), r_keys.data(), 0);
     m.precompute_cache((int32_t)nnz, c_ends.data(), c_keys.data(), 1);
     for (int it = 0; it < iters; ++it) {
+        double t0 = now_s();
         if (!m.update(r_ends.data(), r_keys.data(), r_vals.data(), 0)) {
             fprintf(stderr, "update axis 0 failed\n"); return 1;
         }
@@ -61,7 +70,8 @@ int main(int argc, char** argv) {
         }
         auto rl = m.estimate_loss((int32_t)nnz, r_ends.data(),
                                   r_keys.data(), r_vals.data(), 0);
-        printf("iter %d rmse %.6f loss %.6f\n", it + 1,
+        printf("iter %d elapsed %.3f s rmse %.6f loss %.6f\n", it + 1,
+               now_s() - t0,
                rl.first, rl.second);
     }
     FILE* o = fopen(argv[3], "wb");

@@ -6,12 +6,20 @@
 // Input layout: int32 U, I, D, iters; float alpha1, alpha2;
 //   int64 row_ends[U]; int32 keys[nnz]; float vals[nnz];
 //   float P0[U*D]; float Q0[I*D]
+#include <sys/time.h>
+
 #include <cstdio>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
 #include "buffalo/algo_impl/plsi/plsi.hpp"
+
+static double now_s() {
+    struct timeval tv;
+    gettimeofday(&tv, NULL);
+    return tv.tv_sec + tv.tv_usec / 1e6;
+}
 
 template <typename T> std::vector<T> rd(FILE* f, size_t n) {
     std::vector<T> v(n);
@@ -43,11 +51,13 @@ int main(int argc, char** argv) {
     memcpy(P.data(), P0.data(), P0.size() * sizeof(float));
     memcpy(Q.data(), Q0.data(), Q0.size() * sizeof(float));
     for (int it = 0; it < iters; ++it) {
+        double t0 = now_s();
         m.reset();
         float loss = m.partial_update(0, U, ends.data(), keys.data(), vals.data());
         m.normalize(alphas[0], alphas[1]);
         m.swap();
-        printf("iter %d loss %.6f\n", it + 1, loss);
+        printf("iter %d elapsed %.3f s loss %.6f\n", it + 1,
+               now_s() - t0, loss);
     }
     FILE* o = fopen(argv[3], "wb");
     fwrite(P.data(), sizeof(float), P.size(), o);
