@@ -115,14 +115,29 @@ def _estep_block(a, f, vals, mask, *, with_loss):
     other-side rows.  ``latent(u,i) = P(z|u) * Q(i|z)`` is symmetric in
     the two sides, so the same block math serves both orientations.
     Returns (row_sums (B, d), loss).
+
+    The sums factor into two CONTRACTIONS —
+    ``row_sums[b,z] = a[b,z] * sum_l (w/norm)[b,l] f[b,l,z]`` with
+    ``norm[b,l] = sum_z a[b,z] f[b,l,z]`` — so no (B, L, d) latent
+    tensor ever materializes (the earlier explicit-product form put
+    the ML-20M epoch at ~250 GB of claimed HBM traffic for 3.5 GFLOP,
+    ``microbench_plsi_chain.py``).  The degenerate-product guard moves
+    from per-element (``max(a*f, 1e-10)``) to the summed norm
+    (``max(norm, d*1e-10)``): identical except when EVERY latent
+    component of an entry is below 1e-10, where the old form spread
+    the weight uniformly and this form drops it — both arbitrary, the
+    M-step's alpha smoothing dominates either.
     """
-    latent = jnp.maximum(a[:, None, :] * f, 1e-10)
-    norm = jnp.sum(latent, axis=-1, keepdims=True)
+    d = a.shape[-1]
+    norm = jnp.maximum(
+        jnp.einsum("bd,bld->bl", a, f,
+                   preferred_element_type=jnp.float32), d * 1e-10)
     w = vals * mask
-    loss = (-jnp.sum(jnp.log(norm[..., 0]) * w) if with_loss
+    loss = (-jnp.sum(jnp.log(norm) * w) if with_loss
             else jnp.zeros((), jnp.float32))
-    latent = latent / norm * w[..., None]
-    return jnp.sum(latent, axis=1), loss
+    g = w / norm
+    return a * jnp.einsum("bl,bld->bd", g, f,
+                          preferred_element_type=jnp.float32), loss
 
 
 def _range_accumulate(An, A, Bf, batch, *, with_loss):
