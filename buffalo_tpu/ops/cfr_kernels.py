@@ -27,10 +27,15 @@ def _mask(lens, L):
 
 
 def _implicit_terms(F, vals, mask, alpha):
-    """A_data = sum alpha v f f^T, y = sum (1 + alpha v) f (masked)."""
+    """A_data = sum alpha v f f^T, y = sum (1 + alpha v) f (masked).
+
+    A uses the sqrt-scaled symmetric form (Fs = F * sqrt(w);
+    A = Fs^T Fs): one scaled (B, L, d) operand feeds the einsum twice
+    instead of reading a scaled copy AND the raw gather (w >= 0
+    always: alpha * vals * {0,1} mask)."""
     w = vals * alpha * mask
-    Fw = F * w[:, :, None]
-    A = jnp.einsum("bld,ble->bde", Fw, F,
+    Fs = F * jnp.sqrt(w)[:, :, None]
+    A = jnp.einsum("bld,ble->bde", Fs, Fs,
                    preferred_element_type=jnp.float32)
     y = jnp.einsum("bld,bl->bd", F, (1.0 + w) * mask,
                    preferred_element_type=jnp.float32)
