@@ -394,12 +394,16 @@ class W2VOption(AlgoOption):
             the same pad+slice math and are parity-tested.
         :ivar int neg_block: "device" pair_gen only — consecutive-token
             block size sharing one negative draw (pWord2Vec-style).
-            Default 16: one draw shared by ~6*block pairs is a REAL
-            sampling change (the r5 parity harness measured block=128
-            at 0.57 planted-cluster purity vs the host path's 1.00),
-            while the block's device cost is negligible at any size
-            (block=16 is 3.36 s/epoch at the brunch stream shape vs
-            3.67 at 128 — if anything faster).
+            Default 4 — chosen on BRUNCH-SCALE loss trajectories
+            (epochs 1-4, vs the per-pair host path's
+            3.19/2.66/2.62): block=16 converges visibly slower
+            (4.10/4.02/3.92 — the sharing noise costs ~2 epochs)
+            while block=4 matches (3.46/2.76/2.65/2.62) at
+            4.6 s/epoch; block=1 matches exactly at 8.0 s.  Raise it
+            (16 -> 3.1 s/epoch) only when epoch time dominates and
+            extra epochs are acceptable.  Small-corpus purity gates
+            additionally reject block >= 128 outright (0.57 vs 1.00,
+            three-arm parity harness).
         """
         opt = super().get_default_option()
         opt.update({
@@ -418,7 +422,7 @@ class W2VOption(AlgoOption):
             "stored_width": 0,
             "pair_gen": "auto",
             "offset_mode": "scan",
-            "neg_block": 16,
+            "neg_block": 4,
             "batch_size": 0,
             "model_path": "",
             "data_opt": {},

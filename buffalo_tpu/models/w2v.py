@@ -272,16 +272,16 @@ class W2V(Algo, W2VOption, Evaluable, Serializable):
         window = int(opt.window)
         n_all = len(self._token_stream()[0])
         # the shared-negative block stays SMALL: one draw shared by
-        # ~6 * block pairs is a real sampling change, and the r5
-        # three-arm parity harness caught block=128 at 0.57 neighbor
-        # purity vs the host path's 1.00 on a 450-word corpus — while
-        # the block's device cost is negligible at ANY size (block=16
-        # measured 3.36 s/epoch at the brunch stream shape vs 3.67 at
-        # 128).  Auto additionally shrinks below the default only for
-        # micro-corpora.
-        block = int(opt.get("neg_block", 16))
+        # ~6 * block pairs is a real sampling change.  Brunch-scale
+        # loss trajectories picked the default (see W2VOption
+        # neg_block): block=4 matches the per-pair host path's
+        # per-epoch convergence at 4.6 s/epoch; 16 converges ~2
+        # epochs slower; >=128 fails the small-corpus purity gate
+        # outright.  Auto additionally shrinks below the configured
+        # block only for micro-corpora.
+        block = int(opt.get("neg_block", 4))
         block = min(block,
-                    max(8, 1 << int(np.log2(max(n_all // 256, 8)))))
+                    max(4, 1 << int(np.log2(max(n_all // 256, 4)))))
         T = int(opt.get("batch_size") or 0)
         if T <= 0:
             T = 1 << 17
