@@ -599,3 +599,55 @@ def test_w2v_device_pair_gen_dp(stream_data):
     assert np.abs(b.L0).max() > 0
     assert np.abs(b.L0).max() == pytest.approx(np.abs(a.L0).max(),
                                                rel=0.5)
+
+
+@pytest.fixture(scope="module")
+def midsize_stream(tmp_path_factory):
+    """~40k-token clustered corpus: big enough that per-epoch
+    convergence differences show (the tiny fixtures only catch them
+    at full convergence)."""
+    root = tmp_path_factory.mktemp("mid_stream")
+    rng = np.random.default_rng(7)
+    V, k = 450, 15
+    cl = rng.integers(0, k, V)
+    lines = []
+    for _ in range(3500):
+        c = rng.integers(0, k)
+        members = np.nonzero(cl == c)[0]
+        sent = rng.choice(members, size=12, replace=True)
+        noisy = rng.random(12) < 0.3
+        sent[noisy] = rng.integers(0, V, int(noisy.sum()))
+        lines.append(" ".join(f"w{int(x)}" for x in sent))
+    path = root / "main.txt"
+    path.write_text("\n".join(lines) + "\n")
+    opt = StreamOptions().get_default_option()
+    opt.input.main = str(path)
+    opt.data.path = str(root / "m.bfo")
+    opt.data.tmp_dir = str(root / "tmp")
+    opt.data.validation = {}
+    data = load(opt)
+    data.create()
+    return data
+
+
+def test_w2v_device_per_epoch_convergence(midsize_stream):
+    """PER-EPOCH convergence contract for the device defaults: after
+    the same few epochs, the device path's loss must be within 10% of
+    the host per-pair path's.  This is the regression class the r5
+    brunch-scale trajectories caught twice (4-chunk epoch sizing;
+    neg_block=16 sharing noise) — both passed the converged-quality
+    gates while losing epochs of progress."""
+    def run(pg):
+        np.random.seed(13)
+        opt = W2VOption().get_default_option()
+        opt.d = 16
+        opt.num_iters = 3
+        opt.min_count = 1
+        opt.pair_gen = pg
+        m = W2V(opt, data=midsize_stream)
+        m.initialize()
+        return m.train()["train_loss"]
+
+    loss_host = run("host")
+    loss_dev = run("device")
+    assert loss_dev < loss_host * 1.10, (loss_dev, loss_host)
